@@ -1,0 +1,147 @@
+"""Equi-depth range partition planning (SURVEY §2a R4, §4).
+
+The reference plans read parallelism driver-side by sampling every
+chunkSize-th value of the timestamp column with a full-table
+``ROW_NUMBER() OVER (ORDER BY ts)`` + ``MOD(rownum, chunk) = 0`` query
+pushed into HANA (HanaToBQ.java:57,150-172), then scanning each
+``[lo, hi)`` interval with its own JDBC query (HanaToDBRow.java:79-112).
+
+We keep the *plan shape* (equi-depth intervals ⇒ one source partition
+per interval ⇒ no stragglers on skewed timestamp distributions, which
+is exactly what Spark's stock uniform-stride
+``partitionColumn/lowerBound/upperBound`` gets wrong) but compute the
+boundaries with ``approxQuantile`` — a single O(n) pass with bounded
+memory via Greenwald-Khanna sketches, instead of the reference's full
+window sort.  At 100 TB the sort is the difference between a planning
+query that finishes and one that doesn't.
+
+Semantics fixes vs the reference (SURVEY §2a quirks #2/#4):
+* intervals are half-open ``[lo, hi)`` everywhere, first ``lo`` is
+  ``start`` inclusive, last ``hi`` is ``end`` (honored; the reference
+  ignores endTime and hardcodes sentinel 2000000000, HanaToBQ.java:166);
+* concatenation of all interval scans is provably the single scan of
+  ``[start, end)`` — property-tested in tests/test_chunking.py.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+@dataclass(frozen=True)
+class Interval:
+    """Half-open chunk interval [lo, hi)."""
+
+    lo: float
+    hi: float
+
+    def as_predicate(self, column: str) -> str:
+        """SQL predicate string for spark.read.jdbc(predicates=...)."""
+        hi = "9223372036854775807" if math.isinf(self.hi) else repr(self.hi)
+        return f"{column} >= {self.lo!r} AND {column} < {hi}"
+
+
+def _numeric_ts(df: DataFrame, column: str) -> DataFrame:
+    """Project the chunking column to a double (epoch seconds for
+    timestamps) so quantile math is uniform across column types."""
+    dtype = dict(df.dtypes)[column]
+    col = F.col(column)
+    if dtype.startswith("timestamp"):
+        col = col.cast("double")
+    elif dtype == "date":
+        col = col.cast("timestamp").cast("double")
+    else:
+        col = col.cast("double")
+    return df.select(col.alias("__ts"))
+
+
+def equi_depth_intervals(
+    df: DataFrame,
+    column: str,
+    chunk_rows: int,
+    start: float,
+    end: float = float("inf"),
+    relative_error: float = 0.001,
+) -> list[Interval]:
+    """Plan ~chunk_rows-deep half-open intervals over ``[start, end)``.
+
+    Scale path: one approxQuantile pass (Greenwald-Khanna, driver holds
+    only the sketch) versus the reference's full ROW_NUMBER sort inside
+    the source database (HanaToBQ.java:57).  The interval list is tiny
+    (≈ rows/chunk_rows entries) and feeds either
+    ``spark.read.jdbc(predicates=...)`` or a parquet-scan filter union.
+    """
+    if chunk_rows <= 0:
+        raise ValueError(f"chunk_rows must be positive, got {chunk_rows}")
+    windowed = _numeric_ts(df, column).where(
+        (F.col("__ts") >= start) & (F.col("__ts") < end)
+    )
+    n = windowed.count()
+    if n == 0:
+        return [Interval(start, end)]
+    n_chunks = max(1, math.ceil(n / chunk_rows))
+    if n_chunks == 1:
+        return [Interval(start, end)]
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    splits = windowed.approxQuantile("__ts", probs, relative_error)
+    bounds: list[float] = [start]
+    for s in splits:
+        # Quantiles can repeat under heavy skew; keep bounds strictly
+        # increasing so every interval is non-empty by construction.
+        if s > bounds[-1]:
+            bounds.append(s)
+    bounds.append(end)
+    return [Interval(lo, hi) for lo, hi in zip(bounds, bounds[1:])]
+
+
+def equi_depth_intervals_exact(
+    df: DataFrame,
+    column: str,
+    chunk_rows: int,
+    start: float,
+    end: float = float("inf"),
+) -> list[Interval]:
+    """Reference-exact boundary sampling: every chunk_rows-th value of
+    the sorted column becomes a split point (ROW_NUMBER + MOD, the
+    literal plan of HanaToBQ.java:57).  Kept for parity testing; the
+    global window sort makes it the non-scale path — use
+    :func:`equi_depth_intervals` for real inputs.
+    """
+    windowed = _numeric_ts(df, column).where(
+        (F.col("__ts") >= start) & (F.col("__ts") < end)
+    )
+    w = Window.orderBy(F.col("__ts"))
+    sampled = (
+        windowed.select(
+            F.col("__ts"), F.row_number().over(w).alias("__rn")
+        )
+        .where(F.pmod(F.col("__rn"), F.lit(chunk_rows)) == 0)
+        .orderBy("__ts")
+        .select("__ts")
+    )
+    splits = [r["__ts"] for r in sampled.collect()]
+    bounds: list[float] = [start]
+    for s in splits:
+        if s > bounds[-1]:
+            bounds.append(s)
+    if bounds[-1] < end:
+        bounds.append(end)
+    elif len(bounds) > 1:
+        bounds[-1] = end
+    return [Interval(lo, hi) for lo, hi in zip(bounds, bounds[1:])]
+
+
+def intervals_to_jdbc_predicates(
+    intervals: list[Interval], column: str
+) -> list[str]:
+    """One predicate string per interval — each becomes one Spark JDBC
+    input partition (spark.read.jdbc ``predicates=``), the exact
+    semantic analog of the reference's one-prepared-statement-per-chunk
+    readAll (HanaToDBRow.java:103-111) with typed literals instead of
+    string binds (quirk #3)."""
+    return [iv.as_predicate(column) for iv in intervals]

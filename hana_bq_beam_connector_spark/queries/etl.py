@@ -1,0 +1,128 @@
+"""ETL parity queries (SURVEY §2a R1-R15 — the reference's own surface).
+
+The reference's entire capability is "copy the ``[startTime, ∞)``
+window of one table, chunked equi-depth on the timestamp column, with
+stringified values" (HanaToBQ.java:246-260).  These queries pin that
+behavior against the DuckDB oracle on the ``events`` stand-in table.
+
+``events.ts`` is parquet TIMESTAMP(NANOS): int64 nanoseconds Spark-side
+(nanosAsLong) but DuckDB 1.0 truncates the same column to microsecond
+TIMESTAMP at read time — so every query that *outputs* ts exposes it as
+epoch microseconds (``ts div 1000`` / ``epoch_us(ts)``), and filters
+compare only at whole-second boundaries (truncation moves values <1 µs
+downward, which cannot cross a second-aligned boundary).  Integer
+compares throughout — no float rounding at chunk seams (quirk #3/#4
+fixed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hana_bq_beam_connector_spark.queries import register
+from hana_bq_beam_connector_spark.sources.files import load_table
+from hana_bq_beam_connector_spark.typemap import stringify
+
+# 2024-01-05 / 2024-01-15 / 2024-01-25 00:00:00 UTC in epoch microseconds.
+T5_US = 1_704_412_800_000_000
+T15_US = 1_705_276_800_000_000
+T25_US = 1_706_140_800_000_000
+
+_EVENT_COLS = "event_id, epoch_us(ts) AS ts, user_id, event_type, value, props"
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts projected to epoch microseconds (oracle parity)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("ts div 1000").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+@register(
+    "etl_window_copy",
+    f"""
+    SELECT {_EVENT_COLS}
+    FROM events
+    WHERE epoch_us(ts) >= {T5_US} AND epoch_us(ts) < {T15_US}
+    """,
+    doc="R1/R5: the reference pipeline's copy — half-open [start,end) "
+    "window scan of the source table, end_time honored (quirk #2 fixed).",
+)
+def etl_window_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events_us(spark, sf_dir)
+    return events.where((F.col("ts") >= T5_US) & (F.col("ts") < T15_US))
+
+
+@register(
+    "etl_incremental_highwatermark",
+    f"""
+    SELECT {_EVENT_COLS}
+    FROM events
+    WHERE epoch_us(ts) >= {T15_US}
+    """,
+    doc="R14 start_time semantics: the incremental re-run from the "
+    "checkpointed high watermark — [watermark, ∞), the reference's "
+    "poor-man's CDC (HanaToBQ.java:206-218) with a real watermark.",
+)
+def etl_incremental_highwatermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events_us(spark, sf_dir)
+    return events.where(F.col("ts") >= T15_US)
+
+
+@register(
+    "etl_stringify_parity",
+    f"""
+    SELECT
+      CAST(event_id AS VARCHAR) AS event_id,
+      CAST(epoch_us(ts) AS VARCHAR) AS ts,
+      CAST(user_id AS VARCHAR) AS user_id,
+      CASE WHEN LOWER(event_type) = 'null' THEN NULL ELSE event_type END
+        AS event_type,
+      CAST(value AS VARCHAR) AS value,
+      CASE WHEN LOWER(props) = 'null' THEN NULL ELSE props END AS props
+    FROM events
+    WHERE epoch_us(ts) >= {T5_US} AND epoch_us(ts) < {T15_US}
+    """,
+    doc="R11 parity: every value stringified, strings spelling "
+    "'null'/'NULL' dropped to NULL (HanaDBRowToTableRowFn.java:26-35).",
+)
+def etl_stringify_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events_us(spark, sf_dir)
+    windowed = events.where((F.col("ts") >= T5_US) & (F.col("ts") < T15_US))
+    return stringify(windowed)
+
+
+@register(
+    "etl_chunk_plan_exact",
+    """
+    SELECT rn // 2000 AS chunk_idx, ts
+    FROM (
+      SELECT epoch_us(ts) AS ts,
+             ROW_NUMBER() OVER (ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    )
+    WHERE rn % 2000 = 0
+    """,
+    doc="R4/R6/R7/R8/R9: the reference's equi-depth boundary sampling "
+    "(ROW_NUMBER + MOD every chunkSize-th row, HanaToBQ.java:57) as a "
+    "first-class oracle-checked query; production path uses the "
+    "approxQuantile sketch planner in plans/chunking.py instead of "
+    "this full window sort.",
+)
+def etl_chunk_plan_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events_us(spark, sf_dir)
+    w = Window.orderBy(F.col("ts"), F.col("event_id"))
+    return (
+        events.select("ts", F.row_number().over(w).alias("rn"))
+        .where(F.pmod(F.col("rn"), F.lit(2000)) == 0)
+        .select(
+            (F.col("rn") / 2000).cast("long").alias("chunk_idx"), F.col("ts")
+        )
+    )

@@ -1,0 +1,1 @@
+"""multimodal queries — filled in as the operator set lands."""

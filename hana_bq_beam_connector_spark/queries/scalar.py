@@ -1,0 +1,1 @@
+"""scalar queries — filled in as the operator set lands."""

@@ -1,0 +1,1 @@
+"""streaming queries — filled in as the operator set lands."""

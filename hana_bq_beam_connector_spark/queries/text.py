@@ -1,0 +1,1 @@
+"""text queries — filled in as the operator set lands."""

@@ -1,0 +1,1 @@
+"""windows queries — filled in as the operator set lands."""

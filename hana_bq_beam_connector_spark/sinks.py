@@ -1,0 +1,46 @@
+"""Sinks (SURVEY §2a R13).
+
+The reference appends TableRows to BigQuery with WRITE_APPEND /
+CREATE_IF_NEEDED batch-load semantics staged through GCS
+(HanaToBQ.java:256-259, README:22).  The Spark analog is the
+spark-bigquery-connector's indirect write mode — same staging-then-load
+shape.  The connector jar is not available in this container, so the
+BigQuery path is interface-complete but gated; the parquet append sink
+is the tested stand-in with identical append/create semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def parquet_append(df: DataFrame, path: str) -> None:
+    """Append-mode parquet write — the local BigQuery stand-in.
+
+    mode("append") creates the directory if needed (CREATE_IF_NEEDED)
+    and never truncates (WRITE_APPEND), matching HanaToBQ.java:256-259.
+    """
+    df.write.mode("append").parquet(path)
+
+
+def bigquery_append(
+    df: DataFrame, dataset: str, table: str, *, temp_bucket: str | None = None
+) -> None:
+    """BigQuery append via spark-bigquery-connector (indirect mode ≈
+    the reference's GCS-staged batch load job).  Requires the connector
+    jar on the classpath; raises a clear error when absent."""
+    writer = (
+        df.write.format("bigquery")
+        .mode("append")
+        .option("writeMethod", "indirect")
+    )
+    if temp_bucket:
+        writer = writer.option("temporaryGcsBucket", temp_bucket)
+    try:
+        writer.save(f"{dataset}.{table}")
+    except Exception as exc:  # pragma: no cover - no connector in CI
+        raise RuntimeError(
+            "BigQuery sink needs the spark-bigquery-connector jar "
+            "(--packages com.google.cloud.spark:spark-bigquery-with-"
+            "dependencies); use parquet_append as the local stand-in"
+        ) from exc

@@ -1,0 +1,55 @@
+"""File-format sources (SURVEY §2c sources [P/X]).
+
+The reference reads only JDBC; the engine adds the lakehouse path.
+All readers are thin: the point is that Catalyst's datasource V2 scan
+does pushdown/pruning (``PushedFilters``/``ReadSchema`` in explain),
+so we never pre-materialize.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    # Set dynamically (not only in our session factory) because the
+    # driver's verify harness calls queries() with its own session;
+    # without it Spark 4 aborts on parquet TIMESTAMP(NANOS) columns.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, *, header: bool = True, infer: bool = True
+) -> DataFrame:
+    return spark.read.csv(path, header=header, inferSchema=infer)
+
+
+def read_json(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.json(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md)."""
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}

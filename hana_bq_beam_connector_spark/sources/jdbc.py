@@ -1,0 +1,75 @@
+"""Partitioned JDBC source (SURVEY §2a R1/R3).
+
+The reference's read path is one prepared statement per chunk interval
+via Beam's ``JdbcIO.readAll`` (HanaToDBRow.java:79-112).  Spark's
+equivalent is ``spark.read.jdbc(predicates=[...])`` — each predicate
+string becomes one input partition executing
+``SELECT ... FROM t WHERE <predicate>`` on an executor, which is the
+exact same physical shape (N concurrent range queries) with Catalyst
+additionally pushing column pruning and extra filters into the
+generated SQL for free (SURVEY §4).
+
+Schema discovery: Spark reads ``ResultSetMetaData`` automatically; the
+reference's explicit catalog query (HanaToBQ.java:56,104-143) survives
+as :mod:`..sources.catalog` for HANA-type-name-level control.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hana_bq_beam_connector_spark.config import PipelineConfig
+from hana_bq_beam_connector_spark.plans.chunking import (
+    Interval,
+    intervals_to_jdbc_predicates,
+)
+
+
+def jdbc_scan(
+    spark: SparkSession,
+    config: PipelineConfig,
+    intervals: list[Interval] | None = None,
+    *,
+    partition_column: str | None = None,
+    lower_bound: float | None = None,
+    upper_bound: float | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Read ``config.table_name`` over JDBC.
+
+    Two partitioning modes:
+
+    * ``intervals`` (equi-depth, reference-parity): one Spark partition
+      per planned ``[lo, hi)`` chunk — robust to skewed timestamp
+      distributions;
+    * uniform stride (``partition_column``/bounds/``num_partitions``):
+      Spark's stock mode, fine for near-uniform keys.
+    """
+    if config.connection_string is None:
+        raise ValueError("connection_string is required for jdbc_scan")
+    reader = spark.read
+    if intervals is not None:
+        predicates = intervals_to_jdbc_predicates(
+            intervals, config.timestamp_column
+        )
+        return reader.jdbc(
+            url=config.connection_string,
+            table=config.table_name,
+            predicates=predicates,
+            properties=config.jdbc_properties,
+        )
+    if partition_column is not None:
+        return reader.jdbc(
+            url=config.connection_string,
+            table=config.table_name,
+            column=partition_column,
+            lowerBound=int(lower_bound),
+            upperBound=int(upper_bound),
+            numPartitions=num_partitions or 32,
+            properties=config.jdbc_properties,
+        )
+    return reader.jdbc(
+        url=config.connection_string,
+        table=config.table_name,
+        properties=config.jdbc_properties,
+    )

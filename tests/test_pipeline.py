@@ -1,0 +1,86 @@
+"""End-to-end parity pipeline tests (SURVEY §5.2 #2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.config import PipelineConfig
+from hana_bq_beam_connector_spark.pipeline import (
+    run_and_append,
+    run_copy_pipeline,
+    select_window,
+)
+
+T5_NS = 1_704_412_800_000_000_000
+T15_NS = 1_705_276_800_000_000_000
+
+
+def _config(dest: str | None = None, **kw) -> PipelineConfig:
+    return PipelineConfig(
+        table_name="events",
+        timestamp_column="ts",
+        start_time=T5_NS,
+        end_time=T15_NS,
+        chunk_size=200,
+        dest_path=dest,
+        **kw,
+    )
+
+
+def test_select_window_half_open(spark, events):
+    cfg = _config()
+    got = select_window(events, cfg).count()
+    want = events.where(
+        (F.col("ts") >= T5_NS) & (F.col("ts") < T15_NS)
+    ).count()
+    assert got == want > 0
+
+
+def test_copy_pipeline_appends_and_is_incremental(spark, events, tmp_path):
+    dest = str(tmp_path / "sink")
+    cfg = _config(dest)
+    n1 = run_and_append(spark, cfg, source_df=events)
+    assert n1 > 0
+    sunk = spark.read.parquet(dest)
+    assert sunk.count() == n1
+    assert sunk.schema == events.schema
+
+    # append semantics (WRITE_APPEND): second disjoint window adds rows
+    cfg2 = PipelineConfig(
+        table_name="events",
+        timestamp_column="ts",
+        start_time=T15_NS,
+        chunk_size=200,
+        dest_path=dest,
+    )
+    n2 = run_and_append(spark, cfg2, source_df=events)
+    assert spark.read.parquet(dest).count() == n1 + n2
+    # the two windows partition [T5, ∞): no dupes, no gaps
+    assert n1 + n2 == events.where(F.col("ts") >= T5_NS).count()
+
+
+def test_copy_pipeline_stringify_mode(spark, events, tmp_path):
+    dest = str(tmp_path / "sink_str")
+    cfg = _config(dest, stringify=True)
+    run_and_append(spark, cfg, source_df=events)
+    sunk = spark.read.parquet(dest)
+    assert all(f.dataType.typeName() == "string" for f in sunk.schema.fields)
+
+
+def test_copy_pipeline_plans_intervals(spark, events):
+    cfg = _config()
+    result, intervals = run_copy_pipeline(spark, cfg, source_df=events)
+    n = result.count()
+    assert len(intervals) >= max(1, n // 400)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        PipelineConfig(
+            table_name="t", timestamp_column="ts", start_time=10, end_time=5
+        )
+    with pytest.raises(ValueError):
+        PipelineConfig(
+            table_name="t", timestamp_column="ts", start_time=0, chunk_size=0
+        )

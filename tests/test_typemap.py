@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    LongType,
+    StringType,
+    TimestampNTZType,
+)
+
+from hana_bq_beam_connector_spark.typemap import (
+    HANA_TO_BQ,
+    CatalogColumn,
+    UnknownHanaTypeError,
+    catalog_to_schema,
+    hana_to_spark_type,
+    stringify,
+)
+
+
+@pytest.mark.parametrize(
+    "hana,expected",
+    [
+        ("NVARCHAR", StringType()),
+        ("VARCHAR", StringType()),
+        ("ALPHANUM", StringType()),
+        ("SHORTTEXT", StringType()),
+        ("TEXT", StringType()),
+        ("CLOB", StringType()),
+        ("NCLOB", StringType()),
+        ("BLOB", BinaryType()),  # fixed vs ref STRING (lossy)
+        ("VARBINARY", BinaryType()),
+        ("INTEGER", LongType()),
+        ("TINYINT", LongType()),
+        ("SMALLINT", LongType()),
+        ("BIGINT", LongType()),
+        ("DATE", DateType()),
+        ("TIME", StringType()),
+        ("DATETIME", TimestampNTZType()),
+        ("BOOLEAN", BooleanType()),
+        ("DOUBLE", DoubleType()),
+        ("REAL", DoubleType()),
+        ("DECIMAL", DecimalType(38, 18)),  # fixed vs ref FLOAT (lossy)
+        ("SMALLDECIMAL", DecimalType(38, 18)),
+    ],
+)
+def test_type_map_exhaustive(hana, expected):
+    assert hana_to_spark_type(hana) == expected
+
+
+def test_type_map_covers_all_21_reference_entries():
+    # HanaToBQ.java:59-81 has exactly 21 entries.
+    assert len(HANA_TO_BQ) == 21
+
+
+def test_decimal_parity_mode():
+    assert hana_to_spark_type("DECIMAL", decimal_as_double=True) == DoubleType()
+
+
+def test_unknown_type_aborts():
+    with pytest.raises(UnknownHanaTypeError):
+        hana_to_spark_type("ST_GEOMETRY")
+
+
+def test_catalog_to_schema_orders_by_position():
+    cols = [
+        CatalogColumn("b", "INTEGER", 2),
+        CatalogColumn("a", "NVARCHAR", 1),
+    ]
+    schema = catalog_to_schema(cols)
+    assert [f.name for f in schema.fields] == ["a", "b"]
+    assert schema.fields[1].dataType == LongType()
+
+
+def test_stringify_parity(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=2, b="NULL"), Row(a=None, b="null")]
+    )
+    out = {(r["a"], r["b"]) for r in stringify(df).collect()}
+    # values stringified; "null"/"NULL" strings dropped to NULL
+    # (HanaDBRowToTableRowFn.java:31-35)
+    assert out == {("1", "x"), ("2", None), (None, None)}
