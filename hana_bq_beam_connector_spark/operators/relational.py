@@ -1,0 +1,203 @@
+"""Relational operators beyond plain DataFrame calls (SURVEY §2c).
+
+The reference implements none of these (SURVEY §2b: no joins, aggs,
+set ops anywhere in its 439 LoC); this module is the [X] extension
+surface.  Plain equi-joins/aggregates stay literal ``df.join`` /
+``df.groupBy`` at call sites — wrapping them would only hide the plan
+from the reader.  What lives here are the operators that need a real
+strategy decision at 100 TB:
+
+* ``broadcast_join`` — explicit build-side choice for dim tables;
+* ``salted_join`` — hot-key mitigation when AQE skew-split isn't
+  available (e.g. pre-3.0 clusters) or the skew is in a single key;
+* ``topk_per_group`` / ``topk`` — rank-then-filter instead of global
+  sort: the shuffle carries only per-partition top-k candidates;
+* ``asof_join`` — point-in-time join (Spark has no ASOF JOIN);
+  implemented as union + partitioned window scan: O(n log n) within
+  partitions, never a range cross-product;
+* ``range_join`` — interval containment join with an equi-bucket
+  prefilter so Catalyst gets an equi-condition to hash on instead of
+  a broadcast-nested-loop over the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def broadcast_join(
+    large: DataFrame, small: DataFrame, on: list[str] | Column, how: str = "inner"
+) -> DataFrame:
+    """Equi-join with the small side explicitly broadcast.
+
+    At 100 TB the fact side must never shuffle for a dim-table join;
+    ``F.broadcast`` pins the build side regardless of stale stats
+    (autoBroadcastJoinThreshold only sees size estimates).
+    """
+    return large.join(F.broadcast(small), on=on, how=how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed left side's key into
+    ``salt`` shards and explode the right side to match, so one hot
+    key spreads over ``salt`` reducers instead of one straggler.
+
+    AQE's skew-join split (enabled in session.py) handles most cases
+    at runtime; explicit salting remains the tool when a single key
+    dominates a partition beyond what AQE re-splits, at the cost of
+    replicating the right side ``salt``×, so keep the right side the
+    smaller input.
+    """
+    salt_col = (F.crc32(F.col(on).cast("string")) % salt).cast("int")
+    salted_left = left.withColumn("__salt", salt_col)
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
+    )
+    return (
+        salted_left.join(salted_right, on=[on, "__salt"], how=how)
+        .drop("__salt")
+    )
+
+
+def topk(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """Global top-k.  ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject: each partition keeps only k rows and the
+    driver merges — no global sort shuffle."""
+    return df.orderBy(*order).limit(k)
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number rank-and-filter.  One hash
+    shuffle on the group key; the window scan is in-partition.  Ties
+    must be broken by a unique column in ``order`` for determinism."""
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: list[str],
+    tolerance: int | float | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Point-in-time (as-of backward) join.
+
+    For each left row, attach the most recent right row with the same
+    ``on`` key and right.ts <= left.ts (< when ``strict``).  Spark has
+    no ASOF JOIN operator; a naive range join explodes into a
+    cross-product per key.  This implementation unions both sides
+    tagged, then runs ``last(..., ignorenulls)`` over one
+    partition-by-key window — a single shuffle on the key, linear scan
+    per partition, no pair blow-up, which is the only shape that
+    survives 100 TB of events.
+
+    Equivalent to DuckDB's ``ASOF JOIN`` (the oracle for it).
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        *lcols,
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+        F.lit(1).alias("__is_left"),
+    )
+    tagged_right = right.select(
+        *[
+            F.col(c) if c in (on, ts) else F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c)
+            for c in lcols
+        ],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.lit(0).alias("__is_left"),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    # Order: ts asc, right rows before left rows at equal ts (so a
+    # right row at exactly left.ts is visible unless strict).
+    tie = F.col("__is_left").asc() if not strict else F.col("__is_left").desc()
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), tie)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    )
+    filled = unioned.select(
+        *lcols,
+        "__is_left",
+        *[
+            F.last(F.when(F.col("__is_left") == 0, F.col(f"__r_{c}")), ignorenulls=True)
+            .over(w)
+            .alias(f"__r_{c}")
+            for c in right_cols
+        ],
+        F.last(F.when(F.col("__is_left") == 0, F.col(ts)), ignorenulls=True)
+        .over(w)
+        .alias("__r_ts"),
+    )
+    result = filled.where(F.col("__is_left") == 1)
+    if tolerance is not None:
+        within = F.col("__r_ts") >= (F.col(ts) - F.lit(tolerance))
+        result = result.select(
+            *lcols,
+            *[
+                F.when(within, F.col(f"__r_{c}")).alias(f"__r_{c}")
+                for c in right_cols
+            ],
+        )
+    return result.select(
+        *lcols, *[F.col(f"__r_{c}").alias(f"right_{c}") for c in right_cols]
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    lo: str,
+    hi: str,
+    bucket_width: int | float,
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """Interval-containment join: left.point ∈ [right.lo, right.hi).
+
+    A raw theta-join compiles to BroadcastNestedLoopJoin (O(n·m)).
+    Bucketizing both sides on ``bucket_width`` turns it into an
+    equi-join on the bucket id (right intervals exploded over the
+    buckets they span) + a residual range filter — the standard
+    bucketed range-join of Databricks/Trino, hash-shuffled and
+    AQE-eligible.  ``bucket_width`` should be ≥ the typical interval
+    length so the explode factor stays ~O(1).
+    """
+    on = extra_on or []
+    lbuck = left.withColumn(
+        "__bucket", F.floor(F.col(point) / F.lit(bucket_width)).cast("long")
+    )
+    rbuck = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(hi) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        lbuck.join(rbuck, on=on + ["__bucket"], how="inner")
+        .where((F.col(point) >= F.col(lo)) & (F.col(point) < F.col(hi)))
+        .drop("__bucket")
+    )

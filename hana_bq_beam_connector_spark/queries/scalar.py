@@ -1,1 +1,227 @@
-"""scalar queries — filled in as the operator set lands."""
+"""Scalar function catalog (SURVEY §2c scalar fns [X]).
+
+String / date / math / array / JSON functions, each mapped 1:1 onto
+``pyspark.sql.functions`` (JVM-side, whole-stage-codegen'd — never
+Python UDFs) with the DuckDB spelling in the oracle.
+
+Cross-engine footguns handled here: extraction functions return int32
+in Spark vs BIGINT in DuckDB (→ cast to long); DuckDB ``round`` on
+DOUBLE is half-even vs Spark's half-up (→ round on exact decimals
+instead); ``ln``/``exp`` are not correctly-rounded and may differ in
+the last ulp (→ excluded from oracle-checked outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.queries import register
+from hana_bq_beam_connector_spark.queries._util import events_us
+from hana_bq_beam_connector_spark.sources.files import load_table
+
+
+@register(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+      LOWER(p_name) AS name_lower,
+      UPPER(p_brand) AS brand_upper,
+      TRIM(p_type) AS type_trim,
+      SUBSTR(p_name, 1, 5) AS name_prefix,
+      p_brand || ':' || p_type AS brand_type,
+      REPLACE(p_name, ' ', '_') AS name_snake,
+      CAST(LENGTH(p_name) AS BIGINT) AS name_len
+    FROM part
+    """,
+    doc="lower/upper/trim/substr/concat/replace/length.",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim("p_type").alias("type_trim"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+@register(
+    "scalar_regexp_funcs",
+    r"""
+    SELECT p_partkey,
+      regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+      regexp_matches(p_type, 'BRUSHED|POLISHED') AS is_finished,
+      regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+      CAST(LENGTH(p_name) - LENGTH(regexp_replace(p_name, 'a', '', 'g'))
+           AS BIGINT) AS a_count
+    FROM part
+    """,
+    doc="regexp extract/match/replace; counting via replace-diff "
+    "(portable to engines without regexp_count).",
+)
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.col("p_type").rlike("BRUSHED|POLISHED").alias("is_finished"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        (
+            F.length("p_name")
+            - F.length(F.regexp_replace("p_name", "a", ""))
+        ).cast("long").alias("a_count"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+      CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+      CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+      CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS order_day,
+      CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP)
+        AS order_month_start,
+      CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_ts,
+      CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+           AS BIGINT) AS days_since_95
+    FROM orders
+    """,
+    doc="year/month/day extraction, month truncation, interval "
+    "arithmetic, day differences (arg order aligned: Spark "
+    "datediff(end,start) = DuckDB date_diff('day',start,end)).",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias(
+            "order_month_start"
+        ),
+        (F.col("o_orderdate").cast("date") + F.expr("INTERVAL 30 DAYS"))
+        .cast("timestamp_ntz")
+        .alias("due_ts"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("days_since_95"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    """
+    SELECT p_partkey,
+      ABS(p_retailprice - 1000.0) AS price_dev,
+      FLOOR(p_retailprice) AS price_floor,
+      CEIL(p_retailprice) AS price_ceil,
+      CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DOUBLE)
+        AS price_round1,
+      CAST(p_size % 7 AS BIGINT) AS size_mod7,
+      SQRT(CAST(p_size AS DOUBLE)) AS size_sqrt,
+      CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE) AS size_sq
+    FROM part
+    """,
+    doc="abs/floor/ceil/round/mod/sqrt/power — round done on exact "
+    "decimal (Spark half-up vs DuckDB half-even on doubles would "
+    "drift), sqrt is IEEE correctly-rounded so doubles match.",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    size_d = F.col("p_size").cast("double")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
+        F.floor("p_retailprice").cast("double").alias("price_floor"),
+        F.ceil("p_retailprice").cast("double").alias("price_ceil"),
+        F.round(F.col("p_retailprice").cast("decimal(18,2)"), 1)
+        .cast("double")
+        .alias("price_round1"),
+        F.pmod(F.col("p_size"), F.lit(7)).cast("long").alias("size_mod7"),
+        F.sqrt(size_d).alias("size_sqrt"),
+        (size_d * size_d).alias("size_sq"),
+    )
+
+
+@register(
+    "scalar_json_funcs",
+    """
+    SELECT event_id,
+      json_extract_string(props, '$.k') AS k_str,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+    FROM events
+    """,
+    doc="JSON field extraction over events.props "
+    "(get_json_object / json_extract_string).",
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    """
+    SELECT doc_id,
+      CAST(LENGTH(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      string_split(text, ' ')[1] AS first_token,
+      list_contains(string_split(text, ' '), 'spark') AS has_spark,
+      array_to_string(list_slice(string_split(text, ' '), 1, 3), '-')
+        AS first3_joined
+    FROM documents
+    """,
+    doc="array size/index/contains/slice/join over tokenized text "
+    "(split is 1:1 between engines for single-space corpora).",
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.slice(toks, 1, 3), "-").alias("first3_joined"),
+    )
+
+
+@register(
+    "scalar_conditional_funcs",
+    """
+    SELECT o_orderkey,
+      CASE WHEN o_totalprice > 300000 THEN 'high'
+           WHEN o_totalprice > 100000 THEN 'mid'
+           ELSE 'low' END AS price_band,
+      COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_decoded,
+      IF(o_orderpriority LIKE '1-%', 1, 0) AS is_urgent
+    FROM orders
+    """,
+    doc="CASE/COALESCE/NULLIF/IF/LIKE conditional surface.",
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_decoded"),
+        F.when(F.col("o_orderpriority").like("1-%"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_urgent"),
+    )

@@ -1,0 +1,131 @@
+"""Unit tests for the custom operators (SURVEY §2c joins [X])."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.operators.relational import (
+    asof_join,
+    broadcast_join,
+    range_join,
+    salted_join,
+    topk,
+    topk_per_group,
+)
+from hana_bq_beam_connector_spark.sources.files import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_equals_plain_join(spark):
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, SF, "customer").select("c_custkey", "c_name")
+    plain = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "c_name"
+    )
+    c2 = c.withColumnRenamed("c_custkey", "o_custkey")
+    salted = salted_join(o, c2, on="o_custkey", salt=8).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_broadcast_join_hint_in_plan(spark):
+    s = load_table(spark, SF, "supplier")
+    n = load_table(spark, SF, "nation")
+    df = broadcast_join(s, n, s["s_nationkey"] == n["n_nationkey"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    o = load_table(spark, SF, "orders")
+    df = topk(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) == 5
+    prices = [r["o_totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_topk_per_group_depth(spark):
+    o = load_table(spark, SF, "orders")
+    ranked = topk_per_group(
+        o,
+        partition_by=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=2,
+    )
+    counts = ranked.groupBy("o_custkey").count().agg(F.max("count")).first()[0]
+    assert counts <= 2
+
+
+def test_asof_join_matches_naive(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 15), (3, 7)], ["k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 15, "b"), (1, 20, "c"), (2, 99, "z")],
+        ["k", "t", "v"],
+    )
+    got = {
+        (r["k"], r["t"]): r["right_v"]
+        for r in asof_join(
+            left, right, on="k", ts="t", right_cols=["v"]
+        ).collect()
+    }
+    # naive: latest right with rt <= lt, per key
+    assert got == {
+        (1, 10): "a",
+        (1, 20): "c",  # right at exactly t=20 is visible (non-strict)
+        (1, 5): None,
+        (2, 15): None,
+        (3, 7): None,
+    }
+
+
+def test_asof_join_strict_excludes_equal_ts(spark):
+    left = spark.createDataFrame([(1, 20)], ["k", "t"])
+    right = spark.createDataFrame([(1, 20, "c"), (1, 8, "a")], ["k", "t", "v"])
+    got = asof_join(
+        left, right, on="k", ts="t", right_cols=["v"], strict=True
+    ).collect()
+    assert got[0]["right_v"] == "a"
+
+
+def test_range_join_matches_theta(spark):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    bands = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 8000.0).alias("lo"),
+        (F.col("id") * 8000.0 + 12000.0).alias("hi"),
+    )
+    bucketed = range_join(
+        li, bands, point="l_extendedprice", lo="lo", hi="hi", bucket_width=8000
+    )
+    theta = li.join(
+        bands,
+        (li["l_extendedprice"] >= bands["lo"])
+        & (li["l_extendedprice"] < bands["hi"]),
+    )
+    assert bucketed.count() == theta.count()
+    got = bucketed.groupBy("k").count().orderBy("k").collect()
+    want = theta.groupBy("k").count().orderBy("k").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_range_join_avoids_nested_loop(spark):
+    li = load_table(spark, SF, "lineitem").select("l_extendedprice")
+    bands = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 8000.0).alias("lo"),
+        (F.col("id") * 8000.0 + 12000.0).alias("hi"),
+    )
+    df = range_join(
+        li, bands, point="l_extendedprice", lo="lo", hi="hi", bucket_width=8000
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
