@@ -1,0 +1,192 @@
+"""Deduplication operators (LLM-data pipeline surface).
+
+Exact, key-based, MinHash-LSH near-dup, and SimHash — the standard
+toolbox for training-data dedup at 100 TB:
+
+* exact dedup: one hash shuffle on the dup key (``dropDuplicates``);
+* keep-first-by-key: rank-and-filter, deterministic tie-break;
+* MinHash-LSH: shingle → 16 affine min-hashes → 4 LSH bands →
+  candidate pairs via band-bucket self-join → exact Jaccard verify.
+  Cost is O(n · shingles) + O(candidate pairs); the full O(n²) pair
+  space is never materialized, which is the only shape that works on
+  10^9+ documents.  All hashing is whole-stage-codegen'd SQL
+  expressions (functions/hashing.py) — zero Python in the hot path;
+* SimHash: 32-bit sign-aggregated fingerprint, hamming distance via
+  bit_count(xor) for near-dup pairing.
+
+The reference implements none of this (SURVEY §2b); capability target
+comes from the driver's north star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hana_bq_beam_connector_spark.functions.hashing import (
+    MINHASH_COEFFS,
+    PRIME,
+    band_exprs,
+    spark_polyhash,
+)
+
+SIMHASH_BITS = 32
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact deduplication: hash shuffle on the dup columns, first row
+    per group wins (non-deterministic which; use keep_first_by_key for
+    a deterministic survivor)."""
+    return df.dropDuplicates(cols)
+
+
+def keep_first_by_key(
+    df: DataFrame, key: list[str], order: list[Column]
+) -> DataFrame:
+    """Deterministic survivor per key: rank by ``order``, keep rank 1."""
+    w = Window.partitionBy(*key).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str, k: int = 3, out: str = "shingle_hashes"
+) -> DataFrame:
+    """Distinct word-k-shingles of ``text_col``, polynomial-hashed to
+    BIGINT.  Documents with fewer than k tokens are dropped (no
+    shingles to compare).  Pure SQL expressions — codegen'd."""
+    words = f"split({text_col}, ' ')"
+    shingles = (
+        f"array_distinct(transform(sequence(1, size({words}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({words}, i, {k}))))"
+    )
+    hashed = f"transform({shingles}, s -> {spark_polyhash('s')})"
+    return df.where(F.expr(f"size({words}) >= {k}")).withColumn(
+        out, F.expr(hashed)
+    )
+
+
+def minhash_signature(
+    df: DataFrame, hashes_col: str = "shingle_hashes", n: int = 16
+) -> DataFrame:
+    """Append ``n`` MinHash columns mh0..mh{n-1} (affine permutations
+    of the shingle hashes, functions/hashing.MINHASH_COEFFS)."""
+    out = df
+    for i in range(n):
+        a, b = MINHASH_COEFFS[i]
+        out = out.withColumn(
+            f"mh{i}",
+            F.expr(
+                f"array_min(transform({hashes_col}, "
+                f"x -> ({a} * x + {b}) % {PRIME}))"
+            ),
+        )
+    return out
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, n_bands: int = 4, n_sig: int = 16
+) -> DataFrame:
+    """Candidate pairs from LSH banding: docs sharing any band bucket.
+
+    Two MinHash-identical-in-one-band docs land in the same bucket;
+    the self-join runs per (band_idx, band_hash) bucket — tiny groups,
+    never the global cross product.  Output: (id_a, id_b), id_a < id_b.
+    """
+    bands = band_exprs([f"mh{i}" for i in range(n_sig)], n_bands)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(b).alias("band_hash"),
+                    )
+                    for i, b in enumerate(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard(col_a: str, col_b: str) -> Column:
+    """Exact Jaccard over two BIGINT-array columns (distinct sets)."""
+    inter = F.expr(f"size(array_intersect({col_a}, {col_b}))")
+    union = F.expr(f"size(array_union({col_a}, {col_b}))")
+    return inter.cast("double") / union.cast("double")
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → MinHash → LSH candidates →
+    exact-Jaccard verification at ``threshold``.
+
+    Returns (id_a, id_b, jaccard).  With 16 hashes / 4 bands the LSH
+    recall at j=0.8 is ≈ 1-(1-0.8^4)^4 ≈ 0.93; raise n_sig/bands for
+    stricter recall — the shape stays linear in corpus size.
+    """
+    hashed = shingle_hashes(df.select(id_col, text_col), text_col, k)
+    sig = minhash_signature(hashed)
+    cands = lsh_candidate_pairs(sig, id_col)
+    sets_a = hashed.select(
+        F.col(id_col).alias("id_a"), F.col("shingle_hashes").alias("sh_a")
+    )
+    sets_b = hashed.select(
+        F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b")
+    )
+    return (
+        cands.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("jaccard", jaccard("sh_a", "sh_b"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, out: str = "simhash") -> DataFrame:
+    """32-bit SimHash over word token hashes: bit b of the fingerprint
+    is set iff more token hashes have bit b set than unset."""
+    words = f"array_distinct(split({text_col}, ' '))"
+    xs = f"transform({words}, w -> {spark_polyhash('w')})"
+    vote = (
+        f"aggregate({xs}, cast(0 as bigint), "
+        f"(vacc, x) -> vacc + CASE WHEN "
+        f"(x div shiftleft(cast(1 as bigint), b)) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)"
+    )
+    fingerprint = (
+        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), b -> "
+        f"CASE WHEN {vote} > 0 "
+        f"THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END), "
+        f"cast(0 as bigint), (facc, v) -> facc + v)"
+    )
+    return df.withColumn(out, F.expr(fingerprint))
+
+
+def hamming(col_a: str, col_b: str) -> Column:
+    return F.expr(f"bit_count({col_a} ^ {col_b})").cast("long")

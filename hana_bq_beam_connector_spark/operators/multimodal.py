@@ -1,0 +1,126 @@
+"""Multimodal column operators (LLM-data surface).
+
+Image/audio/video travel as opaque ``binary`` columns plus typed
+metadata structs; decode/feature steps are Arrow-batched
+``mapInPandas`` stages so each executor processes columnar batches —
+the Spark-side plumbing (schema, batch shape, partition flow) is real
+and tested.  The actual codec calls are STUBBED deterministically
+(this container ships no image/audio libraries): ``decode_image_meta``
+derives pseudo width/height/channels from the payload's MD5, and
+``frame_sample`` slices deterministic byte windows as "frames".
+Swapping the stub body for PIL/ffmpeg calls changes no schema, no
+partitioning, and no caller.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+    ]
+)
+
+_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+    ]
+)
+
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Adapt the documents table into a media-column table: UTF-8
+    payload bytes standing in for encoded image data."""
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("long")
+        .alias("byte_len"),
+    )
+
+
+def decode_image_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode returning image metadata per row.
+
+    STUB: real decode would be ``PIL.Image.open(io.BytesIO(b))``;
+    here width/height/channels derive deterministically from MD5 so
+    tests pin the plumbing.  Batch shape, schema, and partitioning are
+    production-real."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            digests = [
+                hashlib.md5(bytes(payload)).digest()
+                for payload in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["byte_len"],
+                    "width": [16 + d[0] % 240 for d in digests],
+                    "height": [16 + d[1] % 240 for d in digests],
+                    "channels": [1 + d[2] % 4 for d in digests],
+                }
+            )
+
+    return media.mapInPandas(decode, schema=_DECODED_SCHEMA)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4, frame_len: int = 32) -> DataFrame:
+    """Deterministic frame sampling: n byte-windows per payload.
+
+    STUB for video frame extraction (ffmpeg); output one row per
+    (media, frame) — the explode shape a real sampler produces."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if not data:
+                    continue
+                stride = max(1, len(data) // n_frames)
+                for i in range(n_frames):
+                    lo = (i * stride) % len(data)
+                    ids.append(media_id)
+                    idxs.append(i)
+                    frames.append(data[lo : lo + frame_len])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_bytes": frames}
+            )
+
+    return media.mapInPandas(sample, schema=_FRAMES_SCHEMA)

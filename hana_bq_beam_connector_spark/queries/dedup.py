@@ -1,1 +1,276 @@
-"""dedup queries — filled in as the operator set lands."""
+"""Deduplication queries (LLM-data surface; SURVEY §2c dedup [X]).
+
+The MinHash/SimHash oracles are *generated* SQL sharing the exact
+integer-hash constants with the Spark exprs (functions/hashing.py),
+so the driver's value-hash gate checks the full pipeline — shingling,
+16 affine min-hashes, LSH banding, candidate join, Jaccard verify —
+not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.functions.hashing import (
+    band_exprs,
+    duck_minhash,
+    duck_polyhash,
+)
+from hana_bq_beam_connector_spark.operators.dedup import (
+    hamming,
+    keep_first_by_key,
+    minhash_near_dup_pairs,
+    simhash,
+)
+from hana_bq_beam_connector_spark.queries import register
+from hana_bq_beam_connector_spark.sources.files import load_table
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT text, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    doc="Exact dedup: one hash shuffle on the content key; keeper is "
+    "the min doc_id (deterministic survivor).",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_keep_first_by_key",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="Keep-first-by-key dedup: deterministic earliest doc per "
+    "(lang, source) via rank-and-filter.",
+)
+def dedup_keep_first_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return keep_first_by_key(
+        d.select("doc_id", "lang", "source"),
+        key=["lang", "source"],
+        order=[F.col("doc_id").asc()],
+    )
+
+
+def _duck_minhash_sql(threshold: float = 0.8) -> str:
+    sig_cols = [f"mh{i}" for i in range(16)]
+    minhashes = ",\n      ".join(
+        f"{duck_minhash('hashes', i)} AS mh{i}" for i in range(16)
+    )
+    bands = band_exprs(sig_cols, 4)
+    band_union = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {i} AS band_idx, {b} AS band_hash FROM sig"
+        for i, b in enumerate(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, len(w) - 1),
+          i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingles
+      FROM toks
+    ),
+    xs AS (
+      SELECT doc_id,
+        list_transform(shingles, s -> {duck_polyhash('s')}) AS hashes
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, hashes,
+      {minhashes}
+      FROM xs
+    ),
+    bands AS (
+      {band_union}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+      CAST(len(list_intersect(xa.hashes, xb.hashes)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(xa.hashes, xb.hashes)))
+               AS DOUBLE) AS jaccard
+    FROM cand
+    JOIN xs xa ON cand.id_a = xa.doc_id
+    JOIN xs xb ON cand.id_b = xb.doc_id
+    WHERE CAST(len(list_intersect(xa.hashes, xb.hashes)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(xa.hashes, xb.hashes)))
+               AS DOUBLE) >= {threshold}
+    """
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    _duck_minhash_sql(),
+    doc="MinHash-LSH near-duplicate pairs: word-3-shingles → 16 affine "
+    "min-hashes → 4 LSH bands → bucket self-join candidates → exact "
+    "Jaccard >= 0.8 verify.  Linear in corpus size (never the O(n^2) "
+    "pair space); the oracle replays the identical integer hashes.",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        d, id_col="doc_id", text_col="text", k=3, threshold=0.8
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_sample",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+        list_distinct(string_split(text, ' ')) AS ws
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE)
+        AS jaccard
+    FROM s a JOIN s b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND a.doc_id % 20 = 0
+    WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE)
+        >= 0.6
+    """,
+    doc="Exact word-set Jaccard near-dup (brute-force baseline for "
+    "MinHash recall): sampled left side x same-lang block — the "
+    "blocked-pair shape, not the global cross product.",
+)
+def dedup_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("ws"),
+    )
+    a = d.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("ws").alias("ws_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("ws").alias("ws_b"),
+    )
+    jac = F.expr("size(array_intersect(ws_a, ws_b))").cast(
+        "double"
+    ) / F.expr("size(array_union(ws_a, ws_b))").cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _duck_simhash_sql(extra_cols: str = "") -> str:
+    """DuckDB replay of operators.dedup.simhash; ``extra_cols`` adds
+    passthrough columns (e.g. ``"lang, "``)."""
+    vote = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(xs, x -> CAST(CASE WHEN "
+        "(x // (CAST(1 AS BIGINT) << b)) % 2 = 1 THEN 1 ELSE -1 END "
+        "AS BIGINT))), (vacc, c2) -> vacc + c2)"
+    )
+    fingerprint = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(0, 32), b -> "
+        f"CAST(CASE WHEN {vote} > 0 THEN (CAST(1 AS BIGINT) << b) "
+        "ELSE 0 END AS BIGINT))), (facc, v) -> facc + v)"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {extra_cols}
+        list_transform(list_distinct(string_split(text, ' ')),
+                       s -> {duck_polyhash('s')}) AS xs
+      FROM documents
+    )
+    SELECT doc_id, {extra_cols} {fingerprint} AS simhash FROM t
+    """
+
+
+@register(
+    "dedup_simhash_values",
+    _duck_simhash_sql(),
+    doc="32-bit SimHash fingerprint per document (sign-aggregated "
+    "token hashes) — the constant-size sketch for hamming-distance "
+    "near-dup; oracle replays the identical bit arithmetic.",
+)
+def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d.select("doc_id", "text"), "text").select(
+        "doc_id", "simhash"
+    )
+
+
+def _duck_simhash_pairs_sql() -> str:
+    return f"""
+    WITH sh AS ({_duck_simhash_sql(extra_cols="lang,")})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming_dist
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND a.doc_id % 10 = 0
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """
+
+
+@register(
+    "dedup_simhash_pairs",
+    _duck_simhash_pairs_sql(),
+    doc="SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= 6 "
+    "over a sampled-query x same-lang-block pair space "
+    "(bit_count(xor) — no re-tokenization at pair time).",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = simhash(d.select("doc_id", "lang", "text"), "text").select(
+        "doc_id", "lang", "simhash"
+    )
+    a = s.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("simhash").alias("sh_a"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("hamming_dist", hamming("sh_a", "sh_b"))
+        .where(F.col("hamming_dist") <= 6)
+        .select("id_a", "id_b", "hamming_dist")
+    )

@@ -1,1 +1,162 @@
-"""similarity queries — filled in as the operator set lands."""
+"""Similarity-search queries (SURVEY §2c similarity [X]).
+
+Brute-force cosine top-k (correctness baseline) and LSH-bucketed ANN
+(scale path) over the embeddings table.  All vector math is the same
+strict left fold in both engines (operators/similarity.py), so even
+the cosine doubles — and therefore the top-k ranking — hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hana_bq_beam_connector_spark.operators.similarity import (
+    N_PLANES,
+    cosine_topk,
+    lsh_bucket,
+    lsh_bucket_topk,
+)
+from hana_bq_beam_connector_spark.queries import register
+from hana_bq_beam_connector_spark.sources.files import load_table
+
+DIM = 64
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {DIM} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return (
+        f"{_duck_dot(a, b)} / "
+        f"(sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)}))"
+    )
+
+
+def _duck_cosine_topk_sql(k: int = 5) -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, cand_id, {_duck_cosine('qv', 'cv')} AS cos_sim
+      FROM c, q WHERE cand_id != query_id
+    )
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id
+      ) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "sim_cosine_topk_exact",
+    _duck_cosine_topk_sql(),
+    doc="Exact top-5 cosine neighbors for 10 query vectors: query set "
+    "broadcasts against the corpus (one scan, no vector shuffle), "
+    "per-query rank-and-filter.  The brute-force baseline ANN "
+    "variants are measured against.",
+)
+def sim_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(emb["vec_id"] < 10)
+    return cosine_topk(queries, emb, k=5).select(
+        "query_id", "cand_id", "cos_sim", "rank"
+    )
+
+
+def _duck_plane_dot(vec: str, p: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {DIM} + 1), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * "
+        f"CAST((({p} * 37 + (i - 1) * 101) % 13) - 6 AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _duck_bucket(vec: str, n_planes: int = N_PLANES, table: int = 0) -> str:
+    bits = [
+        f"CASE WHEN {_duck_plane_dot(vec, table * n_planes + p)} > 0 "
+        f"THEN {1 << p} ELSE 0 END"
+        for p in range(n_planes)
+    ]
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+@register(
+    "sim_lsh_bucket_histogram",
+    f"""
+    SELECT {_duck_bucket('embedding')} AS bucket, COUNT(*) AS n_vectors
+    FROM embeddings
+    GROUP BY 1
+    """,
+    doc="Random-hyperplane LSH bucket assignment (8 planes, 256 "
+    "buckets) — the ANN partitioning primitive; histogram checks "
+    "the full sign-bit arithmetic against the oracle.",
+)
+def sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        lsh_bucket(emb, "embedding", DIM)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def _duck_lsh_topk_sql(k: int = 3, n_planes: int = 4, n_tables: int = 4) -> str:
+    per_table = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, embedding, {t} AS table_id, "
+        f"{_duck_bucket('embedding', n_planes, t)} AS bucket FROM embeddings"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH b AS (
+      {per_table}
+    ),
+    q AS (SELECT vec_id AS query_id, table_id, bucket FROM b
+          WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS cand_id
+      FROM b c JOIN q ON c.table_id = q.table_id AND c.bucket = q.bucket
+      WHERE c.vec_id != q.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.cand_id,
+             {_duck_cosine('qe.embedding', 'ce.embedding')} AS cos_sim
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.cand_id
+    )
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id
+      ) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "sim_ann_lsh_topk",
+    _duck_lsh_topk_sql(),
+    doc="ANN top-3 via multi-table LSH (4 tables x 4 planes): a pair "
+    "is a candidate if it collides in ANY table — the standard "
+    "recall lever; still an equi-join on (table, bucket), never a "
+    "cross product.  Recall vs the exact baseline asserted in tests.",
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(emb["vec_id"] < 10)
+    return lsh_bucket_topk(
+        queries, emb, dim=DIM, k=3, n_planes=4, n_tables=4
+    ).select("query_id", "cand_id", "cos_sim", "rank")

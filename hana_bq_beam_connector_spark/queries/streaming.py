@@ -1,1 +1,190 @@
-"""streaming queries — filled in as the operator set lands."""
+"""Event-time windowing queries, batch-checkable (SURVEY §2c
+streaming [X]).
+
+These run the *same event-time semantics* Structured Streaming
+executes incrementally — tumbling / sliding / session windows and
+late-data accounting — expressed over the static events table so the
+DuckDB oracle can replay them.  Window boundaries are pure integer
+arithmetic on epoch-microsecond timestamps (no engine time-bucket
+functions, whose epoch alignment conventions differ).  The live
+``readStream`` versions of the same windows live in
+``streaming/windows.py`` and are equivalence-tested against these in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hana_bq_beam_connector_spark.queries import register
+from hana_bq_beam_connector_spark.queries._util import dec, events_us
+
+HOUR_US = 3_600_000_000
+HALF_HOUR_US = 1_800_000_000
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@register(
+    "stream_tumbling_1h",
+    f"""
+    SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h event-time windows per event_type — the batch "
+    "replay of readStream.groupBy(window('1 hour')): one partial-agg "
+    "shuffle keyed on (window, type).",
+)
+def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "window_start",
+            F.expr(f"(ts div {HOUR_US}) * {HOUR_US}"),
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "stream_sliding_1h_30m",
+    f"""
+    SELECT ws AS window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT value,
+        unnest([
+          (epoch_us(ts) // {HALF_HOUR_US}) * {HALF_HOUR_US},
+          (epoch_us(ts) // {HALF_HOUR_US} - 1) * {HALF_HOUR_US}
+        ]) AS ws
+      FROM events
+    )
+    GROUP BY ws
+    """,
+    doc="Sliding 1h windows every 30m: each event replicates into the "
+    "2 windows containing it (slide-count replication, exactly what "
+    "Spark's window('1 hour','30 minutes') expands to).",
+)
+def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir)
+    return (
+        ev.select(
+            "value",
+            F.explode(
+                F.array(
+                    F.expr(f"(ts div {HALF_HOUR_US}) * {HALF_HOUR_US}"),
+                    F.expr(f"(ts div {HALF_HOUR_US} - 1) * {HALF_HOUR_US}"),
+                )
+            ).alias("window_start"),
+        )
+        .groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "stream_session_windows",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS ts, event_id, value,
+        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                  > {SESSION_GAP_US}
+             OR LAG(epoch_us(ts)) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sessions AS (
+      SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Session windows (30 min inactivity gap) via gaps-and-islands: "
+    "lag -> new-session flag -> running sum = session id — the batch "
+    "replay of session_window(ts, '30 minutes'); one shuffle on "
+    "user_id, linear in-partition scan.",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts") - F.lag("ts").over(w) > SESSION_GAP_US)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wsum)
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "stream_late_events",
+    f"""
+    WITH wm AS (SELECT MAX(epoch_us(ts)) - {HOUR_US} AS watermark
+                FROM events)
+    SELECT event_type,
+           COUNT(*) AS n_late,
+           MIN(epoch_us(ts)) AS earliest_late_ts
+    FROM events, wm
+    WHERE epoch_us(ts) < wm.watermark
+      AND (epoch_us(ts) // {HOUR_US}) * {HOUR_US} + {HOUR_US}
+          <= wm.watermark
+    GROUP BY event_type
+    """,
+    doc="Late-data accounting: events whose 1h window fully precedes "
+    "the final watermark (max event time - 1h) — the rows a "
+    "withWatermark('1 hour') stream would have finalized/dropped.",
+)
+def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir)
+    wm = ev.agg((F.max("ts") - HOUR_US).alias("watermark"))
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .where(
+            (F.col("ts") < F.col("watermark"))
+            & (
+                F.expr(f"(ts div {HOUR_US}) * {HOUR_US} + {HOUR_US}")
+                <= F.col("watermark")
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_late"),
+            F.min("ts").alias("earliest_late_ts"),
+        )
+    )

@@ -1,1 +1,224 @@
-"""text queries — filled in as the operator set lands."""
+"""Text-analysis queries (SURVEY §2c text [X])."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.functions.hashing import duck_polyhash
+from hana_bq_beam_connector_spark.operators.relational import topk_per_group
+from hana_bq_beam_connector_spark.operators.text import (
+    STOPWORDS,
+    fingerprint,
+    language_scores,
+    quality_features,
+    tf_idf_scores,
+    word_ngrams,
+)
+from hana_bq_beam_connector_spark.queries import register
+from hana_bq_beam_connector_spark.sources.files import load_table
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+      CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+        AS n_tokens,
+      CAST(len(list_distinct(string_split_regex(lower(text), '\\s+')))
+        AS BIGINT) AS n_distinct_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars_computed,
+      n_chars AS n_chars_declared
+    FROM documents
+    """,
+    doc="Token counting (whitespace tokenizer) + char counts, "
+    "cross-checked against the declared n_chars column.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias(
+            "n_distinct_tokens"
+        ),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        F.col("n_chars").alias("n_chars_declared"),
+    )
+
+
+def _duck_stopword_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"t -> list_contains([{words}], t))) AS BIGINT)"
+    )
+
+
+@register(
+    "text_language_id",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+        {", ".join(f"{_duck_stopword_hits(lang)} AS hits_{lang}" for lang in STOPWORDS)}
+      FROM documents
+    )
+    SELECT doc_id, lang AS declared_lang,
+      hits_en, hits_es, hits_de, hits_fr,
+      CASE
+        WHEN GREATEST(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+        WHEN hits_de = GREATEST(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+        WHEN hits_en = GREATEST(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+        WHEN hits_es = GREATEST(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+        ELSE 'fr'
+      END AS predicted_lang
+    FROM h
+    """,
+    doc="Heuristic language ID: stopword-hit argmax (ties resolved "
+    "alphabetically); the SQL-expressible stand-in for an n-gram "
+    "model, checked bit-for-bit.",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = language_scores(d.select("doc_id", "lang", "text"), "text")
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        "hits_en",
+        "hits_es",
+        "hits_de",
+        "hits_fr",
+        "predicted_lang",
+    )
+
+
+@register(
+    "text_quality_features",
+    """
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+          AS n_tokens,
+        CAST(len(list_distinct(string_split_regex(lower(text), '\\s+')))
+          AS BIGINT) AS n_distinct_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens,
+      CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        AS distinct_ratio,
+      CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        AS mean_token_len,
+      CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5
+        + LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        AS quality_score
+    FROM t
+    """,
+    doc="Quality scoring: distinct-token ratio, mean token length, "
+    "linear quality score — the repetition/length heuristics used "
+    "for corpus filtering, exact integer-derived doubles.",
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return quality_features(d.select("doc_id", "text"), "text").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "distinct_ratio",
+        "mean_token_len",
+        "quality_score",
+    )
+
+
+_DUCK_NORM_TEXT = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+      {duck_polyhash(_DUCK_NORM_TEXT)}
+        AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprint: rolling polynomial hash of the "
+    "normalized text (lowercase, collapsed whitespace) — equal "
+    "fingerprints <=> byte-equal normalized docs.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return fingerprint(d.select("doc_id", "text"), "text").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@register(
+    "text_bigram_topk",
+    """
+    SELECT bigram, n FROM (
+      SELECT bigram, COUNT(*) AS n,
+        ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
+      FROM (
+        SELECT unnest(list_transform(
+          range(1, greatest(len(w) - 1, 0) + 1),
+          i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS bigram
+        FROM (SELECT string_split_regex(lower(text), '\\s+') AS w
+              FROM documents)
+      )
+      GROUP BY bigram
+    ) WHERE rn <= 20
+    """,
+    doc="Corpus-level top-20 word bigrams: explode -> count -> top-k "
+    "(ties broken lexicographically).",
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    exploded = d.select(
+        F.explode(word_ngrams("text", 2)).alias("bigram")
+    )
+    counted = exploded.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counted.orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+        .select("bigram", "n")
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, tfidf FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE)
+                                 / CAST(dfreq.df AS DOUBLE)) AS tfidf,
+        ROW_NUMBER() OVER (
+          PARTITION BY tf.doc_id
+          ORDER BY CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE)
+                   / CAST(dfreq.df AS DOUBLE)) DESC, tf.term
+        ) AS rn
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+    doc="TF-IDF (rational N/df variant — log() is not cross-engine "
+    "reproducible): two shuffles (doc-term counts, term df), top-3 "
+    "terms per doc.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scores = tf_idf_scores(d.select("doc_id", "text"), "doc_id", "text")
+    return topk_per_group(
+        scores,
+        partition_by=["doc_id"],
+        order=[F.col("tfidf").desc(), F.col("term").asc()],
+        k=3,
+    ).select("doc_id", "term", "tf", "df", "tfidf")

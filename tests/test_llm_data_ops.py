@@ -1,0 +1,106 @@
+"""Behavioral tests for the LLM-data operators (M3): recall, schema,
+determinism — properties the oracle hash can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.operators.dedup import (
+    minhash_near_dup_pairs,
+)
+from hana_bq_beam_connector_spark.operators.multimodal import (
+    decode_image_meta,
+    documents_as_media,
+    frame_sample,
+)
+from hana_bq_beam_connector_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+)
+from hana_bq_beam_connector_spark.sources.files import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    d = load_table(spark, SF, "documents")
+    pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    rows = pairs.collect()
+    assert len(rows) > 0
+    assert all(r["jaccard"] >= 0.8 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    # the corpus has planted ~0.99-jaccard pairs; LSH must catch them
+    assert any(r["jaccard"] > 0.95 for r in rows)
+
+
+def test_minhash_pairs_subset_of_brute_force(spark):
+    """LSH has false-negative risk but never false positives after the
+    exact-Jaccard verify: every reported pair really is >= threshold
+    (checked against an independent pair-wise computation)."""
+    d = load_table(spark, SF, "documents").limit(100)
+    pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    docs = {r["doc_id"]: r["text"].split(" ") for r in d.collect()}
+
+    def shingles(ws):
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    for id_a, id_b in got:
+        sa, sb = shingles(docs[id_a]), shingles(docs[id_b])
+        j = len(sa & sb) / len(sa | sb)
+        assert j >= 0.8
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(emb["vec_id"] < 20)
+    exact = cosine_topk(queries, emb, k=3)
+    ann = lsh_bucket_topk(queries, emb, dim=64, k=3)
+    exact_pairs = {
+        (r["query_id"], r["cand_id"]) for r in exact.collect()
+    }
+    ann_pairs = {(r["query_id"], r["cand_id"]) for r in ann.collect()}
+    # ANN trades recall for a 256x candidate cut; on random-ish
+    # embeddings bucket recall is modest — assert it finds a
+    # meaningful fraction and returns nothing outside the bucket.
+    assert len(ann_pairs) > 0
+    recall = len(exact_pairs & ann_pairs) / len(exact_pairs)
+    assert recall > 0.1, f"ANN recall collapsed: {recall}"
+
+
+def test_multimodal_decode_deterministic_schema(spark):
+    d = load_table(spark, SF, "documents").limit(50)
+    meta = decode_image_meta(documents_as_media(d))
+    rows1 = sorted(map(tuple, meta.collect()))
+    rows2 = sorted(map(tuple, meta.collect()))
+    assert rows1 == rows2  # stub decode is deterministic
+    assert meta.columns == [
+        "media_id",
+        "media_type",
+        "byte_len",
+        "width",
+        "height",
+        "channels",
+    ]
+    assert all(16 <= r[3] <= 255 for r in rows1)
+
+
+def test_multimodal_frame_sample_shape(spark):
+    d = load_table(spark, SF, "documents").limit(20)
+    frames = frame_sample(documents_as_media(d), n_frames=4, frame_len=32)
+    rows = frames.collect()
+    assert len(rows) == 20 * 4
+    per_media = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per_media)
+    assert all(len(bytes(r["frame_bytes"])) <= 32 for r in rows)
+
+
+def test_frame_bytes_come_from_payload(spark):
+    d = load_table(spark, SF, "documents").limit(5)
+    media = documents_as_media(d)
+    frames = frame_sample(media, n_frames=2, frame_len=16)
+    payloads = {
+        r["media_id"]: bytes(r["payload"]) for r in media.collect()
+    }
+    for r in frames.collect():
+        assert bytes(r["frame_bytes"]) in payloads[r["media_id"]]
