@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line to stdout).
+
+Runs the headline queries — one per operator family — at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``.  Each query is fully materialized via a
+noop datasource write (whole plan executes, nothing collects to the
+driver, no sink I/O skews the number).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hana_bq_beam_connector_spark.queries import registry  # noqa: E402
+from hana_bq_beam_connector_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "etl_window_copy",            # reference-parity chunked scan
+    "agg_pricing_summary",        # fact-table hash aggregate (Q1)
+    "join_topk_revenue",          # 3-way join + agg + top-k (Q3)
+    "join_region_revenue",        # 5-way star join (Q5)
+    "window_topk_orders_per_customer",  # partitioned window
+    "setop_union_distinct",       # set op + dedup shuffle
+    "dedup_minhash_lsh_pairs",    # MinHash-LSH near-dup pipeline
+    "dedup_simhash_values",       # SimHash fingerprints
+    "sim_cosine_topk_exact",      # brute-force similarity baseline
+    "sim_ann_lsh_topk",           # multi-table LSH ANN
+    "text_tfidf_topk",            # tokenize + 2-shuffle TF-IDF
+    "text_quality_features",      # per-doc scoring
+    "stream_session_windows",     # sessionization (gaps-and-islands)
+    "scalar_json_funcs",          # JSON extraction over events
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = registry()
+
+    # JVM/codegen warmup on a trivial plan so q1 isn't charged for it.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,7 @@ from hana_bq_beam_connector_spark.functions.hashing import (
     band_exprs,
     spark_polyhash,
 )
+from hana_bq_beam_connector_spark.operators._common import spread
 
 SIMHASH_BITS = 32
 
@@ -65,8 +66,10 @@ def shingle_hashes(
         f"i -> concat_ws(' ', slice({words}, i, {k}))))"
     )
     hashed = f"transform({shingles}, s -> {spark_polyhash('s')})"
-    return df.where(F.expr(f"size({words}) >= {k}")).withColumn(
-        out, F.expr(hashed)
+    return (
+        spread(df)
+        .where(F.expr(f"size({words}) >= {k}"))
+        .withColumn(out, F.expr(hashed))
     )
 
 
@@ -172,7 +175,13 @@ def simhash(df: DataFrame, text_col: str, out: str = "simhash") -> DataFrame:
     """32-bit SimHash over word token hashes: bit b of the fingerprint
     is set iff more token hashes have bit b set than unset."""
     words = f"array_distinct(split({text_col}, ' '))"
-    xs = f"transform({words}, w -> {spark_polyhash('w')})"
+    # Materialize token hashes once (inlining the transform inside the
+    # per-bit fold re-hashes every token 32 times — no CSE across
+    # lambda scopes) and spread rows across cores first.
+    xs = "__simhash_xs"
+    df = spread(df).withColumn(
+        xs, F.expr(f"transform({words}, w -> {spark_polyhash('w')})")
+    )
     vote = (
         f"aggregate({xs}, cast(0 as bigint), "
         f"(vacc, x) -> vacc + CASE WHEN "
@@ -185,7 +194,7 @@ def simhash(df: DataFrame, text_col: str, out: str = "simhash") -> DataFrame:
         f"THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END), "
         f"cast(0 as bigint), (facc, v) -> facc + v)"
     )
-    return df.withColumn(out, F.expr(fingerprint))
+    return df.withColumn(out, F.expr(fingerprint)).drop(xs)
 
 
 def hamming(col_a: str, col_b: str) -> Column:

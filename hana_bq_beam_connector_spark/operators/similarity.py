@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hana_bq_beam_connector_spark.operators._common import spread
 from hana_bq_beam_connector_spark.operators.relational import topk_per_group
 
 # Deterministic pseudo-random hyperplanes: plane p, component i
@@ -63,8 +64,10 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = candidates.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    c = spread(
+        candidates.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+        )
     )
     scored = (
         c.crossJoin(F.broadcast(q))

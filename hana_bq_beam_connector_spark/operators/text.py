@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hana_bq_beam_connector_spark.functions.hashing import spark_polyhash
+from hana_bq_beam_connector_spark.operators._common import spread
 
 # Tiny per-language stopword seeds for the n-gram/stopword-ratio
 # heuristic language scorer.  Real corpora would load fastText or CLD3
@@ -89,7 +90,7 @@ def fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint") -> DataF
     collapse whitespace runs, polynomial hash — equal fingerprints ⇒
     byte-equal normalized docs (mod collisions at ~1e-9/pair)."""
     norm = f"regexp_replace(lower({text_col}), '\\\\s+', ' ')"
-    return df.withColumn(out, F.expr(spark_polyhash(norm)))
+    return spread(df).withColumn(out, F.expr(spark_polyhash(norm)))
 
 
 def word_ngrams(text_col: str, n: int) -> Column:

@@ -37,10 +37,29 @@ def avg_dec_as_double(col: str | Column, alias: str) -> Column:
     return (F.sum(c).cast("double") / count).alias(alias)
 
 
-def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_us(
+    spark: SparkSession,
+    sf_dir: str,
+    lo_us: int | None = None,
+    hi_us: int | None = None,
+) -> DataFrame:
     """events with ts as epoch microseconds (ns div 1000), matching
-    DuckDB's truncated read of the TIMESTAMP(NANOS) column."""
-    return load_table(spark, sf_dir, "events").select(
+    DuckDB's truncated read of the TIMESTAMP(NANOS) column.
+
+    Window bounds are applied on the RAW nanosecond column *before*
+    the µs projection: a filter on ``ts div 1000`` cannot be pushed
+    into the parquet scan (only IsNotNull survives), a filter on
+    ``ts`` reaches PushedFilters and prunes row groups — the
+    difference between scanning a day and scanning a year at 100 TB.
+    Bounds must be µs-aligned (they are second-aligned in practice),
+    making ``ts >= lo_us*1000`` ≡ ``ts div 1000 >= lo_us``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    if lo_us is not None:
+        ev = ev.where(F.col("ts") >= lo_us * 1000)
+    if hi_us is not None:
+        ev = ev.where(F.col("ts") < hi_us * 1000)
+    return ev.select(
         "event_id",
         F.expr("ts div 1000").alias("ts"),
         "user_id",

@@ -33,16 +33,13 @@ T25_US = 1_706_140_800_000_000
 _EVENT_COLS = "event_id, epoch_us(ts) AS ts, user_id, event_type, value, props"
 
 
-def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts projected to epoch microseconds (oracle parity)."""
-    return load_table(spark, sf_dir, "events").select(
-        "event_id",
-        F.expr("ts div 1000").alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
+from hana_bq_beam_connector_spark.queries._util import events_us as _events_us_windowed
+
+
+def _events_us(spark: SparkSession, sf_dir: str, lo=None, hi=None) -> DataFrame:
+    """events as epoch-µs with scan-pushed window bounds (see
+    queries/_util.events_us)."""
+    return _events_us_windowed(spark, sf_dir, lo_us=lo, hi_us=hi)
 
 
 @register(
@@ -56,8 +53,7 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window scan of the source table, end_time honored (quirk #2 fixed).",
 )
 def etl_window_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _events_us(spark, sf_dir)
-    return events.where((F.col("ts") >= T5_US) & (F.col("ts") < T15_US))
+    return _events_us(spark, sf_dir, lo=T5_US, hi=T15_US)
 
 
 @register(
@@ -72,8 +68,7 @@ def etl_window_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "poor-man's CDC (HanaToBQ.java:206-218) with a real watermark.",
 )
 def etl_incremental_highwatermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _events_us(spark, sf_dir)
-    return events.where(F.col("ts") >= T15_US)
+    return _events_us(spark, sf_dir, lo=T15_US)
 
 
 @register(
@@ -94,9 +89,7 @@ def etl_incremental_highwatermark(spark: SparkSession, sf_dir: str) -> DataFrame
     "'null'/'NULL' dropped to NULL (HanaDBRowToTableRowFn.java:26-35).",
 )
 def etl_stringify_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _events_us(spark, sf_dir)
-    windowed = events.where((F.col("ts") >= T5_US) & (F.col("ts") < T15_US))
-    return stringify(windowed)
+    return stringify(_events_us(spark, sf_dir, lo=T5_US, hi=T15_US))
 
 
 @register(

@@ -1,0 +1,131 @@
+"""Structured Streaming windows (SURVEY §2c streaming [X], M4).
+
+The live counterparts of queries/streaming.py's batch-checkable
+windows: ``readStream`` sources, event-time watermarks, tumbling /
+sliding / session windows.  The aggregation builders take either a
+batch or a streaming DataFrame — Structured Streaming's contract is
+exactly that the same declarative plan runs incrementally — which is
+how tests equivalence-check the streaming path against the batch
+oracle-verified results.
+
+Scale notes: stateful aggs shuffle on the grouping key; the watermark
+bounds state size (windows older than watermark are finalized and
+evicted), which is what makes an unbounded 100 TB/day event feed
+feasible.  Use ``spark.sql.shuffle.partitions`` sized to the state
+store; sessions use session_window's native state merging.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # epoch nanoseconds (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over an events-shaped parquet directory.
+
+    ``maxFilesPerTrigger`` keeps micro-batches bounded on backfills;
+    the event-time column is materialized as a proper timestamp for
+    watermarking (int64 ns → µs precision timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1h windows per event_type with late-data eviction."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding 1h windows every 30m (each event in 2 windows)."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: native session_window state merging."""
+    return (
+        events.withWatermark("event_time", "1 hour")
+        .groupBy(F.session_window("event_time", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    agg: DataFrame, name: str, checkpoint: str, mode: str = "complete"
+) -> None:
+    """Drain all available input through the streaming plan into an
+    in-memory table ``name`` (availableNow trigger), then stop —
+    the batch-equivalence harness for streaming tests."""
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

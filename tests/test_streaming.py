@@ -1,0 +1,112 @@
+"""Streaming equivalence tests (M4): the live readStream plans must
+produce exactly the batch results the DuckDB oracle verified."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.plans.incremental import (
+    incremental_copy,
+    read_watermark,
+)
+from hana_bq_beam_connector_spark.config import PipelineConfig
+from hana_bq_beam_connector_spark.queries.streaming import (
+    stream_session_windows,
+    stream_tumbling_1h,
+)
+from hana_bq_beam_connector_spark.streaming.windows import (
+    events_stream,
+    run_available_now,
+    session_agg,
+    tumbling_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_streaming_tumbling_equals_batch(spark, stream_dir, tmp_path):
+    stream = events_stream(spark, stream_dir)
+    assert stream.isStreaming
+    run_available_now(
+        tumbling_agg(stream), "tumbling_t", str(tmp_path / "ckpt1")
+    )
+    got = {
+        (int(r["window_start"].timestamp() * 1_000_000), r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.sql("SELECT * FROM tumbling_t").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in stream_tumbling_1h(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessions_equal_batch_islands(spark, stream_dir, tmp_path):
+    """Native session_window state merging == gaps-and-islands SQL."""
+    stream = events_stream(spark, stream_dir)
+    run_available_now(
+        session_agg(stream), "sessions_t", str(tmp_path / "ckpt2")
+    )
+    got = {
+        (
+            r["user_id"],
+            int(r["session_start"].timestamp() * 1_000_000),
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.sql("SELECT * FROM sessions_t").collect()
+    }
+    want = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in stream_session_windows(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_incremental_copy_advances_watermark(spark, events, tmp_path):
+    dest = str(tmp_path / "sink")
+    state = str(tmp_path / "state.json")
+    cfg = PipelineConfig(
+        table_name="events",
+        timestamp_column="ts",
+        start_time=0,
+        chunk_size=500,
+        dest_path=dest,
+    )
+    n1 = incremental_copy(spark, cfg, state, source_df=events)
+    assert n1 == events.count()  # first run: everything
+    wm = read_watermark(state, 0)
+    assert wm > 0
+
+    # second run with no new data: nothing copied, watermark stable
+    n2 = incremental_copy(spark, cfg, state, source_df=events)
+    assert n2 == 0
+    assert read_watermark(state, 0) == wm
+    assert spark.read.parquet(dest).count() == n1
+
+    # "new" events arrive (shift everything past the watermark)
+    newer = events.withColumn(
+        "ts", (F.col("ts") + F.lit(int(wm))).cast("long")
+    )
+    n3 = incremental_copy(spark, cfg, state, source_df=newer)
+    assert n3 == newer.count()
+    assert spark.read.parquet(dest).count() == n1 + n3
+    assert read_watermark(state, 0) > wm
