@@ -1,0 +1,93 @@
+"""CLI entry point (SURVEY §2a R14 — the reference's options surface).
+
+Mirrors HanaToBQ's 10 Beam options (HanaToBQ.java:175-224) with the
+documented fixes: ``--end-time`` is honored (the reference declares
+but ignores it), timestamps are typed, and the lossy stringify /
+decimal-as-double behaviors are opt-in flags.  A ``--source-parquet``
+path substitutes the JDBC source for local/lakehouse runs, and
+``--state`` switches to checkpointed incremental mode (high-watermark
+CDC done right).
+
+Usage:
+  python -m hana_bq_beam_connector_spark.cli \\
+      --table-name events --timestamp-column ts --start-time 0 \\
+      --source-parquet /root/testdata/sf0.001/events.parquet \\
+      --dest-path /tmp/sink
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from hana_bq_beam_connector_spark.config import (
+    DEFAULT_CHUNK_SIZE,
+    DEFAULT_JDBC_DRIVER,
+    PipelineConfig,
+)
+from hana_bq_beam_connector_spark.pipeline import run_and_append
+from hana_bq_beam_connector_spark.plans.incremental import incremental_copy
+from hana_bq_beam_connector_spark.session import get_spark
+from hana_bq_beam_connector_spark.sources.files import read_parquet
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hana-bq-beam-connector-spark",
+        description="Incremental table copy (reference-parity pipeline)",
+    )
+    # the reference's 10 options (HanaToBQ.java:175-224)
+    p.add_argument("--table-name", required=True)
+    p.add_argument("--connection-string")
+    p.add_argument("--username")
+    p.add_argument("--password")
+    p.add_argument("--driver", default=DEFAULT_JDBC_DRIVER)
+    p.add_argument("--dest-dataset")
+    p.add_argument("--timestamp-column", required=True)
+    p.add_argument("--start-time", type=float, required=True)
+    p.add_argument("--end-time", type=float, default=float("inf"))
+    p.add_argument("--chunk-size", type=int, default=DEFAULT_CHUNK_SIZE)
+    # engine extensions
+    p.add_argument("--source-parquet", help="parquet source instead of JDBC")
+    p.add_argument("--dest-path", help="parquet sink instead of BigQuery")
+    p.add_argument("--state", help="watermark state file -> incremental mode")
+    p.add_argument(
+        "--stringify",
+        action="store_true",
+        help="reference-parity lossy stringify (HanaDBRowToTableRowFn)",
+    )
+    p.add_argument("--master", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    config = PipelineConfig(
+        table_name=args.table_name,
+        timestamp_column=args.timestamp_column,
+        start_time=args.start_time,
+        end_time=args.end_time,
+        chunk_size=args.chunk_size,
+        connection_string=args.connection_string,
+        username=args.username,
+        password=args.password,
+        driver=args.driver,
+        dest_dataset=args.dest_dataset,
+        dest_path=args.dest_path,
+        stringify=args.stringify,
+    )
+    spark = get_spark(master=args.master)
+    source = (
+        read_parquet(spark, args.source_parquet)
+        if args.source_parquet
+        else None
+    )
+    if args.state:
+        n = incremental_copy(spark, config, args.state, source_df=source)
+    else:
+        n = run_and_append(spark, config, source_df=source)
+    print(f"rows_copied={n}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

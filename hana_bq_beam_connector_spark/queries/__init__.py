@@ -89,6 +89,7 @@ def _load_all() -> None:
         similarity,
         streaming,
         text,
+        udfs,
         windows,
     )
 

@@ -1,0 +1,167 @@
+"""UDF surface (SURVEY §2c UDF [X]): Arrow-batched scalar pandas UDF,
+grouped-map applyInPandas (UDAF), and the plain SQL entry point.
+
+UDFs are the slow path by design — everything else in this engine is
+JVM expressions — so these queries exist to prove the surface works
+end-to-end (Arrow batch transfer, grouped state, schema contracts),
+with arithmetic chosen to stay bit-exact against the SQL oracle:
+doubles are manipulated via exact integer cents (value*100 is exact
+for 2-decimal data) so pandas and DuckDB produce identical bits.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from hana_bq_beam_connector_spark.queries import register
+from hana_bq_beam_connector_spark.queries._util import events_us
+from hana_bq_beam_connector_spark.sources.files import load_table
+
+
+@register(
+    "udf_pandas_scalar",
+    """
+    SELECT event_id, value,
+           value * 0.5 + 1.0 AS boosted,
+           CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS value_cents
+    FROM events
+    """,
+    doc="Scalar pandas UDF (Arrow-vectorized): per-element arithmetic "
+    "on a double column — IEEE ops identical to the SQL oracle.  In "
+    "production this slot holds the logic built-ins can't express; "
+    "here it proves the Arrow path bit-exactly.",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(DoubleType())
+    def boost(v: pd.Series) -> pd.Series:
+        return v * 0.5 + 1.0
+
+    @F.pandas_udf(LongType())
+    def cents(v: pd.Series) -> pd.Series:
+        # exact: 2-decimal doubles scale to integers losslessly
+        return (v * 100).round().astype("int64")
+
+    ev = events_us(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "value",
+        boost("value").alias("boosted"),
+        cents("value").alias("value_cents"),
+    )
+
+
+_DEMEAN_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("group_mean", DoubleType()),
+        StructField("demeaned", DoubleType()),
+    ]
+)
+
+
+@register(
+    "udf_grouped_map_demean",
+    """
+    WITH g AS (
+      SELECT user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          AS group_mean
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id, e.value, g.group_mean,
+           e.value - g.group_mean AS demeaned
+    FROM events e JOIN g USING (user_id)
+    """,
+    doc="Grouped-map applyInPandas (UDAF shape): per-user demeaning "
+    "with the mean computed in exact integer cents inside the UDF — "
+    "bit-identical to the decimal-sum oracle.  One shuffle on the "
+    "group key; each group processed as one pandas frame.",
+)
+def udf_grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        # exact decimal-sum semantics: integer cents sum / 100 / n
+        mean = (float(cents.sum()) / 100.0) / len(pdf)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+                "group_mean": mean,
+                "demeaned": pdf["value"] - mean,
+            }
+        )
+
+    ev = events_us(spark, sf_dir).select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(demean, _DEMEAN_SCHEMA)
+
+
+@register(
+    "sql_entrypoint_q6",
+    """
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(4,3))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 through the spark.sql() entry point (temp views): "
+    "proves the SQL API surface; scan-bound single-agg plan with "
+    "every predicate in PushedFilters.",
+)
+def sql_entrypoint_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_v"
+    )
+    return spark.sql(
+        """
+        SELECT
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_discount AS DECIMAL(4,3))) AS DOUBLE)
+            AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (beyond rollup/cube): the three "
+    "requested groupings in one expand+agg pass.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gs"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

@@ -1,0 +1,51 @@
+"""CLI surface tests (SURVEY §2a R14)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hana_bq_beam_connector_spark.cli import build_parser, main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cli_full_copy(spark, tmp_path, capsys):
+    dest = str(tmp_path / "sink")
+    rc = main(
+        [
+            "--table-name", "events",
+            "--timestamp-column", "ts",
+            "--start-time", "0",
+            "--source-parquet", f"{SF}/events.parquet",
+            "--dest-path", dest,
+            "--chunk-size", "500",
+            "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    assert "rows_copied=1000" in capsys.readouterr().out
+    assert spark.read.parquet(dest).count() == 1000
+
+
+def test_cli_incremental_mode(spark, tmp_path, capsys):
+    dest = str(tmp_path / "sink")
+    state = str(tmp_path / "wm.json")
+    args = [
+        "--table-name", "events",
+        "--timestamp-column", "ts",
+        "--start-time", "0",
+        "--source-parquet", f"{SF}/events.parquet",
+        "--dest-path", dest,
+        "--state", state,
+        "--master", "local[4]",
+    ]
+    assert main(args) == 0
+    assert "rows_copied=1000" in capsys.readouterr().out
+    assert main(args) == 0  # second run: watermark blocks re-copy
+    assert "rows_copied=0" in capsys.readouterr().out
+    assert spark.read.parquet(dest).count() == 1000
+
+
+def test_cli_required_options():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["--table-name", "t"])
