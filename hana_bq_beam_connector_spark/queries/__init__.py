@@ -80,6 +80,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from hana_bq_beam_connector_spark.queries import (  # noqa: F401
+        advanced,
         dedup,
         etl,
         multimodal,

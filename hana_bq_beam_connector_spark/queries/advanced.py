@@ -1,0 +1,158 @@
+"""Advanced relational coverage: exact median, ordered string agg,
+pivot, scalar subqueries, approximate percentiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hana_bq_beam_connector_spark.queries import register
+from hana_bq_beam_connector_spark.sources.files import load_table
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@register(
+    "agg_median_exact",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS rn_asc,
+        ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey DESC)
+          AS rn_desc
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           SUM(o_totalprice) / COUNT(*) AS median_price
+    FROM r
+    WHERE rn_asc = rn_desc OR rn_asc = rn_desc + 1 OR rn_asc + 1 = rn_desc
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact median without an engine median() (interpolation "
+    "conventions differ): symmetric row_number selects the middle "
+    "1-2 rows, their mean is one or two IEEE ops — distributed as "
+    "two window scans, no global sort.",
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wa = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wd = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+    )
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wa).alias("rn_asc"),
+        F.row_number().over(wd).alias("rn_desc"),
+    )
+    mid = r.where(
+        (F.col("rn_asc") == F.col("rn_desc"))
+        | (F.col("rn_asc") == F.col("rn_desc") + 1)
+        | (F.col("rn_asc") + 1 == F.col("rn_desc"))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        (F.sum("o_totalprice") / F.count(F.lit(1))).alias("median_price")
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    """
+    SELECT n.n_name,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers,
+           COUNT(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Ordered string aggregation (collect_list -> array_sort -> "
+    "join): deterministic listagg semantics across engines.",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("s_name")), ","
+            ).alias("suppliers"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "pivot_segment_counts",
+    f"""
+    SELECT c_nationkey,
+      {", ".join(
+        f"COUNT(*) FILTER (WHERE c_mktsegment = '{seg}') AS {seg}"
+        for seg in SEGMENTS
+      )}
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="Pivot (long->wide): one hash agg with per-column filters; "
+    "pivot values passed explicitly so the schema is static at plan "
+    "time (required for a deterministic contract at any scale).",
+)
+def pivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, SEGMENTS)
+    )
+
+
+@register(
+    "subquery_above_avg_balance",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*)
+      FROM customer
+    )
+    """,
+    doc="Uncorrelated scalar subquery: the single aggregate broadcasts "
+    "as a literal into the filter (exact decimal mean, so the "
+    "boundary compare is deterministic).",
+)
+def subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    mean = (
+        c.agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        ).first()["m"]
+    )
+    return c.where(F.col("c_acctbal") > mean).select("c_custkey", "c_acctbal")
+
+
+@register(
+    "agg_approx_percentiles",
+    None,  # sketch values are engine-specific — rows-only check
+    doc="approx_percentile (GK sketch): the 100 TB path for "
+    "quantiles — one pass, bounded memory, no global sort.  Accuracy "
+    "vs exact quantiles asserted in tests instead of the oracle.",
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75], 10000
+        ).alias("price_quartiles"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

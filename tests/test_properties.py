@@ -1,0 +1,73 @@
+"""Property-based tests (SURVEY §5.2 #4): chunking invariants under
+random timestamp distributions, and sketch-accuracy checks."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.plans.chunking import (
+    equi_depth_intervals,
+    equi_depth_intervals_exact,
+)
+from hana_bq_beam_connector_spark.sources.files import load_table
+
+SF = "/root/testdata/sf0.001"
+
+_ts_lists = st.lists(
+    st.floats(
+        min_value=0.0, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=300,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ts=_ts_lists, chunk=st.integers(min_value=1, max_value=100))
+def test_chunk_scans_partition_the_input(spark, ts, chunk):
+    """Concat of all chunk scans ≡ the single scan: same multiset,
+    for arbitrary (skewed, duplicated) timestamp distributions —
+    the seam property the reference gets only accidentally right
+    (SURVEY §2a quirk #4)."""
+    df = spark.createDataFrame([(t,) for t in ts], ["ts"]).cache()
+    try:
+        for planner in (equi_depth_intervals, equi_depth_intervals_exact):
+            intervals = planner(df, "ts", chunk, start=0.0)
+            # cover: contiguous half-open, starts at 0, ends at +inf
+            assert intervals[0].lo == 0.0
+            assert math.isinf(intervals[-1].hi)
+            for a, b in zip(intervals, intervals[1:]):
+                assert a.hi == b.lo
+            total = 0
+            for iv in intervals:
+                cond = F.col("ts") >= iv.lo
+                if not math.isinf(iv.hi):
+                    cond = cond & (F.col("ts") < iv.hi)
+                total += df.where(cond).count()
+            assert total == len(ts)
+    finally:
+        df.unpersist()
+
+
+def test_approx_percentile_brackets_exact(spark):
+    """GK-sketch quantiles must land within rank-error of exact."""
+    li = load_table(spark, SF, "lineitem")
+    approx = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("m")
+    ).first()["m"]
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("m")
+    ).first()["m"]
+    lo, hi = li.agg(
+        F.expr("percentile(l_extendedprice, 0.45)"),
+        F.expr("percentile(l_extendedprice, 0.55)"),
+    ).first()
+    assert lo <= approx <= hi, (approx, exact)
