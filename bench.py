@@ -31,6 +31,8 @@ HEADLINE = [
     "dedup_simhash_values",       # SimHash fingerprints
     "sim_cosine_topk_exact",      # brute-force similarity baseline
     "sim_ann_lsh_topk",           # multi-table LSH ANN
+    "sim_ivf_topk",               # IVF coarse-quantized ANN
+    "dedup_embedding_cosine",     # LSH-blocked semantic dedup
     "text_tfidf_topk",            # tokenize + 2-shuffle TF-IDF
     "text_quality_features",      # per-doc scoring
     "stream_session_windows",     # sessionization (gaps-and-islands)

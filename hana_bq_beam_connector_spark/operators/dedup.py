@@ -199,3 +199,57 @@ def simhash(df: DataFrame, text_col: str, out: str = "simhash") -> DataFrame:
 
 def hamming(col_a: str, col_b: str) -> Column:
     return F.expr(f"bit_count({col_a} ^ {col_b})").cast("long")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    The semantic-dedup shape for 100 TB corpora: multi-table
+    random-hyperplane LSH blocks the O(n²) pair space into
+    per-(table, bucket) self-joins — a pair is a candidate iff it
+    collides in ANY table — then exact cosine (strict double fold)
+    verifies ``>= threshold``.  Candidate volume ≈
+    n · n_tables / 2^n_planes per bucket side; recall is tuned by
+    (n_planes, n_tables), and the plan is equi-join + window, never a
+    cross product.  Returns (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    from hana_bq_beam_connector_spark.operators.similarity import (
+        cosine,
+        lsh_bucket,
+    )
+
+    base = spread(df.select(id_col, vec_col))
+    banded = None
+    for t in range(n_tables):
+        b = lsh_bucket(
+            base, vec_col, dim, n_planes=n_planes, table=t
+        ).select(id_col, vec_col, F.lit(t).alias("table_id"), "bucket")
+        banded = b if banded is None else banded.unionByName(b)
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        "table_id",
+        "bucket",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        "table_id",
+        "bucket",
+    )
+    return (
+        a.join(b, on=["table_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos_sim", cosine("va", "vb"))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -156,3 +156,80 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_quartiles"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "subquery_correlated_part_avg",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, COUNT(*) AS n_small,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS small_revenue
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.5 * pa.avg_qty
+    GROUP BY l.l_partkey
+    """,
+    doc="Correlated scalar subquery (TPC-H Q17 shape), decorrelated "
+    "the way every engine must at scale: per-key aggregate once, "
+    "equi-join back — one shuffle on l_partkey reused by both the "
+    "aggregate and the join, never a per-row subquery execution.",
+)
+def subquery_correlated_part_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(pa, on="l_partkey")
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("small_revenue"),
+        )
+    )
+
+
+@register(
+    "subquery_not_exists_customers",
+    """
+    SELECT c.c_nationkey, COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        AS total_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > 0.0
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY 1
+    """,
+    doc="NOT EXISTS anti-join (TPC-H Q22 shape): Catalyst plans the "
+    "subquery as a left-anti hash join on c_custkey — no correlated "
+    "re-execution; the agg then groups the survivors by nation.",
+)
+def subquery_not_exists_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.where(F.col("c_acctbal") > 0.0)
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )

@@ -274,3 +274,52 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming_dist") <= 6)
         .select("id_a", "id_b", "hamming_dist")
     )
+
+
+def _duck_embedding_pairs_sql(
+    threshold: float = 0.4, n_planes: int = 4, n_tables: int = 8
+) -> str:
+    from hana_bq_beam_connector_spark.queries.similarity import (
+        _duck_bucket,
+        _duck_cosine,
+    )
+
+    per_table = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {_duck_bucket('embedding', n_planes, t)} AS bucket, "
+        f"{t} AS table_id FROM embeddings"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH banded AS (
+      {per_table}
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM banded x
+      JOIN banded y ON x.table_id = y.table_id AND x.bucket = y.bucket
+       AND x.vec_id < y.vec_id
+    )
+    SELECT id_a, id_b,
+           {_duck_cosine('ea.embedding', 'eb.embedding')} AS cos_sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = cand.id_a
+    JOIN embeddings eb ON eb.vec_id = cand.id_b
+    WHERE {_duck_cosine('ea.embedding', 'eb.embedding')} >= {threshold}
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    _duck_embedding_pairs_sql(),
+    doc="Embedding-cosine near-dup pairs (semantic dedup): 8-table x "
+    "4-plane LSH blocks the pair space, exact double-fold cosine "
+    ">= 0.4 verifies — equi-joins only, no cross product; recall vs "
+    "the exhaustive pair scan asserted in tests.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, dim=64, threshold=0.4)

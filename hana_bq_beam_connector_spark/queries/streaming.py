@@ -188,3 +188,41 @@ def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("earliest_late_ts"),
         )
     )
+
+
+@register(
+    "stream_stateful_distinct_users",
+    "SELECT DISTINCT user_id FROM events",
+    doc="Custom stateful operator (applyInPandasWithState): streaming "
+    "dedup emitting each user_id exactly once at first sight — a real "
+    "readStream drained availableNow, so the oracle checks the full "
+    "per-key state machine, not a batch stand-in.  State is one flag "
+    "per key in the executor state store (bytes/key at 10^9 keys).",
+)
+def stream_stateful_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from hana_bq_beam_connector_spark.streaming.stateful import (
+        stateful_distinct_keys,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+    )
+
+    # the file stream source wants a directory; stage the table there
+    src_dir = tempfile.mkdtemp(prefix="sg_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    name = f"distinct_users_{uuid.uuid4().hex[:8]}"
+    stream = events_stream(spark, src_dir)
+    run_available_now(
+        stateful_distinct_keys(stream),
+        name,
+        tempfile.mkdtemp(prefix="sg_ckpt_"),
+        mode="append",
+    )
+    return spark.table(name)

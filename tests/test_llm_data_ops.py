@@ -104,3 +104,49 @@ def test_frame_bytes_come_from_payload(spark):
     }
     for r in frames.collect():
         assert bytes(r["frame_bytes"]) in payloads[r["media_id"]]
+
+
+def test_embedding_dedup_subset_and_recall(spark):
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from hana_bq_beam_connector_spark.operators.similarity import cosine
+
+    e = load_table(spark, SF, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("c", cosine("va", "vb"))
+        .where(F.col("c") >= 0.4)
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(e, threshold=0.4).collect()
+    }
+    # LSH blocking can only MISS pairs, never invent them...
+    assert got <= exact
+    # ...and 8 tables x 4 planes holds recall well above the floor
+    # (measured 0.53 on sf0.001; fails loudly if the hashing breaks)
+    assert len(got) / len(exact) >= 0.35, (len(got), len(exact))
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    from hana_bq_beam_connector_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.where(e["vec_id"] < 10)
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in cosine_topk(q, e, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["cand_id"]) for r in ivf_topk(q, e, k=3).collect()
+    }
+    # 2-of-16 cell probing: measured 0.97 recall on sf0.001
+    assert len(exact & ivf) / len(exact) >= 0.7

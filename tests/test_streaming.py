@@ -110,3 +110,66 @@ def test_incremental_copy_advances_watermark(spark, events, tmp_path):
     assert n3 == newer.count()
     assert spark.read.parquet(dest).count() == n1 + n3
     assert read_watermark(state, 0) > wm
+
+
+def test_stateful_distinct_keys_equals_batch_distinct(
+    spark, events, stream_dir, tmp_path
+):
+    from hana_bq_beam_connector_spark.streaming.stateful import (
+        stateful_distinct_keys,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import events_stream
+
+    stream = events_stream(spark, stream_dir)
+    run_available_now(
+        stateful_distinct_keys(stream),
+        "distinct_keys_t",
+        str(tmp_path / "ckpt3"),
+        mode="append",
+    )
+    got = {
+        r["user_id"]
+        for r in spark.sql("SELECT user_id FROM distinct_keys_t").collect()
+    }
+    want = {r["user_id"] for r in events.select("user_id").distinct().collect()}
+    assert got == want
+
+
+def test_stateful_user_totals_converge_to_batch(
+    spark, events, stream_dir, tmp_path
+):
+    from hana_bq_beam_connector_spark.streaming.stateful import (
+        stateful_user_totals,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import events_stream
+
+    stream = events_stream(spark, stream_dir)
+    run_available_now(
+        stateful_user_totals(stream),
+        "user_totals_t",
+        str(tmp_path / "ckpt4"),
+        mode="update",
+    )
+    # the LAST update per user (max running count) is the lifetime total
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                 FROM user_totals_t) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("t"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, total) in final.items():
+        assert n == want[uid][0]
+        assert total == pytest.approx(want[uid][1], rel=1e-9)
