@@ -223,32 +223,24 @@ def embedding_near_dup_pairs(
     """
     from hana_bq_beam_connector_spark.operators.similarity import (
         cosine,
-        lsh_bucket,
+        lsh_banded,
     )
 
     base = spread(df.select(id_col, vec_col))
-    banded = None
-    for t in range(n_tables):
-        b = lsh_bucket(
-            base, vec_col, dim, n_planes=n_planes, table=t
-        ).select(id_col, vec_col, F.lit(t).alias("table_id"), "bucket")
-        banded = b if banded is None else banded.unionByName(b)
-    a = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        "table_id",
-        "bucket",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        "table_id",
-        "bucket",
-    )
-    return (
+    banded = lsh_banded(base, id_col, vec_col, dim, n_planes, n_tables)
+    a = banded.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
+    cand = (
         a.join(b, on=["table_id", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(ea, on="id_a")
+        .join(eb, on="id_b")
         .withColumn("cos_sim", cosine("va", "vb"))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")

@@ -98,6 +98,18 @@ def _plane_dot(vec_col: str, p: int, dim: int) -> str:
     )
 
 
+def _bucket_expr(
+    vec_col: str, dim: int, n_planes: int, table: int
+) -> Column:
+    base = table * n_planes
+    bits = [
+        f"CASE WHEN {_plane_dot(vec_col, base + p, dim)} > 0 "
+        f"THEN {1 << p} ELSE 0 END"
+        for p in range(n_planes)
+    ]
+    return F.expr(" + ".join(bits)).cast("long")
+
+
 def lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -112,14 +124,35 @@ def lsh_bucket(
     collide in buckets; 8 planes → 256 buckets → ~256× candidate
     reduction at recall governed by the angle distribution.  ``table``
     selects an independent block of planes for multi-table LSH."""
-    base = table * n_planes
-    bits = [
-        f"CASE WHEN {_plane_dot(vec_col, base + p, dim)} > 0 "
-        f"THEN {1 << p} ELSE 0 END"
-        for p in range(n_planes)
-    ]
-    return df.withColumn(
-        out, F.expr(" + ".join(bits)).cast("long")
+    return df.withColumn(out, _bucket_expr(vec_col, dim, n_planes, table))
+
+
+def lsh_banded(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = N_PLANES,
+    n_tables: int = 1,
+) -> DataFrame:
+    """(id, table_id, bucket) for ALL tables in ONE scan of ``df``.
+
+    The union-per-table formulation re-reads the corpus ``n_tables``
+    times; at 100 TB that is ``n_tables`` full scans.  Here every row
+    computes its per-table buckets once and explodes — one scan, same
+    rows out.  Vectors are deliberately dropped: candidate generation
+    downstream shuffles 8-byte ids, never 256-byte arrays."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                _bucket_expr(vec_col, dim, n_planes, t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select(id_col, F.explode(entries).alias("tb")).select(
+        id_col, "tb.table_id", "tb.bucket"
     )
 
 
@@ -142,27 +175,27 @@ def lsh_bucket_topk(
     tune (n_planes, n_tables) for the recall/cost point, the plan
     shape is scale-invariant."""
 
-    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        out = None
-        for t in range(n_tables):
-            b = lsh_bucket(
-                df, vec_col, dim, n_planes=n_planes, table=t
-            ).select(
-                F.col(id_col).alias(id_alias),
-                F.col(vec_col).alias(vec_alias),
-                F.lit(t).alias("table_id"),
-                "bucket",
-            )
-            out = b if out is None else out.unionByName(b)
-        return out
-
-    qb = banded(queries, "query_id", "qv")
-    cb = banded(candidates, "cand_id", "cv")
-    scored = (
+    qb = lsh_banded(queries, id_col, vec_col, dim, n_planes, n_tables).select(
+        F.col(id_col).alias("query_id"), "table_id", "bucket"
+    )
+    cb = lsh_banded(
+        candidates, id_col, vec_col, dim, n_planes, n_tables
+    ).select(F.col(id_col).alias("cand_id"), "table_id", "bucket")
+    cand = (
         cb.join(qb, on=["table_id", "bucket"])
         .where(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", "qv", "cv")
-        .dropDuplicates(["query_id", "cand_id"])
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = candidates.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        cand.join(qv, on="query_id")
+        .join(cv, on="cand_id")
         .select("query_id", "cand_id", cosine("qv", "cv").alias("cos_sim"))
     )
     return topk_per_group(

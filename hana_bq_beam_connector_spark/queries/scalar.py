@@ -225,3 +225,37 @@ def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_urgent"),
     )
+
+
+@register(
+    "scalar_map_funcs",
+    """
+    SELECT event_id,
+      CAST(cardinality(MAP {'type': event_type,
+                            'uid': CAST(user_id AS VARCHAR)}) AS BIGINT)
+        AS n_keys,
+      array_to_string(map_keys(MAP {'type': event_type,
+                                    'uid': CAST(user_id AS VARCHAR)}), ',')
+        AS keys_joined,
+      map_extract(MAP {'type': event_type,
+                       'uid': CAST(user_id AS VARCHAR)}, 'uid')[1] AS uid_val
+    FROM events
+    """,
+    doc="Map scalar functions (SURVEY §2c map): create_map / map_keys "
+    "/ element_at — constructed inline (the star tables carry no map "
+    "columns) so both engines exercise their native MAP type.",
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir)
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("uid"),
+        F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.size(m).cast("long").alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+        F.element_at(m, "uid").alias("uid_val"),
+    )

@@ -165,3 +165,37 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@register(
+    "udf_udtf_tokenize",
+    """
+    SELECT doc_id, u.pos AS pos, u.token AS token FROM (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(ws) + 1),
+                              i -> {'pos': i, 'token': ws[i]})) AS u
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents WHERE doc_id < 100)
+    )
+    """,
+    doc="Python UDTF (table function): one input row fans out to one "
+    "row per token with its 1-based position — the user-defined "
+    "flatMap surface (Spark 4 @udtf), lateral-joined in SQL.  Slow "
+    "path by design; exists to prove the UDTF contract end-to-end.",
+)
+def udf_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split(" ")):
+                yield i + 1, tok
+
+    spark.udtf.register("sg_tokenize", Tokenize)
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("sg_udtf_docs")
+    return spark.sql(
+        """SELECT d.doc_id, t.pos, t.token
+           FROM sg_udtf_docs d, LATERAL sg_tokenize(d.text) t"""
+    )

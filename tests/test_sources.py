@@ -1,0 +1,70 @@
+"""File-source round-trips and scan-shape assertions (SURVEY §2c
+sources [P/X]): csv/json read back exactly, and the parquet scan
+actually prunes and pushes down (the 100 TB contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.sources.files import (
+    load_table,
+    read_csv,
+    read_json,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_round_trip(spark, tmp_path):
+    nation = load_table(spark, SF, "nation")
+    path = str(tmp_path / "nation_csv")
+    nation.write.csv(path, header=True)
+    back = read_csv(spark, path)
+    assert back.columns == nation.columns
+    assert _rows(back) == _rows(nation)
+
+
+def test_json_round_trip(spark, tmp_path):
+    nation = load_table(spark, SF, "nation")
+    path = str(tmp_path / "nation_json")
+    nation.write.json(path)
+    back = read_json(spark, path).select(*nation.columns)  # json sorts keys
+    assert _rows(back) == _rows(nation)
+
+
+def test_parquet_scan_pushes_filter_and_prunes_columns(spark):
+    o = load_table(spark, SF, "orders")
+    plan = (
+        o.where(F.col("o_totalprice") > 100000.0)
+        .select("o_orderkey", "o_totalprice")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], plan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    # pruning: untouched wide columns never reach the scan
+    assert "o_orderpriority" not in read_schema
+
+
+def test_embedding_dedup_plan_has_no_cross_product(spark):
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    plan = (
+        embedding_near_dup_pairs(e)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
