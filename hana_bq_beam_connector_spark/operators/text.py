@@ -129,3 +129,17 @@ def tf_idf_scores(
             * (F.lit(float(n_docs)) / F.col("df").cast("double"))
         ).alias("tfidf"),
     )
+
+
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_ish_token_count(text_col: str) -> Column:
+    """Pre-merge BPE-style token count: letter runs are one token,
+    each digit and each non-alphanumeric char its own — the standard
+    upper-bound estimate for subword tokenizer cost without shipping
+    a merges table.  Pure regex, whole-stage codegen, same pattern
+    replayed by the oracle."""
+    return F.size(
+        F.expr(f"regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0)")
+    ).cast("long")

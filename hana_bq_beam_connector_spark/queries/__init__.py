@@ -85,6 +85,7 @@ def _load_all() -> None:
         etl,
         multimodal,
         relational,
+        sampling,
         scalar,
         setops,
         similarity,

@@ -1,0 +1,91 @@
+"""Deterministic sampling & dataset splits (LLM-data surface).
+
+Training-data pipelines need *reproducible* sampling: the same
+document must land in the same split on every run, on any cluster
+layout, at any parallelism.  Engine RNG sampling (``df.sample``,
+``TABLESAMPLE``) is partitioning-dependent, so these operators derive
+the assignment from a content-stable key instead — the shared
+cross-engine polynomial hash of the document id (functions/
+hashing.py) taken modulo the split space.  That makes the sample a
+pure projection: no shuffle, no state, embarrassingly parallel at
+100 TB, and bit-replayable by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.functions.hashing import (
+    duck_polyhash,
+    spark_polyhash,
+)
+from hana_bq_beam_connector_spark.queries import register
+from hana_bq_beam_connector_spark.sources.files import load_table
+
+_SPARK_BUCKET = (
+    f"pmod({spark_polyhash('cast(doc_id as string)')}, 100)"
+)
+_DUCK_BUCKET = (
+    f"(({duck_polyhash('CAST(doc_id AS VARCHAR)')}) % 100 + 100) % 100"
+)
+
+
+@register(
+    "sample_hash_stratified",
+    f"""
+    SELECT lang, COUNT(*) AS n_sampled,
+      CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE {_DUCK_BUCKET} < 30
+    GROUP BY lang
+    """,
+    doc="Deterministic 30% sample, stratified accounting by lang: "
+    "membership = polyhash(doc_id) mod 100 < 30, so the sample is "
+    "stable across runs/cluster layouts and composable (a 10% sample "
+    "is a subset of the 30%).  Pure filter — no shuffle, no RNG "
+    "state; the oracle replays the identical integer hash.",
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.where(F.expr(_SPARK_BUCKET) < 30)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "split_train_val_test",
+    f"""
+    SELECT lang,
+      CASE WHEN {_DUCK_BUCKET} < 80 THEN 'train'
+           WHEN {_DUCK_BUCKET} < 90 THEN 'val'
+           ELSE 'test' END AS split,
+      COUNT(*) AS n_docs,
+      MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="80/10/10 train/val/test split by hashed doc id: every engine "
+    "and every run assigns each document to the same split — the "
+    "reproducibility contract dataset cards assume.  Assignment is a "
+    "projection; only the audit count aggregates.",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_BUCKET)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

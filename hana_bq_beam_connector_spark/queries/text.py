@@ -222,3 +222,32 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         order=[F.col("tfidf").desc(), F.col("term").asc()],
         k=3,
     ).select("doc_id", "term", "tf", "df", "tfidf")
+
+
+@register(
+    "text_bpe_token_count",
+    """
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+           AS BIGINT) AS bpe_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="Token counting, whitespace + BPE-ish regex (letter runs / "
+    "single digits / punctuation chars) — the tokenizer-cost "
+    "estimator for training-data budgeting; one codegen'd regex scan.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
