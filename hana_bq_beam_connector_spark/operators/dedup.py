@@ -222,8 +222,9 @@ def embedding_near_dup_pairs(
     cross product.  Returns (id_a, id_b, cos_sim) with id_a < id_b.
     """
     from hana_bq_beam_connector_spark.operators.similarity import (
-        cosine,
+        dot,
         lsh_banded,
+        unit,
     )
 
     base = spread(df.select(id_col, vec_col))
@@ -236,12 +237,14 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    ea = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    eb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # normalize once per vector; the pair verify is then a single dot
+    u = unit(base, vec_col, "uv")
+    ea = u.select(F.col(id_col).alias("id_a"), F.col("uv").alias("va"))
+    eb = u.select(F.col(id_col).alias("id_b"), F.col("uv").alias("vb"))
     return (
         cand.join(ea, on="id_a")
         .join(eb, on="id_b")
-        .withColumn("cos_sim", cosine("va", "vb"))
+        .withColumn("cos_sim", dot("va", "vb"))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -124,3 +125,79 @@ def frame_sample(media: DataFrame, n_frames: int = 4, frame_len: int = 32) -> Da
             )
 
     return media.mapInPandas(sample, schema=_FRAMES_SCHEMA)
+
+
+_RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def resize_stub(
+    media: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Deterministic "resize": payload cycled/truncated to exactly
+    width*height bytes.
+
+    STUB for ``PIL.Image.resize`` — the production concern this
+    preserves is the data-flow shape: binary in, fixed-size binary
+    out, Arrow batches, no Python object per pixel."""
+    target = width * height
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                data = bytes(payload) or b"\x00"
+                reps = target // len(data) + 1
+                out.append((data * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(rs, schema=_RESIZED_SCHEMA)
+
+
+def feature_embed(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic pseudo feature extraction: payload → unit-free
+    double vector derived from SHA-256 bytes.
+
+    STUB for a vision/audio encoder forward pass; the output column
+    is a real ``array<double>`` that feeds the similarity operators
+    (operators/similarity.py) unchanged — multimodal ingest and ANN
+    share one vector pipeline."""
+
+    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            feats = [
+                [
+                    (digest[i % 32] - 127.5) / 127.5
+                    for i in range(dim)
+                ]
+                for digest in (
+                    hashlib.sha256(bytes(p)).digest() for p in pdf["payload"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": feats}
+            )
+
+    return media.mapInPandas(fe, schema=_FEATURES_SCHEMA)

@@ -47,6 +47,24 @@ def cosine(a: str, b: str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def unit(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """L2-normalize ``vec_col`` into ``out`` — norm computed ONCE per
+    vector.  Every pair-scoring operator here normalizes its inputs
+    first and scores with a plain dot: cosine-per-pair costs 3 folds
+    (dot + both norms), dot-on-unit-vectors costs 1 — a 3× cut of the
+    dominant per-pair compute, and at 10^6+ candidate pairs per query
+    the pair stage dwarfs the one-time normalize scan."""
+    nrm = f"sqrt({_dot_fold(vec_col, vec_col)})"
+    return (
+        df.withColumn("__nrm", F.expr(nrm))
+        .withColumn(
+            out,
+            F.expr(f"transform({vec_col}, x -> cast(x as double) / __nrm)"),
+        )
+        .drop("__nrm")
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -61,21 +79,19 @@ def cosine_topk(
     top-k is rank-and-filter.  Scales linearly in candidates; for
     corpus-sized query sets use :func:`lsh_bucket_topk`.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    q = unit(queries, vec_col, "qv").select(
+        F.col(id_col).alias("query_id"), "qv"
     )
-    c = spread(
-        candidates.select(
-            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
-        )
-    )
+    c = unit(
+        spread(candidates.select(id_col, vec_col)), vec_col, "cv"
+    ).select(F.col(id_col).alias("cand_id"), "cv")
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            cosine("qv", "cv").alias("cos_sim"),
+            dot("qv", "cv").alias("cos_sim"),
         )
     )
     return topk_per_group(
@@ -187,16 +203,16 @@ def lsh_bucket_topk(
         .select("query_id", "cand_id")
         .distinct()
     )
-    qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    qv = unit(queries, vec_col, "qv").select(
+        F.col(id_col).alias("query_id"), "qv"
     )
-    cv = candidates.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    cv = unit(candidates, vec_col, "cv").select(
+        F.col(id_col).alias("cand_id"), "cv"
     )
     scored = (
         cand.join(qv, on="query_id")
         .join(cv, on="cand_id")
-        .select("query_id", "cand_id", cosine("qv", "cv").alias("cos_sim"))
+        .select("query_id", "cand_id", dot("qv", "cv").alias("cos_sim"))
     )
     return topk_per_group(
         scored,
@@ -214,8 +230,9 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_probe: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its ``n_probe`` nearest centroids (by
-    cosine; ties broken on centroid id).
+    """Assign each vector to its ``n_probe`` nearest centroids by dot
+    product (== cosine when both sides are L2-normalized via
+    :func:`unit`; ties broken on centroid id).
 
     Centroids broadcast (there are only dozens-to-thousands even at
     10^10 vectors), so assignment is one scan of the corpus with no
@@ -229,7 +246,7 @@ def ivf_assign(
     scored = df.crossJoin(c).select(
         *df.columns,
         "centroid_id",
-        cosine(vec_col, "cvec").alias("__csim"),
+        dot(vec_col, "cvec").alias("__csim"),
     )
     ranked = topk_per_group(
         scored,
@@ -261,15 +278,23 @@ def ivf_topk(
     k-means first — the assignment/probe plumbing is identical, and
     that is the part with a distributed shape to get right.
     """
-    cents = corpus.where(F.col(id_col) < n_centroids)
-    cells = ivf_assign(
-        spread(corpus), cents, id_col, vec_col, n_probe=1
-    ).select(
+    # normalize the corpus ONCE; assignment and pair scoring are then
+    # plain dot products (cosine semantics on unit vectors)
+    corpus_u = unit(
+        spread(corpus.select(id_col, vec_col)), vec_col, "uv"
+    ).select(id_col, F.col("uv").alias(vec_col))
+    queries_u = unit(queries.select(id_col, vec_col), vec_col, "uv").select(
+        id_col, F.col("uv").alias(vec_col)
+    )
+    cents = corpus_u.where(F.col(id_col) < n_centroids)
+    cells = ivf_assign(corpus_u, cents, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
         "centroid_id",
     )
-    probes = ivf_assign(queries, cents, id_col, vec_col, n_probe=n_probe).select(
+    probes = ivf_assign(
+        queries_u, cents, id_col, vec_col, n_probe=n_probe
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         "centroid_id",
@@ -279,7 +304,7 @@ def ivf_topk(
     scored = (
         cells.join(probes, on="centroid_id")
         .where(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine("qv", "cv").alias("cos_sim"))
+        .select("query_id", "cand_id", dot("qv", "cv").alias("cos_sim"))
     )
     return topk_per_group(
         scored,

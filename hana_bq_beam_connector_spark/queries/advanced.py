@@ -233,3 +233,80 @@ def subquery_not_exists_customers(
             .alias("total_acctbal"),
         )
     )
+
+
+@register(
+    "join_having_big_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, big.sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="Large-volume orders (TPC-H Q18 shape): HAVING-filtered "
+    "aggregate drives the join — the agg output is tiny, so both "
+    "upstream joins hash on already-reduced data; the big lineitem "
+    "table is touched exactly once.",
+)
+def join_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq")
+        )
+        .where(F.col("_sq") > 150)
+        .select(
+            "l_orderkey", F.col("_sq").cast("double").alias("sum_qty")
+        )
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+@register(
+    "agg_conditional_promo_share",
+    """
+    SELECT l.l_returnflag,
+      CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+            THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS total_revenue,
+      COUNT(*) FILTER (WHERE p.p_type = 'PROMO') AS n_promo
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY l.l_returnflag
+    """,
+    doc="Promo revenue share (TPC-H Q14 shape): conditional aggregate "
+    "over a fact-dim join — part broadcasts, lineitem never shuffles "
+    "for the join, only the 3-group agg exchanges.",
+)
+def agg_conditional_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", dec_price).otherwise(zero))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(dec_price).cast("double").alias("total_revenue"),
+            F.count(F.when(F.col("p_type") == "PROMO", F.lit(1))).alias(
+                "n_promo"
+            ),
+        )
+    )

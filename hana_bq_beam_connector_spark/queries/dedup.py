@@ -281,7 +281,8 @@ def _duck_embedding_pairs_sql(
 ) -> str:
     from hana_bq_beam_connector_spark.queries.similarity import (
         _duck_bucket,
-        _duck_cosine,
+        _duck_dot,
+        _duck_unit_cte,
     )
 
     per_table = "\n      UNION ALL\n      ".join(
@@ -290,7 +291,8 @@ def _duck_embedding_pairs_sql(
         for t in range(n_tables)
     )
     return f"""
-    WITH banded AS (
+    WITH {_duck_unit_cte()},
+    banded AS (
       {per_table}
     ),
     cand AS (
@@ -299,12 +301,11 @@ def _duck_embedding_pairs_sql(
       JOIN banded y ON x.table_id = y.table_id AND x.bucket = y.bucket
        AND x.vec_id < y.vec_id
     )
-    SELECT id_a, id_b,
-           {_duck_cosine('ea.embedding', 'eb.embedding')} AS cos_sim
+    SELECT id_a, id_b, {_duck_dot('ea.uv', 'eb.uv')} AS cos_sim
     FROM cand
-    JOIN embeddings ea ON ea.vec_id = cand.id_a
-    JOIN embeddings eb ON eb.vec_id = cand.id_b
-    WHERE {_duck_cosine('ea.embedding', 'eb.embedding')} >= {threshold}
+    JOIN unitv ea ON ea.vec_id = cand.id_a
+    JOIN unitv eb ON eb.vec_id = cand.id_b
+    WHERE {_duck_dot('ea.uv', 'eb.uv')} >= {threshold}
     """
 
 

@@ -68,3 +68,47 @@ def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return frame_sample(documents_as_media(d), n_frames=4, frame_len=32)
+
+
+@register(
+    "mm_resize_shapes",
+    None,  # mapInPandas stub stage — rows-only check
+    doc="Resize stage (mapInPandas): binary in -> fixed 32x32-byte "
+    "binary out, the PIL.resize slot; output length audited via "
+    "octet_length so the contract (exactly width*height bytes) is "
+    "checked distributed.",
+)
+def mm_resize_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.multimodal import resize_stub
+
+    d = load_table(spark, sf_dir, "documents")
+    resized = resize_stub(documents_as_media(d), width=32, height=32)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("long").alias("payload_len"),
+    )
+
+
+@register(
+    "mm_feature_topk",
+    None,  # mapInPandas stub + ANN composition — rows-only check
+    doc="Feature-extract -> similarity composition: the encoder STUB "
+    "emits array<double> features that flow straight into the shared "
+    "cosine top-k operator — multimodal ingest and text/embedding ANN "
+    "share one vector pipeline (the 100 TB shape: encode once, "
+    "broadcast queries, never cross-join).",
+)
+def mm_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        feature_embed,
+    )
+    from hana_bq_beam_connector_spark.operators.similarity import cosine_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = feature_embed(documents_as_media(d), dim=16)
+    queries = feats.where(F.col("media_id") < 10)
+    return cosine_topk(
+        queries, feats, id_col="media_id", vec_col="features", k=3
+    )

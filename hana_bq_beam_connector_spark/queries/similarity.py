@@ -38,15 +38,28 @@ def _duck_cosine(a: str, b: str) -> str:
     )
 
 
+def _duck_unit_cte(name: str = "unitv") -> str:
+    """CTE: embeddings L2-normalized once (same two-step as the Spark
+    ``unit`` operator, so every normalized element is bit-identical);
+    pair scores downstream are plain dot folds."""
+    return f"""{name} AS (
+      SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS uv
+      FROM (SELECT vec_id, embedding,
+              sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+            FROM embeddings)
+    )"""
+
+
 def _duck_cosine_topk_sql(k: int = 5) -> str:
     return f"""
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-      WHERE vec_id < 10
+    WITH {_duck_unit_cte()},
+    q AS (
+      SELECT vec_id AS query_id, uv AS qv FROM unitv WHERE vec_id < 10
     ),
-    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    c AS (SELECT vec_id AS cand_id, uv AS cv FROM unitv),
     scored AS (
-      SELECT query_id, cand_id, {_duck_cosine('qv', 'cv')} AS cos_sim
+      SELECT query_id, cand_id, {_duck_dot('qv', 'cv')} AS cos_sim
       FROM c, q WHERE cand_id != query_id
     )
     SELECT query_id, cand_id, cos_sim, rank FROM (
@@ -121,7 +134,8 @@ def _duck_lsh_topk_sql(k: int = 3, n_planes: int = 4, n_tables: int = 4) -> str:
         for t in range(n_tables)
     )
     return f"""
-    WITH b AS (
+    WITH {_duck_unit_cte()},
+    b AS (
       {per_table}
     ),
     q AS (SELECT vec_id AS query_id, table_id, bucket FROM b
@@ -133,10 +147,10 @@ def _duck_lsh_topk_sql(k: int = 3, n_planes: int = 4, n_tables: int = 4) -> str:
     ),
     scored AS (
       SELECT cand.query_id, cand.cand_id,
-             {_duck_cosine('qe.embedding', 'ce.embedding')} AS cos_sim
+             {_duck_dot('qe.uv', 'ce.uv')} AS cos_sim
       FROM cand
-      JOIN embeddings qe ON qe.vec_id = cand.query_id
-      JOIN embeddings ce ON ce.vec_id = cand.cand_id
+      JOIN unitv qe ON qe.vec_id = cand.query_id
+      JOIN unitv ce ON ce.vec_id = cand.cand_id
     )
     SELECT query_id, cand_id, cos_sim, rank FROM (
       SELECT *, ROW_NUMBER() OVER (
@@ -165,32 +179,33 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_ivf_topk_sql(
     k: int = 3, n_centroids: int = 16, n_probe: int = 2
 ) -> str:
-    cos_ec = _duck_cosine("e.embedding", "c.cvec")
+    dot_ec = _duck_dot("e.uv", "c.cvec")
     return f"""
-    WITH cents AS (
-      SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+    WITH {_duck_unit_cte()},
+    cents AS (
+      SELECT vec_id AS centroid_id, uv AS cvec FROM unitv
       WHERE vec_id < {n_centroids}
     ),
     cells AS (
       SELECT cand_id, cv, centroid_id FROM (
-        SELECT e.vec_id AS cand_id, e.embedding AS cv, c.centroid_id,
+        SELECT e.vec_id AS cand_id, e.uv AS cv, c.centroid_id,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY {cos_ec} DESC, c.centroid_id) AS rn
-        FROM embeddings e, cents c
+            ORDER BY {dot_ec} DESC, c.centroid_id) AS rn
+        FROM unitv e, cents c
       ) WHERE rn = 1
     ),
     probes AS (
       SELECT query_id, qv, centroid_id FROM (
-        SELECT e.vec_id AS query_id, e.embedding AS qv, c.centroid_id,
+        SELECT e.vec_id AS query_id, e.uv AS qv, c.centroid_id,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-            ORDER BY {cos_ec} DESC, c.centroid_id) AS rn
-        FROM embeddings e, cents c
+            ORDER BY {dot_ec} DESC, c.centroid_id) AS rn
+        FROM unitv e, cents c
         WHERE e.vec_id < 10
       ) WHERE rn <= {n_probe}
     ),
     scored AS (
       SELECT p.query_id, cells.cand_id,
-             {_duck_cosine('p.qv', 'cells.cv')} AS cos_sim
+             {_duck_dot('p.qv', 'cells.cv')} AS cos_sim
       FROM cells JOIN probes p ON cells.centroid_id = p.centroid_id
       WHERE cells.cand_id != p.query_id
     )

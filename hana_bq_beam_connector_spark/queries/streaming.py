@@ -226,3 +226,51 @@ def stream_stateful_distinct_users(
         mode="append",
     )
     return spark.table(name)
+
+
+@register(
+    "stream_interval_join_live",
+    f"""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           epoch_us(p.ts) AS p_time_us, epoch_us(c.ts) AS c_time_us,
+           p.value AS purchase_value
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - {30 * 60 * 1_000_000}
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    doc="Live stream-stream interval join (purchases x clicks within "
+    "30 min, same user): both sides buffered in the watermarked state "
+    "store, drained availableNow — the oracle replays the identical "
+    "closed-form time bound in batch SQL.",
+)
+def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from hana_bq_beam_connector_spark.streaming.joins import (
+        purchase_click_interval_join,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="sg_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    joined = purchase_click_interval_join(events_stream(spark, src_dir))
+    run_available_now(
+        joined, name, tempfile.mkdtemp(prefix="sg_ckpt_"), mode="append"
+    )
+    return spark.table(name).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.unix_micros("p_time").alias("p_time_us"),
+        F.unix_micros("c_time").alias("c_time_us"),
+        "purchase_value",
+    )

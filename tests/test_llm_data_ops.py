@@ -150,3 +150,42 @@ def test_ivf_topk_recall_vs_exact(spark):
     }
     # 2-of-16 cell probing: measured 0.97 recall on sf0.001
     assert len(exact & ivf) / len(exact) >= 0.7
+
+
+def test_resize_stub_exact_length_and_determinism(spark):
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        documents_as_media,
+        resize_stub,
+    )
+
+    d = load_table(spark, SF, "documents").limit(50)
+    r1 = resize_stub(documents_as_media(d), width=8, height=8).collect()
+    r2 = resize_stub(documents_as_media(d), width=8, height=8).collect()
+    assert all(len(bytes(r["payload"])) == 64 for r in r1)
+    assert {(r["media_id"], bytes(r["payload"])) for r in r1} == {
+        (r["media_id"], bytes(r["payload"])) for r in r2
+    }
+
+
+def test_feature_embed_feeds_similarity(spark):
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        documents_as_media,
+        feature_embed,
+    )
+    from hana_bq_beam_connector_spark.operators.similarity import cosine_topk
+
+    d = load_table(spark, SF, "documents").limit(100)
+    feats = feature_embed(documents_as_media(d), dim=16)
+    row = feats.first()
+    assert len(row["features"]) == 16
+    assert all(-1.0 <= x <= 1.0 for x in row["features"])
+    topk = cosine_topk(
+        feats.where(F.col("media_id") < 5),
+        feats,
+        id_col="media_id",
+        vec_col="features",
+        k=3,
+    )
+    out = topk.collect()
+    assert len(out) == 5 * 3
+    assert all(r["cand_id"] != r["query_id"] for r in out)

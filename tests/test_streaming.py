@@ -173,3 +173,37 @@ def test_stateful_user_totals_converge_to_batch(
     for uid, (n, total) in final.items():
         assert n == want[uid][0]
         assert total == pytest.approx(want[uid][1], rel=1e-9)
+
+
+def test_stream_stream_interval_join_equals_batch(
+    spark, stream_dir, tmp_path
+):
+    from hana_bq_beam_connector_spark.streaming.joins import (
+        purchase_click_interval_join,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import events_stream
+
+    stream = events_stream(spark, stream_dir)
+    joined = purchase_click_interval_join(stream)
+    assert joined.isStreaming
+    run_available_now(
+        joined, "ss_join_t", str(tmp_path / "ckpt5"), mode="append"
+    )
+    got = {
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ss_join_t").collect()
+    }
+
+    # batch replay of the same plan over the same files
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = (
+        spark.read.parquet(stream_dir)
+        .withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    )
+    want = {
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in purchase_click_interval_join(static).collect()
+    }
+    assert got == want and len(got) > 0
