@@ -33,9 +33,17 @@ _DEFAULT_CONFS: dict[str, str] = {
     # nation, supplier, part, customer at small SF) broadcast; at
     # 100 TB the fact tables never would, which is the correct split.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # Read-side split size; 128 MiB keeps ~800k input splits for a
-    # 100 TB dataset, a sane task count for a 1000-executor cluster.
-    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Read-side split size.  At 100 TB the right value is large (128
+    # MiB ⇒ ~800k splits for a 1000-executor cluster — set it via
+    # spark-submit there); at test/bench SF the tables are single
+    # ~1-10 MiB files which would scan as 1-3 tasks while 29 cores
+    # idle, so the default here splits aggressively.  Either way the
+    # OPERATOR plans are split-count independent — this is purely
+    # scan parallelism.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)
+    ),
+    "spark.sql.files.openCostInBytes": str(256 * 1024),
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.shuffle.spill.compress": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -49,3 +49,26 @@ def test_cli_incremental_mode(spark, tmp_path, capsys):
 def test_cli_required_options():
     with pytest.raises(SystemExit):
         build_parser().parse_args(["--table-name", "t"])
+
+
+def test_runner_list_and_run(capsys):
+    from hana_bq_beam_connector_spark.runner import main as runner_main
+
+    assert runner_main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert "agg_pricing_summary" in out and "[oracle]" in out
+
+    assert (
+        runner_main(
+            [
+                "--query",
+                "agg_minmax_orders",
+                "--sf-dir",
+                "/root/testdata/sf0.001",
+                "--show",
+                "3",
+            ]
+        )
+        == 0
+    )
+    assert runner_main(["--query", "no_such_query"]) == 2
