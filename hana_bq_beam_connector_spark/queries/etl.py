@@ -119,3 +119,38 @@ def etl_chunk_plan_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") / 2000).cast("long").alias("chunk_idx"), F.col("ts")
         )
     )
+
+
+@register(
+    "etl_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+          AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT o.o_orderkey,
+      COALESCE(u.o_custkey, o.o_custkey) AS o_custkey,
+      COALESCE(u.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+      COALESCE(u.o_totalprice, o.o_totalprice) AS o_totalprice,
+      COALESCE(u.o_orderdate, o.o_orderdate) AS o_orderdate,
+      COALESCE(u.o_orderpriority, o.o_orderpriority) AS o_orderpriority
+    FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+    """,
+    doc="Merge/upsert (the APPEND-only reference cannot express "
+    "updates, HanaToBQ.java:256-259): updated snapshot rows replace "
+    "same-key rows, everything else survives — one full-outer hash "
+    "join + struct coalesce; with a bucketed existing side only the "
+    "update snapshot shuffles.",
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.plans.upsert import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 2).cast("double"),
+    )
+    return merge_upsert(o, updates.select(*o.columns), key="o_orderkey")

@@ -259,3 +259,60 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.map_keys(m), ",").alias("keys_joined"),
         F.element_at(m, "uid").alias("uid_val"),
     )
+
+
+@register(
+    "scalar_json_typed",
+    """
+    SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+      CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing,
+      CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+           THEN 1 ELSE 0 END AS has_k
+    FROM events
+    """,
+    doc="Typed JSON extraction (from_json with declared schema): the "
+    "schema-on-read path for semi-structured columns — parse once "
+    "into a struct, prune to referenced fields; missing keys are "
+    "typed NULLs, not strings.",
+)
+def scalar_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir)
+    parsed = ev.withColumn(
+        "__p", F.from_json("props", "k BIGINT, missing BIGINT")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("__p.k").alias("k_typed"),
+        F.col("__p.missing").alias("k_missing"),
+        F.when(F.col("__p.k").isNotNull(), 1).otherwise(0).alias("has_k"),
+    )
+
+
+@register(
+    "scalar_nullsafe_funcs",
+    """
+    SELECT o_orderkey,
+      NULLIF(o_orderstatus, 'O') AS status_or_null,
+      COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+      CASE WHEN NULLIF(o_orderstatus, 'O')
+                IS NOT DISTINCT FROM NULLIF(o_orderpriority, o_orderpriority)
+           THEN 1 ELSE 0 END AS both_null
+    FROM orders
+    """,
+    doc="Null-safe scalar surface: NULLIF / COALESCE / null-safe "
+    "equality (Spark <=>, SQL IS NOT DISTINCT FROM) — the three-"
+    "valued-logic edges every engine must agree on.",
+)
+def scalar_nullsafe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    status_or_null = F.expr("nullif(o_orderstatus, 'O')")
+    always_null = F.expr("nullif(o_orderpriority, o_orderpriority)")
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_filled"),
+        F.when(status_or_null.eqNullSafe(always_null), 1)
+        .otherwise(0)
+        .alias("both_null"),
+    )

@@ -199,3 +199,51 @@ def udf_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SELECT d.doc_id, t.pos, t.token
            FROM sg_udtf_docs d, LATERAL sg_tokenize(d.text) t"""
     )
+
+
+@register(
+    "udf_grouped_agg_mean_cents",
+    """
+    SELECT user_id,
+      CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT))
+           AS BIGINT) AS total_cents,
+      COUNT(*) AS n_events,
+      CAST(CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100)
+                         AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 100.0 AS DOUBLE) AS mean_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Pandas UDAF (GROUPED_AGG pandas_udf) — the third UDF shape "
+    "after scalar and grouped-map: whole-group Series in, scalar out, "
+    "map-side partials NOT available (unlike JVM aggs) so groups "
+    "shuffle whole; arithmetic in int64 cents, so the result is "
+    "order-independent and bit-exact vs the SQL oracle.",
+)
+def udf_grouped_agg_mean_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(LongType())
+    def sum_cents(v: pd.Series) -> int:
+        # 2-decimal doubles -> exact integer cents; int64 sum is
+        # associative, so partition order cannot change the result
+        return int((v * 100).round().astype("int64").sum())
+
+    @F.pandas_udf(LongType())
+    def count_rows(v: pd.Series) -> int:
+        # GROUPED_AGG UDFs cannot mix with JVM aggregates in one agg()
+        return int(len(v))
+
+    ev = events_us(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        sum_cents("value").alias("total_cents"),
+        count_rows("value").alias("n_events"),
+    )
+    return agg.select(
+        "user_id",
+        "total_cents",
+        "n_events",
+        (
+            F.col("total_cents").cast("double")
+            / F.col("n_events")
+            / F.lit(100.0)
+        ).alias("mean_value"),
+    )

@@ -210,3 +210,30 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderdate").over(w).alias("first_order_date"),
         F.last("o_totalprice").over(w).alias("last_order_price"),
     ).distinct()
+
+
+@register(
+    "window_percent_rank_cume",
+    """
+    SELECT o_orderpriority, o_orderkey,
+      PERCENT_RANK() OVER w AS pct_rank,
+      CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Relative-position analytics (percent_rank, cume_dist): pure "
+    "integer-ratio arithmetic on ranks, deterministic via the unique "
+    "orderkey tiebreak; one shuffle on the partition key.",
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

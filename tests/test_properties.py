@@ -71,3 +71,15 @@ def test_approx_percentile_brackets_exact(spark):
         F.expr("percentile(l_extendedprice, 0.55)"),
     ).first()
     assert lo <= approx <= hi, (approx, exact)
+
+
+def test_hll_sketch_within_rsd(spark):
+    """approx_count_distinct (HyperLogLog++) honors its error bound —
+    the sketch the 100 TB path uses instead of an exact distinct
+    shuffle."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    exact = li.select("l_orderkey").distinct().count()
+    approx = li.select(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a")
+    ).first()["a"]
+    assert abs(approx - exact) / exact < 0.06  # 3x rsd safety margin

@@ -68,3 +68,39 @@ def test_embedding_dedup_plan_has_no_cross_product(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned writes + partition pruning: the 100 TB
+    layout lever — a filter on the partition column must skip whole
+    directories, not filter rows post-scan."""
+    d = load_table(spark, SF, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    d.write.partitionBy("lang").parquet(path)
+
+    back = spark.read.parquet(path).where(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "lang" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    want = d.where(F.col("lang") == "en").count()
+    assert back.count() == want
+
+
+def test_merge_upsert_semantics(spark):
+    from hana_bq_beam_connector_spark.plans.upsert import merge_upsert
+
+    o = load_table(spark, SF, "orders")
+    updates = o.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    merged = merge_upsert(o, updates.select(*o.columns), key="o_orderkey")
+    assert merged.count() == o.count()  # no dup keys, nothing lost
+    got = {
+        r["o_orderkey"]: r["o_orderstatus"]
+        for r in merged.select("o_orderkey", "o_orderstatus").collect()
+    }
+    for r in o.select("o_orderkey", "o_orderstatus").collect():
+        if r["o_orderkey"] % 2 == 0:
+            assert got[r["o_orderkey"]] == "X"
+        else:
+            assert got[r["o_orderkey"]] == r["o_orderstatus"]
