@@ -324,3 +324,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(e, dim=64, threshold=0.4)
+
+
+@register(
+    "dedup_levenshtein_pairs",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+     AND a.c_custkey % 10 = 0
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    doc="Fuzzy-match dedup via edit distance: blocked (same-nation) "
+    "sampled pair space, levenshtein <= 2 — integer DP both engines "
+    "compute identically; the blocking key is what keeps the pair "
+    "space linear-ish at scale (never all-pairs).",
+)
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    a = c.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("nk_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("nk_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("nk_a") == F.col("nk_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("name_a", "name_b").cast("long"),
+        )
+        .where(F.col("edit_dist") <= 2)
+        .select("id_a", "id_b", "edit_dist")
+    )

@@ -453,3 +453,93 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "join_returned_revenue_topk",
+    """
+    WITH agg AS (
+      SELECT c.c_custkey, c.c_name,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        COUNT(*) AS n_items
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name
+    )
+    SELECT * FROM agg ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="Returned-item revenue top-20 (TPC-H Q10 shape): the "
+    "returnflag filter pushes to the lineitem scan, dims broadcast, "
+    "and the final top-k is TakeOrderedAndProject — per-partition "
+    "heads merged on the driver, never a global sort.",
+)
+def join_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+@register(
+    "join_disjunctive_filters",
+    """
+    SELECT l.l_returnflag, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 25)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+       OR (p.p_brand = 'Brand#3' AND l.l_quantity >= 20)
+    GROUP BY l.l_returnflag
+    """,
+    doc="Disjunctive mixed-side predicates (TPC-H Q19 shape): "
+    "Catalyst extracts the common single-side conjuncts from the OR "
+    "branches and pushes them below the join (CNF conversion), so "
+    "both scans still prune; the residual OR evaluates post-join.",
+)
+def join_disjunctive_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 30)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 40)
+        )
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity") >= 20))
+    )
+    return (
+        joined.where(cond)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
