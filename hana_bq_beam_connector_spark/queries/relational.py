@@ -543,3 +543,34 @@ def join_disjunctive_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "join_salted_hot_key",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Salt-mitigated fact join: the (potentially skewed) left side "
+    "gets a deterministic salt (crc32(key) mod 8), the right side "
+    "explodes into 8 salt replicas, and the join key becomes "
+    "(key, salt) — one hot key spreads over 8 reducers.  Result is "
+    "provably identical to the plain join (this oracle).",
+)
+def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.relational import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    joined = salted_join(li, o, on="o_orderkey", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

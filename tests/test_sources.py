@@ -104,3 +104,15 @@ def test_merge_upsert_semantics(spark):
             assert got[r["o_orderkey"]] == "X"
         else:
             assert got[r["o_orderkey"]] == r["o_orderstatus"]
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC is the other columnar lakehouse format Spark ships native
+    read/write for; the engine treats it interchangeably with
+    parquet."""
+    nation = load_table(spark, SF, "nation")
+    path = str(tmp_path / "nation_orc")
+    nation.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.columns == nation.columns
+    assert _rows(back) == _rows(nation)
