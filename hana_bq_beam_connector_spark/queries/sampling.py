@@ -89,3 +89,52 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@register(
+    "pack_sequences_by_budget",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+      CAST((cum_tokens - n_tokens) // 1024 AS BIGINT) AS pack_id,
+      cum_tokens
+    FROM c
+    """,
+    doc="Sequence packing for training (fixed 1024-token budget): "
+    "contiguous greedy packing by running token count within each "
+    "lang shard — one window shuffle on lang, linear scan, fully "
+    "deterministic (doc_id order), so every run/world-size produces "
+    "identical packs.  The assignment is what a dataloader shards on.",
+)
+def pack_sequences_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("(cum_tokens - n_tokens) div 1024").alias("pack_id"),
+        "cum_tokens",
+    )

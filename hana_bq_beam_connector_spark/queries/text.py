@@ -251,3 +251,37 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_ish_token_count("text").alias("bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "text_repetition_score",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(ws) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+      CAST(len(ws) - len(list_distinct(ws)) AS BIGINT) AS n_repeated,
+      CAST(CAST(len(list_distinct(ws)) AS DOUBLE)
+           / CAST(len(ws) AS DOUBLE) AS DOUBLE) AS distinct_ratio
+    FROM t
+    WHERE len(ws) > 0
+    """,
+    doc="Repetition quality signal: token-level distinct ratio — the "
+    "cheap filter for degenerate/looping text in training corpora; "
+    "pure array arithmetic, one scan, no shuffle.",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    t = d.select("doc_id", ws.alias("ws")).where(F.size("ws") > 0)
+    n = F.size("ws").cast("long")
+    nd = F.size(F.array_distinct("ws")).cast("long")
+    return t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        (n - nd).alias("n_repeated"),
+        (nd.cast("double") / n.cast("double")).alias("distinct_ratio"),
+    )

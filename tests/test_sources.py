@@ -116,3 +116,21 @@ def test_orc_round_trip(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.columns == nation.columns
     assert _rows(back) == _rows(nation)
+
+
+def test_aqe_coalesces_small_shuffle(spark):
+    """AQE folds the 32 static shuffle partitions down to what the
+    data needs — the mechanism that right-sizes reducer counts at any
+    scale without hand tuning."""
+    n = load_table(spark, SF, "nation")
+    agg = n.groupBy("n_regionkey").count()
+    agg.collect()  # execute so AQE finalizes the plan
+    assert agg.rdd.getNumPartitions() < 32
+
+
+def test_star_join_broadcasts_dims(spark):
+    from hana_bq_beam_connector_spark.queries import registry
+
+    df = registry()["join_region_revenue"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
