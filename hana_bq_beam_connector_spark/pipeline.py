@@ -37,8 +37,10 @@ def select_window(df: DataFrame, config: PipelineConfig) -> DataFrame:
     in the integer domain — no double cast, so boundary rows can never
     be misclassified by float rounding (quirk #4 done right).
     """
-    dtype = dict(df.dtypes)[config.timestamp_column]
-    col = F.col(config.timestamp_column)
+    from hana_bq_beam_connector_spark.colutil import resolve_column
+
+    name, dtype = resolve_column(df, config.timestamp_column)
+    col = F.col(name)
     if dtype in ("bigint", "int", "smallint", "tinyint"):
         ts = col
         lo, hi = int(config.start_time), config.end_time

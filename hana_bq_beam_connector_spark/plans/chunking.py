@@ -49,7 +49,9 @@ class Interval:
 def _numeric_ts(df: DataFrame, column: str) -> DataFrame:
     """Project the chunking column to a double (epoch seconds for
     timestamps) so quantile math is uniform across column types."""
-    dtype = dict(df.dtypes)[column]
+    from hana_bq_beam_connector_spark.colutil import resolve_column
+
+    column, dtype = resolve_column(df, column)
     col = F.col(column)
     if dtype.startswith("timestamp"):
         col = col.cast("double")

@@ -207,3 +207,59 @@ def test_stream_stream_interval_join_equals_batch(
         for r in purchase_click_interval_join(static).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_dedup_within_watermark_stream(spark, stream_dir, tmp_path):
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        dedup_within_watermark,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import events_stream
+
+    stream = events_stream(spark, stream_dir)
+    # duplicate the stream against itself: every event arrives twice
+    doubled = stream.unionByName(stream)
+    deduped = dedup_within_watermark(doubled, ["event_id"])
+    run_available_now(
+        deduped.select("event_id"),
+        "dedup_wm_t",
+        str(tmp_path / "ckpt6"),
+        mode="append",
+    )
+    got = [
+        r["event_id"]
+        for r in spark.sql("SELECT event_id FROM dedup_wm_t").collect()
+    ]
+    want = {
+        r["event_id"]
+        for r in spark.read.parquet(stream_dir).select("event_id").collect()
+    }
+    assert len(got) == len(want)  # each id exactly once despite doubling
+    assert set(got) == want
+
+
+def test_foreach_batch_idempotent_append(spark, stream_dir, tmp_path):
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        foreach_batch_idempotent_append,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import events_stream
+
+    base = str(tmp_path / "sink")
+    q = foreach_batch_idempotent_append(
+        events_stream(spark, stream_dir),
+        base,
+        str(tmp_path / "ckpt7"),
+    )
+    q.awaitTermination()
+    total = spark.read.parquet(f"{base}/batch=*").count()
+    want = spark.read.parquet(stream_dir).count()
+    assert total == want
+
+    # replaying the same batches (fresh checkpoint, same batch ids)
+    # overwrites rather than duplicates
+    q2 = foreach_batch_idempotent_append(
+        events_stream(spark, stream_dir),
+        base,
+        str(tmp_path / "ckpt8"),
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(f"{base}/batch=*").count() == want
