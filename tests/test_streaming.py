@@ -24,13 +24,15 @@ from hana_bq_beam_connector_spark.streaming.windows import (
     tumbling_agg,
 )
 
-SF = "/root/testdata/sf0.001"
+import os
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")
-def stream_dir(tmp_path_factory):
+def stream_dir(tmp_path_factory, sf_dir):
     d = tmp_path_factory.mktemp("events_stream")
-    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
     return str(d)
 
 
