@@ -91,6 +91,8 @@ def _load_all() -> None:
         similarity,
         streaming,
         text,
+        timeseries,
+        tpch_more,
         udfs,
         windows,
     )

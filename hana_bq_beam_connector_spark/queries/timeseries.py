@@ -1,0 +1,153 @@
+"""Time-series resampling over `events` (SURVEY §2c — [X] extension).
+
+The reference's only time handling is the chunk-interval scan
+(`HanaToBQ.java:57-58`); hypertable-style rollups are part of the
+extension surface.  Both queries are pure DataFrame compositions —
+bucketing is integer arithmetic on the µs timestamp (codegen'd,
+pushable), gap-filling is explode(sequence(...)) (map-side fan-out,
+no driver loop), forward-fill is one partitioned window scan.
+
+Scale: the hourly grid is generated per key from that key's own
+[min, max] bucket range, so grid size is O(active span), not
+O(global span × keys); the only shuffles are the per-key hash
+aggregate and the per-key window sort — both on user_id, both
+AQE-coalesced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hana_bq_beam_connector_spark.queries import register
+from hana_bq_beam_connector_spark.queries._util import (
+    events_us,
+    sum_dec_as_double,
+)
+
+_HOUR_US = 3_600_000_000
+_SIX_H_US = 21_600_000_000
+
+
+@register(
+    "ts_hourly_gapfill_ffill",
+    f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+    ),
+    h AS (
+      SELECT user_id, ts_us - ts_us % {_HOUR_US} AS hour_us,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM ev GROUP BY user_id, hour_us
+    ),
+    b AS (
+      SELECT user_id, MIN(hour_us) AS lo, MAX(hour_us) AS hi
+      FROM h GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, UNNEST(range(lo, hi + 1, {_HOUR_US})) AS hour_us
+      FROM b
+    )
+    SELECT g.user_id, g.hour_us,
+           COALESCE(h.cnt, 0) AS n_events,
+           LAST_VALUE(h.sum_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+    FROM grid g
+    LEFT JOIN h ON g.user_id = h.user_id AND g.hour_us = h.hour_us
+    """,
+    doc="Hourly rollup with gap-fill + forward-fill: aggregate to "
+    "per-(user, hour) buckets, densify each user's own hour range via "
+    "explode(sequence(min, max)), left-join the real buckets back, "
+    "zero-fill counts and forward-fill the last seen hourly sum "
+    "(last(ignorenulls) over an unbounded-preceding row frame).",
+)
+def ts_hourly_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select("user_id", "ts", "value")
+    hourly = ev.groupBy(
+        "user_id", F.expr(f"ts - ts % {_HOUR_US}").alias("hour_us")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        sum_dec_as_double("value", "sum_value"),
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(_HOUR_US))
+        ).alias("hour_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(hourly, ["user_id", "hour_us"], "left").select(
+        "user_id",
+        "hour_us",
+        F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_sum"),
+    )
+
+
+@register(
+    "ts_ohlc_6h",
+    f"""
+    WITH b AS (
+      SELECT event_type, event_id, value,
+             epoch_us(ts) AS ts_us,
+             epoch_us(ts) - epoch_us(ts) % {_SIX_H_US} AS bucket_us
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY event_type, bucket_us
+                           ORDER BY ts_us, event_id) AS rn_a,
+        ROW_NUMBER() OVER (PARTITION BY event_type, bucket_us
+                           ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, bucket_us,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+           COUNT(*) AS n_events
+    FROM r
+    GROUP BY event_type, bucket_us
+    """,
+    doc="OHLC downsample (financial-style resample): 6-hour candles "
+    "per event_type.  Open/close are selected by symmetric "
+    "row_number with a (ts, event_id) tie-break — portable across "
+    "engines where first_value/arg_min tie rules differ; high/low "
+    "are plain min/max.  One window shuffle on the (type, bucket) "
+    "key, then a hash aggregate on the same key (no second "
+    "exchange — the partitioning is reused).",
+)
+def ts_ohlc_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select("event_type", "event_id", "ts", "value")
+    b = ev.withColumn("bucket_us", F.expr(f"ts - ts % {_SIX_H_US}"))
+    wa = Window.partitionBy("event_type", "bucket_us").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", "bucket_us").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = b.select(
+        "event_type",
+        "bucket_us",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("event_type", "bucket_us").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
