@@ -58,6 +58,34 @@ def duck_polyhash(s: str) -> str:
     )
 
 
+def spark_shingle_hash_chain(wh: str, i_expr: str, k: int) -> str:
+    """Spark/DuckDB-shared spelling: hash of the k-word shingle at
+    1-based position ``i_expr`` of the word-hash array ``wh`` —
+    ``h = fold_{j=0..k-1} (h * BAND_COMBINE + wh[i+j]) % PRIME``.
+
+    Composing per-word hashes (each word hashed over its characters
+    exactly once) replaces hashing every k-word shingle *string*
+    character-by-character — a k× cut in character work plus no
+    per-shingle string materialization.  All BIGINT arithmetic:
+    wh < PRIME ≈ 1e9, so h*1e6+3 + wh < 1.1e15 — no overflow."""
+    expr = f"element_at({wh}, {i_expr})"
+    for j in range(1, k):
+        expr = (
+            f"((({expr}) * {BAND_COMBINE} + "
+            f"element_at({wh}, ({i_expr}) + {j})) % {PRIME})"
+        )
+    return expr
+
+
+def duck_shingle_hash_chain(wh: str, i_expr: str, k: int) -> str:
+    """DuckDB spelling of :func:`spark_shingle_hash_chain` (1-based
+    list indexing instead of element_at)."""
+    expr = f"{wh}[{i_expr}]"
+    for j in range(1, k):
+        expr = f"((({expr}) * {BAND_COMBINE} + {wh}[({i_expr}) + {j}]) % {PRIME})"
+    return expr
+
+
 def spark_minhash(xs: str, i: int) -> str:
     """Spark expr: i-th MinHash over BIGINT array expression ``xs``."""
     a, b = MINHASH_COEFFS[i]

@@ -2,7 +2,18 @@
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+
+def persist_reused(df: DataFrame) -> DataFrame:
+    """Persist a frame that multiple downstream branches read (self-join
+    sides, verify rejoins): without it Spark recomputes the full lineage
+    once per branch.  MEMORY_AND_DISK — at 100 TB the materialized
+    intermediate (ids + hashes, not raw text/vectors) spills to local
+    disk instead of OOMing, which is exactly the stage-materialization
+    a production dedup pipeline would checkpoint anyway."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -29,6 +29,10 @@ from hana_bq_beam_connector_spark.functions.hashing import (
     PRIME,
     band_exprs,
     spark_polyhash,
+    spark_shingle_hash_chain,
+)
+from hana_bq_beam_connector_spark.operators._common import (
+    persist_reused as _persist,
 )
 from hana_bq_beam_connector_spark.operators._common import spread
 
@@ -57,19 +61,27 @@ def keep_first_by_key(
 def shingle_hashes(
     df: DataFrame, text_col: str, k: int = 3, out: str = "shingle_hashes"
 ) -> DataFrame:
-    """Distinct word-k-shingles of ``text_col``, polynomial-hashed to
-    BIGINT.  Documents with fewer than k tokens are dropped (no
-    shingles to compare).  Pure SQL expressions — codegen'd."""
+    """Distinct word-k-shingle hashes of ``text_col`` as BIGINT.
+
+    Each word is character-hashed exactly once, then shingle hashes
+    compose the k word hashes with a second polynomial
+    (functions/hashing.spark_shingle_hash_chain) — O(chars + words·k)
+    integer ops per document, no per-shingle string materialization.
+    Documents with fewer than k tokens are dropped (no shingles to
+    compare).  Pure SQL expressions, no Python in the hot path."""
     words = f"split({text_col}, ' ')"
+    word_hashes = f"transform({words}, w -> {spark_polyhash('w')})"
+    chain = spark_shingle_hash_chain("__wh", "i", k)
     shingles = (
-        f"array_distinct(transform(sequence(1, size({words}) - {k - 1}), "
-        f"i -> concat_ws(' ', slice({words}, i, {k}))))"
+        f"array_distinct(transform("
+        f"sequence(1, size(__wh) - {k - 1}), i -> {chain}))"
     )
-    hashed = f"transform({shingles}, s -> {spark_polyhash('s')})"
     return (
         spread(df)
         .where(F.expr(f"size({words}) >= {k}"))
-        .withColumn(out, F.expr(hashed))
+        .withColumn("__wh", F.expr(word_hashes))
+        .withColumn(out, F.expr(shingles))
+        .drop("__wh")
     )
 
 
@@ -101,20 +113,24 @@ def lsh_candidate_pairs(
     never the global cross product.  Output: (id_a, id_b), id_a < id_b.
     """
     bands = band_exprs([f"mh{i}" for i in range(n_sig)], n_bands)
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.expr(b).alias("band_hash"),
-                    )
-                    for i, b in enumerate(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_hash")
+    # Both sides of the self-join read this frame; without persist the
+    # whole shingle+signature lineage recomputes once per side.
+    banded = _persist(
+        sig.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.expr(b).alias("band_hash"),
+                        )
+                        for i, b in enumerate(bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select(id_col, "band.band_idx", "band.band_hash")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -153,7 +169,9 @@ def minhash_near_dup_pairs(
     recall at j=0.8 is ≈ 1-(1-0.8^4)^4 ≈ 0.93; raise n_sig/bands for
     stricter recall — the shape stays linear in corpus size.
     """
-    hashed = shingle_hashes(df.select(id_col, text_col), text_col, k)
+    # hashed feeds three branches (signatures + both verify sides) —
+    # materialize the shingle stage once.
+    hashed = _persist(shingle_hashes(df.select(id_col, text_col), text_col, k))
     sig = minhash_signature(hashed)
     cands = lsh_candidate_pairs(sig, id_col)
     sets_a = hashed.select(
@@ -228,7 +246,9 @@ def embedding_near_dup_pairs(
     )
 
     base = spread(df.select(id_col, vec_col))
-    banded = lsh_banded(base, id_col, vec_col, dim, n_planes, n_tables)
+    banded = _persist(
+        lsh_banded(base, id_col, vec_col, dim, n_planes, n_tables)
+    )
     a = banded.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
     cand = (
@@ -238,13 +258,13 @@ def embedding_near_dup_pairs(
         .distinct()
     )
     # normalize once per vector; the pair verify is then a single dot
-    u = unit(base, vec_col, "uv")
+    u = _persist(unit(base, vec_col, "uv", dim))
     ea = u.select(F.col(id_col).alias("id_a"), F.col("uv").alias("va"))
     eb = u.select(F.col(id_col).alias("id_b"), F.col("uv").alias("vb"))
     return (
         cand.join(ea, on="id_a")
         .join(eb, on="id_b")
-        .withColumn("cos_sim", dot("va", "vb"))
+        .withColumn("cos_sim", dot("va", "vb", dim))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

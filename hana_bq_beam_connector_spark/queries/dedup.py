@@ -16,6 +16,7 @@ from hana_bq_beam_connector_spark.functions.hashing import (
     band_exprs,
     duck_minhash,
     duck_polyhash,
+    duck_shingle_hash_chain,
 )
 from hana_bq_beam_connector_spark.operators.dedup import (
     hamming,
@@ -82,16 +83,15 @@ def _duck_minhash_sql(threshold: float = 0.8) -> str:
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
       WHERE len(string_split(text, ' ')) >= 3
     ),
-    sh AS (
-      SELECT doc_id,
-        list_distinct(list_transform(range(1, len(w) - 1),
-          i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingles
+    whs AS (
+      SELECT doc_id, list_transform(w, x -> {duck_polyhash('x')}) AS wh
       FROM toks
     ),
     xs AS (
       SELECT doc_id,
-        list_transform(shingles, s -> {duck_polyhash('s')}) AS hashes
-      FROM sh
+        list_distinct(list_transform(range(1, len(wh) - 1),
+          i -> {duck_shingle_hash_chain('wh', 'i', 3)})) AS hashes
+      FROM whs
     ),
     sig AS (
       SELECT doc_id, hashes,

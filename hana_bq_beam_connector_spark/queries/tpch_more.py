@@ -19,6 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hana_bq_beam_connector_spark.operators._common import (
+    persist_reused as _persist,
+)
 from hana_bq_beam_connector_spark.queries import register
 from hana_bq_beam_connector_spark.queries._util import (
     SQL_SUM_DEC,
@@ -311,6 +314,224 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items",
         var.alias("var_pop_qty"),
         F.sqrt(var).alias("stddev_pop_qty"),
+    )
+
+
+@register(
+    "subquery_exists_late_ship",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS with a correlated non-equi condition "
+    "(lineitem shipped after its order date).  Catalyst plans a LEFT "
+    "SEMI join on the equi key with the l_shipdate > o_orderdate "
+    "residual — one shuffle, no decorrelation UDF; the date window "
+    "pushes into the orders scan.",
+)
+def subquery_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    hit = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "agg_having_share_of_total",
+    """
+    SELECT sn.n_name AS supp_nation,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS nation_bal
+    FROM supplier s
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    GROUP BY supp_nation
+    HAVING CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         > CAST((SELECT SUM(CAST(s2.s_acctbal AS DECIMAL(18,2)))
+                 FROM supplier s2) AS DOUBLE) * 0.05
+    """,
+    doc="TPC-H Q11 shape: HAVING against a fraction of a global scalar "
+    "subquery.  The global total reduces to one broadcast row (cross "
+    "join of a 1-row frame); both sides of the comparison are exact "
+    "decimal sums surfaced as double, so the > is deterministic.  "
+    "Nation dim broadcasts; one shuffle for the per-nation aggregate.",
+)
+def agg_having_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    per_nation = (
+        s.join(F.broadcast(n), s["s_nationkey"] == F.col("snk"))
+        .groupBy("supp_nation")
+        .agg(sum_dec_as_double("s_acctbal", "nation_bal"))
+    )
+    total = s.agg(F.sum(dec("s_acctbal")).cast("double").alias("__total"))
+    return (
+        per_nation.join(F.broadcast(total))
+        .where(F.col("nation_bal") > F.col("__total") * 0.05)
+        .select("supp_nation", "nation_bal")
+    )
+
+
+@register(
+    "agg_supplier_cnt_by_part",
+    """
+    SELECT p.p_brand, p.p_type,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 5, 9, 13)
+      AND p.p_brand <> 'Brand#1'
+    GROUP BY p.p_brand, p.p_type
+    """,
+    doc="TPC-H Q16 shape: COUNT(DISTINCT) over a filtered dim join. "
+    "The IN/<> filters push into the part scan, the shrunken dim "
+    "broadcasts, and Spark expands the distinct into a two-level "
+    "aggregate (partial distinct map-side, then exchange on the group "
+    "keys) — no dedicated distinct shuffle of the raw fact rows.",
+)
+def agg_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").isin(1, 5, 9, 13) & (F.col("p_brand") != "Brand#1")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "join_min_bal_supplier_per_part",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    ranked AS (
+      SELECT p.p_partkey, s.s_suppkey, s.s_acctbal,
+             MIN(s.s_acctbal) OVER (PARTITION BY p.p_partkey) AS min_bal
+      FROM part p
+      JOIN ps ON ps.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      WHERE p.p_size < 5
+    )
+    SELECT p_partkey, s_suppkey, s_acctbal
+    FROM ranked WHERE s_acctbal = min_bal
+    """,
+    doc="TPC-H Q2 shape (lineitem's distinct (part,supp) pairs stand "
+    "in for the absent partsupp table): per-part minimum-balance "
+    "supplier via a window MIN + equality filter — the decorrelated "
+    "form of Q2's correlated MIN subquery, one window shuffle on "
+    "p_partkey instead of a rejoin.  Ties (exact double equality) "
+    "surface identically in both engines.",
+)
+def join_min_bal_supplier_per_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") < 5)
+    s = load_table(spark, sf_dir, "supplier")
+    joined = (
+        ps.join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), ps["l_suppkey"] == s["s_suppkey"])
+        .select("p_partkey", "s_suppkey", "s_acctbal")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .select("p_partkey", "s_suppkey", "s_acctbal")
+    )
+
+
+@register(
+    "join_waiting_supplier",
+    """
+    WITH per_supp AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_supp,
+             SUM(is_late) AS n_late
+      FROM per_supp GROUP BY l_orderkey
+    )
+    SELECT ps.l_suppkey AS s_suppkey, COUNT(*) AS numwait
+    FROM per_supp ps
+    JOIN per_order po ON ps.l_orderkey = po.l_orderkey
+    WHERE ps.is_late = 1 AND po.n_supp > 1 AND po.n_late = 1
+    GROUP BY ps.l_suppkey
+    """,
+    doc="TPC-H Q21 shape: the EXISTS (another supplier in the order) "
+    "+ NOT EXISTS (another LATE supplier) pair rewritten as one "
+    "per-(order,supplier) aggregate plus one per-order aggregate — "
+    "two shuffles on l_orderkey total, versus three self-joins of the "
+    "fact table in the literal formulation; at 100 TB the rewrite "
+    "also dodges the skew of hot orderkeys appearing in three join "
+    "inputs at once.",
+)
+def join_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+        1,
+    ).otherwise(0)
+    # per_supp feeds both the per-order rollup and the final join —
+    # materialize once instead of recomputing the fact join per branch.
+    per_supp = _persist(
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        per_supp.join(per_order, on="l_orderkey")
+        .where(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
 
 
