@@ -56,6 +56,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Release per-query persisted stages: leaving them pinned
+        # charges later queries for this query's cache memory.
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

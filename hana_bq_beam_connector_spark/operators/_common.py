@@ -7,13 +7,23 @@ from pyspark.sql import DataFrame
 
 
 def persist_reused(df: DataFrame) -> DataFrame:
-    """Persist a frame that multiple downstream branches read (self-join
-    sides, verify rejoins): without it Spark recomputes the full lineage
-    once per branch.  MEMORY_AND_DISK — at 100 TB the materialized
-    intermediate (ids + hashes, not raw text/vectors) spills to local
-    disk instead of OOMing, which is exactly the stage-materialization
-    a production dedup pipeline would checkpoint anyway."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    """Persist AND materialize (one count job, now) a frame that
+    multiple downstream branches read — self-join sides, verify
+    rejoins.
+
+    Persist alone is not enough: broadcast exchanges evaluate eagerly
+    in parallel driver threads, so both sides of a self-join start
+    computing the shared lineage CONCURRENTLY before either fills the
+    lazy cache — the full upstream recomputes once per branch anyway
+    (measured 2.6× end-to-end on the embedding-dedup pipeline at
+    sf0.1).  Forcing materialization first makes every branch read the
+    cache.  MEMORY_AND_DISK — at 100 TB the materialized intermediate
+    (ids + hashes, not raw text/vectors) spills to local disk instead
+    of OOMing; this is the stage checkpoint a production dedup
+    pipeline would persist anyway."""
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    return out
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -258,13 +258,13 @@ def embedding_near_dup_pairs(
         .distinct()
     )
     # normalize once per vector; the pair verify is then a single dot
-    u = _persist(unit(base, vec_col, "uv", dim))
+    u = _persist(unit(base, vec_col, "uv"))
     ea = u.select(F.col(id_col).alias("id_a"), F.col("uv").alias("va"))
     eb = u.select(F.col(id_col).alias("id_b"), F.col("uv").alias("vb"))
     return (
         cand.join(ea, on="id_a")
         .join(eb, on="id_b")
-        .withColumn("cos_sim", dot("va", "vb", dim))
+        .withColumn("cos_sim", dot("va", "vb"))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

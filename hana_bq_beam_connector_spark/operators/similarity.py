@@ -26,56 +26,44 @@ from hana_bq_beam_connector_spark.operators.relational import topk_per_group
 N_PLANES = 8
 
 
-DIM = 64  # embedding dimensionality of the fixture corpus
+def _dot_fold(a: str, b: str) -> str:
+    """Spark expr: dot(a, b) as a strict left fold in double — works
+    for any vector width, bit-identical to DuckDB's list_reduce
+    spelling (same IEEE add order).
 
-
-def _dot_fold(a: str, b: str, dim: int | None = None) -> str:
-    """Spark expr: dot(a, b) as a strict left-associated sum
-    ``0.0 + a1*b1 + a2*b2 + ...``.
-
-    With ``dim`` given, the sum is UNROLLED into a flat expression tree
-    so it runs inside whole-stage codegen instead of the interpreted
-    per-element HigherOrderFunction evaluator — ~30× faster per row,
-    which is the difference between scoring 10^9 candidate pairs and
-    not.  Without ``dim`` (unknown/variable width) it falls back to the
-    general fold — same IEEE add order, bit-identical result, any
-    length.  Both spellings match DuckDB's list_reduce oracle."""
-    if dim is None:
-        return (
-            f"aggregate(zip_with({a}, {b}, "
-            f"(x, y) -> cast(x as double) * cast(y as double)), "
-            f"cast(0.0 as double), (acc, v) -> acc + v)"
-        )
-    terms = " + ".join(
-        f"(cast(element_at({a}, {i}) as double) * "
-        f"cast(element_at({b}, {i}) as double))"
-        for i in range(1, dim + 1)
+    Measured (sf0.1, local[32]): unrolling this into a flat
+    ``element_at`` sum for a known dim is ~20% faster in a pure scan
+    but SLOWER when the expression lands in a join condition (the
+    giant tree falls out of whole-stage codegen), and 32 unrolled
+    copies in one banding projection OOM janino on a default-sized
+    driver JVM — so the fold is the keeper."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
     )
-    return f"(cast(0.0 as double) + {terms})"
 
 
-def dot(a: str, b: str, dim: int | None = None) -> Column:
-    return F.expr(_dot_fold(a, b, dim))
+def dot(a: str, b: str) -> Column:
+    return F.expr(_dot_fold(a, b))
 
 
-def norm(a: str, dim: int | None = None) -> Column:
-    return F.sqrt(F.expr(_dot_fold(a, a, dim)))
+def norm(a: str) -> Column:
+    return F.sqrt(F.expr(_dot_fold(a, a)))
 
 
-def cosine(a: str, b: str, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
 
 
-def unit(
-    df: DataFrame, vec_col: str, out: str, dim: int | None = None
-) -> DataFrame:
+def unit(df: DataFrame, vec_col: str, out: str) -> DataFrame:
     """L2-normalize ``vec_col`` into ``out`` — norm computed ONCE per
     vector.  Every pair-scoring operator here normalizes its inputs
     first and scores with a plain dot: cosine-per-pair costs 3 folds
     (dot + both norms), dot-on-unit-vectors costs 1 — a 3× cut of the
     dominant per-pair compute, and at 10^6+ candidate pairs per query
     the pair stage dwarfs the one-time normalize scan."""
-    nrm = f"sqrt({_dot_fold(vec_col, vec_col, dim)})"
+    nrm = f"sqrt({_dot_fold(vec_col, vec_col)})"
     return (
         df.withColumn("__nrm", F.expr(nrm))
         .withColumn(
@@ -92,7 +80,6 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
@@ -101,11 +88,11 @@ def cosine_topk(
     top-k is rank-and-filter.  Scales linearly in candidates; for
     corpus-sized query sets use :func:`lsh_bucket_topk`.
     """
-    q = unit(queries, vec_col, "qv", dim).select(
+    q = unit(queries, vec_col, "qv").select(
         F.col(id_col).alias("query_id"), "qv"
     )
     c = unit(
-        spread(candidates.select(id_col, vec_col)), vec_col, "cv", dim
+        spread(candidates.select(id_col, vec_col)), vec_col, "cv"
     ).select(F.col(id_col).alias("cand_id"), "cv")
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -113,7 +100,7 @@ def cosine_topk(
         .select(
             "query_id",
             "cand_id",
-            dot("qv", "cv", dim).alias("cos_sim"),
+            dot("qv", "cv").alias("cos_sim"),
         )
     )
     return topk_per_group(
@@ -130,14 +117,12 @@ def _plane_dot(vec_col: str, p: int, dim: int) -> str:
     ``p`` is the *global* plane index — multi-table LSH uses
     consecutive index blocks as independent tables.
 
-    Deliberately an interpreted fold, NOT an unrolled sum: a banding
-    projection evaluates n_tables × n_planes of these at once (32 for
-    the dedup defaults), and unrolling all of them puts ~2000
-    arithmetic nodes into one whole-stage-codegen method — janino
-    compilation then OOMs a default-sized (1 GiB) driver JVM.  The
-    fold costs one interpreted pass per vector in the ONE banding
-    scan; pair scoring (the per-candidate hot path, quadratic-ish
-    volume) uses the unrolled :func:`_dot_fold` instead."""
+    Deliberately a fold, NOT an unrolled sum: a banding projection
+    evaluates n_tables × n_planes of these at once (32 for the dedup
+    defaults), and unrolling all of them puts ~2000 arithmetic nodes
+    into one whole-stage-codegen method — janino compilation then
+    OOMs a default-sized (1 GiB) driver JVM.  The fold costs one pass
+    per vector in the ONE banding scan."""
     return (
         f"aggregate(sequence(1, {dim}), cast(0.0 as double), "
         f"(acc, i) -> acc + cast(element_at({vec_col}, i) as double) * "
@@ -235,16 +220,16 @@ def lsh_bucket_topk(
         .select("query_id", "cand_id")
         .distinct()
     )
-    qv = unit(queries, vec_col, "qv", dim).select(
+    qv = unit(queries, vec_col, "qv").select(
         F.col(id_col).alias("query_id"), "qv"
     )
-    cv = unit(cand_base, vec_col, "cv", dim).select(
+    cv = unit(cand_base, vec_col, "cv").select(
         F.col(id_col).alias("cand_id"), "cv"
     )
     scored = (
         cand.join(qv, on="query_id")
         .join(cv, on="cand_id")
-        .select("query_id", "cand_id", dot("qv", "cv", dim).alias("cos_sim"))
+        .select("query_id", "cand_id", dot("qv", "cv").alias("cos_sim"))
     )
     return topk_per_group(
         scored,
@@ -261,7 +246,6 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
-    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by dot
     product (== cosine when both sides are L2-normalized via
@@ -279,7 +263,7 @@ def ivf_assign(
     scored = df.crossJoin(c).select(
         *df.columns,
         "centroid_id",
-        dot(vec_col, "cvec", dim).alias("__csim"),
+        dot(vec_col, "cvec").alias("__csim"),
     )
     ranked = topk_per_group(
         scored,
@@ -299,7 +283,6 @@ def ivf_topk(
     k: int = 3,
     n_centroids: int = 16,
     n_probe: int = 2,
-    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k via IVF (inverted-file) coarse quantization.
 
@@ -315,21 +298,19 @@ def ivf_topk(
     # normalize the corpus ONCE; assignment and pair scoring are then
     # plain dot products (cosine semantics on unit vectors)
     corpus_u = unit(
-        spread(corpus.select(id_col, vec_col)), vec_col, "uv", dim
+        spread(corpus.select(id_col, vec_col)), vec_col, "uv"
     ).select(id_col, F.col("uv").alias(vec_col))
     queries_u = unit(
-        queries.select(id_col, vec_col), vec_col, "uv", dim
+        queries.select(id_col, vec_col), vec_col, "uv"
     ).select(id_col, F.col("uv").alias(vec_col))
     cents = corpus_u.where(F.col(id_col) < n_centroids)
-    cells = ivf_assign(
-        corpus_u, cents, id_col, vec_col, n_probe=1, dim=dim
-    ).select(
+    cells = ivf_assign(corpus_u, cents, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),
         "centroid_id",
     )
     probes = ivf_assign(
-        queries_u, cents, id_col, vec_col, n_probe=n_probe, dim=dim
+        queries_u, cents, id_col, vec_col, n_probe=n_probe
     ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -340,7 +321,7 @@ def ivf_topk(
     scored = (
         cells.join(probes, on="centroid_id")
         .where(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", dot("qv", "cv", dim).alias("cos_sim"))
+        .select("query_id", "cand_id", dot("qv", "cv").alias("cos_sim"))
     )
     return topk_per_group(
         scored,

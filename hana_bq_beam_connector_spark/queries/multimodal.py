@@ -110,5 +110,5 @@ def mm_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = feature_embed(documents_as_media(d), dim=16)
     queries = feats.where(F.col("media_id") < 10)
     return cosine_topk(
-        queries, feats, id_col="media_id", vec_col="features", k=3, dim=16
+        queries, feats, id_col="media_id", vec_col="features", k=3
     )

@@ -81,7 +81,7 @@ def _duck_cosine_topk_sql(k: int = 5) -> str:
 def sim_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(emb["vec_id"] < 10)
-    return cosine_topk(queries, emb, k=5, dim=DIM).select(
+    return cosine_topk(queries, emb, k=5).select(
         "query_id", "cand_id", "cos_sim", "rank"
     )
 
@@ -231,6 +231,6 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(emb["vec_id"] < 10)
-    return ivf_topk(
-        queries, emb, k=3, n_centroids=16, n_probe=2, dim=DIM
-    ).select("query_id", "cand_id", "cos_sim", "rank")
+    return ivf_topk(queries, emb, k=3, n_centroids=16, n_probe=2).select(
+        "query_id", "cand_id", "cos_sim", "rank"
+    )
