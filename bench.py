@@ -28,6 +28,7 @@ HEADLINE = [
     "window_topk_orders_per_customer",  # partitioned window
     "setop_union_distinct",       # set op + dedup shuffle
     "dedup_minhash_lsh_pairs",    # MinHash-LSH near-dup pipeline
+    "dedup_cluster_canonical",    # connected-components dedup clusters
     "dedup_simhash_values",       # SimHash fingerprints
     "sim_cosine_topk_exact",      # brute-force similarity baseline
     "sim_ann_lsh_topk",           # multi-table LSH ANN
@@ -35,6 +36,7 @@ HEADLINE = [
     "dedup_embedding_cosine",     # LSH-blocked semantic dedup
     "text_tfidf_topk",            # tokenize + 2-shuffle TF-IDF
     "text_quality_features",      # per-doc scoring
+    "curation_pipeline",          # quality->dedup->split end-to-end
     "stream_session_windows",     # sessionization (gaps-and-islands)
     "scalar_json_funcs",          # JSON extraction over events
 ]

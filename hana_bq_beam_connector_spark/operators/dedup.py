@@ -219,6 +219,68 @@ def hamming(col_a: str, col_b: str) -> Column:
     return F.expr(f"bit_count({col_a} ^ {col_b})").cast("long")
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: (node,
+    cluster_id) where cluster_id = MIN node id in the component.
+
+    Pair generation (MinHash/SimHash/embedding LSH) yields *edges*; a
+    dedup pipeline needs the transitive closure — A~B and B~C must
+    collapse to ONE surviving document even when A~C was never a
+    candidate pair.  Iterative min-label propagation: each round every
+    node takes the min label among itself and its neighbors (one
+    shuffle join + one shuffle agg per round), converging in
+    O(component diameter) rounds — near-dup clusters are dense and
+    shallow, so 2-4 rounds in practice.  Per-round frames persist and
+    the previous round unpersists: lineage stays O(1) deep instead of
+    O(iterations) (no exponential replay, bounded driver plan).  The
+    label frame is (id, id) pairs only — at 10^9 nodes ≈ 16 GB
+    cluster-wide, far below the raw corpus.  For adversarial
+    long-chain graphs swap in alternating large-star/small-star
+    (Kiveris et al.), which converges in O(log n) with the same
+    join+agg plan shape.  Only nodes with ≥1 edge appear (singletons
+    are trivially their own cluster; leaving them out keeps the state
+    proportional to the duplicate population, a small fraction of the
+    corpus).
+    """
+    edges = _persist(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = _persist(
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(max_iter):
+        # min over {self} ∪ {neighbor labels}, one round
+        nbr = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = _persist(
+            nbr.union(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

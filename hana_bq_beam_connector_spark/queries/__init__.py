@@ -81,6 +81,7 @@ def _load_all() -> None:
         return
     from hana_bq_beam_connector_spark.queries import (  # noqa: F401
         advanced,
+        curation,
         dedup,
         etl,
         multimodal,

@@ -1,0 +1,103 @@
+"""End-to-end training-data curation pipeline (LLM-data surface).
+
+The composed shape every corpus build runs: quality-score → filter →
+exact near-dup removal (normalized-text fingerprint, deterministic
+survivor) → reproducible train/val/test assignment.  Each stage is an
+existing operator (operators/text.py, operators/dedup.py,
+queries/sampling.py's hash bucket); this query wires them into one
+lazy plan so Catalyst fuses the scans: quality features and the
+fingerprint hash compute in the SAME scan stage, the only shuffle is
+the survivor window on the fingerprint, and the split assignment is a
+shuffle-free projection on the survivors.  At 100 TB that is one pass
+over the corpus plus one fingerprint-keyed exchange — the minimal
+shuffle bill for dedup-with-survivor semantics.
+
+The reference has no analog (SURVEY §2b — it copies one table); this
+is the north-star extension surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.functions.hashing import (
+    duck_polyhash,
+    spark_polyhash,
+)
+from hana_bq_beam_connector_spark.operators.dedup import keep_first_by_key
+from hana_bq_beam_connector_spark.operators.text import quality_features
+from hana_bq_beam_connector_spark.queries import register
+from hana_bq_beam_connector_spark.sources.files import load_table
+
+_SPARK_BUCKET = f"pmod({spark_polyhash('cast(doc_id as string)')}, 100)"
+_DUCK_BUCKET = (
+    f"(({duck_polyhash('CAST(doc_id AS VARCHAR)')}) % 100 + 100) % 100"
+)
+_SPARK_NORM = "regexp_replace(lower(text), '\\\\s+', ' ')"
+_DUCK_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+
+
+@register(
+    "curation_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+          AS n_tokens,
+        CAST(len(list_distinct(string_split_regex(lower(text), '\\s+')))
+          AS DOUBLE)
+          / CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE)
+          * 0.5
+          + LEAST(CAST(len(string_split_regex(lower(text), '\\s+'))
+                       AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality_score,
+        {duck_polyhash(_DUCK_NORM)} AS fp,
+        {_DUCK_BUCKET} AS bucket
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE quality_score >= 0.75 AND n_tokens >= 10
+    ),
+    survivors AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY fp ORDER BY doc_id
+        ) AS rn FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, n_tokens, quality_score,
+      CASE WHEN bucket < 80 THEN 'train'
+           WHEN bucket < 90 THEN 'val'
+           ELSE 'test' END AS split
+    FROM survivors
+    """,
+    doc="Full curation pipeline: quality filter (score >= 0.75, >= 10 "
+    "tokens) → exact near-dup removal on the normalized-text "
+    "fingerprint (min-doc_id survivor) → deterministic 80/10/10 "
+    "split.  One corpus scan + one fingerprint shuffle; split "
+    "assignment is a pure projection.",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    scored = (
+        quality_features(d, "text")
+        .withColumn("fp", F.expr(spark_polyhash(_SPARK_NORM)))
+        .withColumn("bucket", F.expr(_SPARK_BUCKET))
+    )
+    kept = scored.where(
+        (F.col("quality_score") >= 0.75) & (F.col("n_tokens") >= 10)
+    )
+    survivors = keep_first_by_key(
+        kept, key=["fp"], order=[F.col("doc_id").asc()]
+    )
+    split = (
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+    )
+    return survivors.select(
+        "doc_id", "lang", "n_tokens", "quality_score", split.alias("split")
+    )

@@ -22,6 +22,7 @@ from hana_bq_beam_connector_spark.operators.dedup import (
     hamming,
     keep_first_by_key,
     minhash_near_dup_pairs,
+    near_dup_clusters,
     simhash,
 )
 from hana_bq_beam_connector_spark.queries import register
@@ -68,7 +69,9 @@ def dedup_keep_first_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_minhash_sql(threshold: float = 0.8) -> str:
+def _duck_minhash_ctes(threshold: float = 0.8) -> str:
+    """CTE chain ending in ``verified`` (id_a, id_b, jaccard) — shared
+    by the pair query and the connected-components cluster query."""
     sig_cols = [f"mh{i}" for i in range(16)]
     minhashes = ",\n      ".join(
         f"{duck_minhash('hashes', i)} AS mh{i}" for i in range(16)
@@ -78,8 +81,7 @@ def _duck_minhash_sql(threshold: float = 0.8) -> str:
         f"SELECT doc_id, {i} AS band_idx, {b} AS band_hash FROM sig"
         for i, b in enumerate(bands)
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
       WHERE len(string_split(text, ' ')) >= 3
     ),
@@ -107,17 +109,25 @@ def _duck_minhash_sql(threshold: float = 0.8) -> str:
       JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b,
-      CAST(len(list_intersect(xa.hashes, xb.hashes)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(xa.hashes, xb.hashes)))
-               AS DOUBLE) AS jaccard
-    FROM cand
-    JOIN xs xa ON cand.id_a = xa.doc_id
-    JOIN xs xb ON cand.id_b = xb.doc_id
-    WHERE CAST(len(list_intersect(xa.hashes, xb.hashes)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(xa.hashes, xb.hashes)))
-               AS DOUBLE) >= {threshold}
+    ),
+    verified AS (
+      SELECT id_a, id_b,
+        CAST(len(list_intersect(xa.hashes, xb.hashes)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(xa.hashes, xb.hashes)))
+                 AS DOUBLE) AS jaccard
+      FROM cand
+      JOIN xs xa ON cand.id_a = xa.doc_id
+      JOIN xs xb ON cand.id_b = xb.doc_id
+      WHERE CAST(len(list_intersect(xa.hashes, xb.hashes)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(xa.hashes, xb.hashes)))
+                 AS DOUBLE) >= {threshold}
+    )"""
+
+
+def _duck_minhash_sql(threshold: float = 0.8) -> str:
+    return f"""
+    WITH {_duck_minhash_ctes(threshold)}
+    SELECT id_a, id_b, jaccard FROM verified
     """
 
 
@@ -133,6 +143,47 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(
         d, id_col="doc_id", text_col="text", k=3, threshold=0.8
+    )
+
+
+@register(
+    "dedup_cluster_canonical",
+    f"""
+    WITH RECURSIVE {_duck_minhash_ctes()},
+    e2 AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e2),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e2.dst, walk.label FROM walk JOIN e2 ON e2.src = walk.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id,
+           node = MIN(label) AS is_canonical
+    FROM walk GROUP BY node
+    """,
+    doc="Near-dup CLUSTERS (connected components over MinHash-LSH "
+    "pairs) with a deterministic canonical survivor per cluster "
+    "(min doc_id).  Pair lists alone under-delete: A~B, B~C must "
+    "collapse to one survivor even when A~C never became a candidate "
+    "pair.  Spark side is iterative min-label propagation (per round: "
+    "one join + one agg shuffle, O(1)-deep lineage via "
+    "persist/unpersist), converging in O(component diameter); the "
+    "oracle replays it as a DuckDB recursive CTE reachability walk.",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, id_col="doc_id", text_col="text", k=3, threshold=0.8
+    )
+    labels = near_dup_clusters(pairs, id_a="id_a", id_b="id_b")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
     )
 
 

@@ -189,3 +189,20 @@ def test_feature_embed_feeds_similarity(spark):
     out = topk.collect()
     assert len(out) == 5 * 3
     assert all(r["cand_id"] != r["query_id"] for r in out)
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B, B~C collapse into one cluster even without an A~C edge;
+    disjoint components keep distinct min-id labels; chain longer
+    than one hop converges (propagation, not single-step)."""
+    from hana_bq_beam_connector_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4} as a chain, component {10,11} as an edge
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["node"]: r["label"] for r in near_dup_clusters(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

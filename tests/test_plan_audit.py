@@ -25,6 +25,7 @@ _ALLOWED = {
     "sim_ivf_topk": "centroid set (16 rows) broadcast for assignment",
     "stream_late_events": "single-row watermark aggregate broadcast",
     "subquery_above_avg_balance": "scalar aggregate broadcast as literal",
+    "agg_having_share_of_total": "global-total scalar (1 row) broadcast",
 }
 _SKIP_EXECUTING = {
     # these run a real streaming query inside fn(); plan checked in
