@@ -37,6 +37,7 @@ HEADLINE = [
     "text_tfidf_topk",            # tokenize + 2-shuffle TF-IDF
     "text_quality_features",      # per-doc scoring
     "curation_pipeline",          # quality->dedup->split end-to-end
+    "decontam_ngram_overlap",     # eval 5-gram decontamination
     "stream_session_windows",     # sessionization (gaps-and-islands)
     "scalar_json_funcs",          # JSON extraction over events
 ]

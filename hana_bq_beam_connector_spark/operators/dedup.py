@@ -233,7 +233,11 @@ def near_dup_clusters(
     collapse to ONE surviving document even when A~C was never a
     candidate pair.  Iterative min-label propagation: each round every
     node takes the min label among itself and its neighbors (one
-    shuffle join + one shuffle agg per round), converging in
+    shuffle join + one shuffle agg per round; self rows carry the
+    previous label through the agg, so convergence detection is a
+    free extra agg column instead of a second join; the symmetric
+    edge list is one explode scan of the pair lineage, not a
+    two-branch union that computes it twice), converging in
     O(component diameter) rounds — near-dup clusters are dense and
     shallow, so 2-4 rounds in practice.  Per-round frames persist and
     the previous round unpersists: lineage stays O(1) deep instead of
@@ -248,33 +252,51 @@ def near_dup_clusters(
     corpus).
     """
     edges = _persist(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
-    labels = _persist(
+    pinned = _persist(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
+    labels = pinned
     for _ in range(max_iter):
-        # min over {self} ∪ {neighbor labels}, one round
+        # min over {self} ∪ {neighbor labels}; self rows are tagged so
+        # the same agg also yields the previous label — convergence
+        # detection costs one more agg column, not a second join+job
         nbr = edges.join(
             labels, edges["src"] == labels["node"]
-        ).select(F.col("dst").alias("node"), "label")
+        ).select(
+            F.col("dst").alias("node"),
+            "label",
+            F.lit(None).cast("long").alias("old"),
+        )
         new_labels = _persist(
-            nbr.union(labels.select("node", "label"))
+            nbr.unionByName(
+                labels.select("node", "label", F.col("label").alias("old"))
+            )
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.where(
+            F.col("label") != F.col("old")
+        ).count()
+        pinned.unpersist()
+        pinned = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()

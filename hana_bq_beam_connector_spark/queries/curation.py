@@ -101,3 +101,95 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select(
         "doc_id", "lang", "n_tokens", "quality_score", split.alias("split")
     )
+
+
+_DUCK_5GRAMS = (
+    "list_transform(range(1, greatest(len(w) - 4, 0) + 1), "
+    "i -> array_to_string(list_slice(w, i, i + 4), ' '))"
+)
+
+
+@register(
+    "decontam_ngram_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest({_DUCK_5GRAMS}) AS g FROM t
+    ),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+    )
+    SELECT grams.doc_id, COUNT(DISTINCT g) AS n_shared_ngrams
+    FROM grams JOIN eval_grams USING (g)
+    WHERE grams.doc_id % 50 <> 0
+    GROUP BY grams.doc_id
+    """,
+    doc="Benchmark decontamination: flag training documents sharing "
+    "any word 5-gram with the held-out eval slice (doc_id % 50 = 0 "
+    "stands in for the benchmark set).  Spark plan: eval 5-grams are "
+    "hashed to 8-byte keys and BROADCAST (eval sets are MBs even "
+    "when the corpus is 100 TB), so the training side never "
+    "shuffles n-gram strings — the only exchange is the per-doc "
+    "count-distinct on hashed grams.  Oracle counts the same "
+    "distinct grams as strings.",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.text import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(word_ngrams("text", 5)).alias("g")
+    ).withColumn("gh", F.xxhash64("g"))
+    eval_grams = (
+        grams.where(F.col("doc_id") % 50 == 0).select("gh").distinct()
+    )
+    train = grams.where(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(F.broadcast(eval_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gh").alias("n_shared_ngrams"))
+    )
+
+
+@register(
+    "corpus_global_shuffle",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+        {duck_polyhash("CAST(doc_id AS VARCHAR)")} AS k
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST((k % 64 + 64) % 64 AS BIGINT) AS shuffle_bucket,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY (k % 64 + 64) % 64 ORDER BY k, doc_id
+      ) AS BIGINT) AS pos_in_bucket
+    FROM keyed
+    """,
+    doc="Deterministic global training shuffle: content-hash key -> "
+    "64 shuffle buckets -> in-bucket rank.  Reproducible on any "
+    "input layout (pure function of doc_id, no RNG) and scalable: "
+    "64 independent window partitions instead of one global "
+    "ROW_NUMBER sort (a single-partition window is the classic "
+    "driver-melting anti-pattern at 10^9 rows); readers consume "
+    "buckets in order for a full epoch permutation.",
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.expr(spark_polyhash("cast(doc_id as string)")).alias("k"),
+    )
+    w = Window.partitionBy(F.pmod(F.col("k"), F.lit(64))).orderBy(
+        F.col("k"), F.col("doc_id")
+    )
+    return keyed.select(
+        "doc_id",
+        F.pmod(F.col("k"), F.lit(64)).cast("long").alias("shuffle_bucket"),
+        F.row_number().over(w).cast("long").alias("pos_in_bucket"),
+    )

@@ -285,3 +285,104 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n - nd).alias("n_repeated"),
         (nd.cast("double") / n.cast("double")).alias("distinct_ratio"),
     )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"555-[0-9]{4}"
+_DUCK_SYNTH = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.example.com ref 555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "text_pii_redact",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_DUCK_SYNTH} AS synth FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(synth, '{_EMAIL_RE}')) AS BIGINT)
+        AS n_emails,
+      CAST(len(regexp_extract_all(synth, '{_PHONE_RE}')) AS BIGINT)
+        AS n_phones,
+      regexp_replace(regexp_replace(synth, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM s
+    """,
+    doc="PII scrubbing: count + redact emails and phone-shaped tokens "
+    "with codegen'd regex (JVM-side, zero Python).  The synthetic "
+    "corpus has no PII, so a deterministic email/phone is derived "
+    "from doc_id and appended identically in both engines before "
+    "redaction — the redacted string itself is the checked value.  "
+    "One scan, no shuffle; the pattern set is the plug-in point for "
+    "real PII rulepacks.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ref 555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(synth, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(synth, F.lit(_EMAIL_RE)).cast("long").alias(
+            "n_emails"
+        ),
+        F.regexp_count(synth, F.lit(_PHONE_RE)).cast("long").alias(
+            "n_phones"
+        ),
+        redacted.alias("redacted"),
+    )
+
+
+@register(
+    "text_chunk_overlap",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ),
+    s AS (
+      SELECT doc_id, w, unnest(range(0, len(w), 24)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+      CAST(start // 24 AS BIGINT) AS chunk_id,
+      CAST(len(list_slice(w, start + 1, start + 32)) AS BIGINT)
+        AS n_chunk_tokens,
+      array_to_string(list_slice(w, start + 1, start + 32), ' ')
+        AS chunk_text
+    FROM s
+    """,
+    doc="Context-window chunking: split each document into overlapping "
+    "token windows (size 32, stride 24 — 8-token overlap), the "
+    "standard pre-tokenization step for embedding/training pipelines. "
+    "One scan, zero shuffle: windows are generated per-row with "
+    "sequence+transform+posexplode (codegen'd array ops), so the "
+    "operator scales linearly and preserves input partitioning.",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("w")).where(F.size("w") > 0)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 1, F.lit(24)),
+        lambda s: F.slice(F.col("w"), s + 1, 32),
+    )
+    e = t.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+    return e.select(
+        "doc_id",
+        F.col("chunk_id").cast("long"),
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
