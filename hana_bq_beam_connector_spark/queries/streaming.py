@@ -274,3 +274,39 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("c_time").alias("c_time_us"),
         "purchase_value",
     )
+
+
+@register(
+    "stream_static_enrich",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+           n.n_name AS nation, e.value
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="Stream-static enrichment: events joined to the customer->"
+    "nation dim chain.  In streaming this is a stateless per-micro-"
+    "batch broadcast join (no state store — only stream-stream joins "
+    "buffer); in batch the identical plan.  At 100 TB/day the dim "
+    "chain stays MBs-GBs and broadcasts; the fact side never "
+    "shuffles.  Live readStream equivalence is tested in "
+    "tests/test_streaming.py.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.sources.files import load_table
+    from hana_bq_beam_connector_spark.streaming.joins import enrich_with_dim
+
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dim = c.join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left"
+    ).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_name").alias("nation"),
+    )
+    return enrich_with_dim(ev, dim).select(
+        "event_id", "user_id", "segment", "nation", "value"
+    )

@@ -44,3 +44,30 @@ def bigquery_append(
             "(--packages com.google.cloud.spark:spark-bigquery-with-"
             "dependencies); use parquet_append as the local stand-in"
         ) from exc
+
+
+def jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    driver: str | None = None,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """Append-mode JDBC write — the reverse of the partitioned JDBC
+    scan (SURVEY §2a R1), completing the source/sink symmetry the
+    reference lacks (it can only write to BigQuery).
+
+    Semantics match the reference sink's WRITE_APPEND /
+    CREATE_IF_NEEDED (HanaToBQ.java:256-259): the table is created
+    from the DataFrame schema if absent and never truncated.  Each
+    input partition opens one connection and writes prepared-statement
+    batches of ``batchsize`` rows — write parallelism equals the
+    partition count, so repartition upstream to match what the target
+    database can absorb."""
+    props = dict(properties or {})
+    if driver:
+        props["driver"] = driver
+    writer = df.write.mode("append").option("batchsize", str(batchsize))
+    writer.jdbc(url, table, mode="append", properties=props)

@@ -56,3 +56,22 @@ def purchase_click_interval_join(
         "c_time",
         "purchase_value",
     )
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch hash-joins
+    against the static dimension with the dim side broadcast —
+    stateless (no state store, no watermark needed; only stream-stream
+    joins buffer state), so throughput is the scan rate.  The dim
+    snapshot is re-resolvable per micro-batch, which is how slowly-
+    changing dimensions refresh mid-stream.  Works identically on a
+    static events frame (the batch oracle)."""
+    return events.join(
+        F.broadcast(dim), events[on_left] == dim[on_right], how
+    )

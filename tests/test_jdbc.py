@@ -122,3 +122,28 @@ def test_full_pipeline_on_real_jdbc(spark, derby_url, tmp_path):
     assert sorted(r["EVENT_ID"] for r in sunk.collect()) == sorted(
         r["EVENT_ID"] for r in want.collect()
     )
+
+
+def test_jdbc_append_sink_round_trip(spark, derby_url):
+    """JDBC sink: CREATE_IF_NEEDED on first append, WRITE_APPEND (no
+    truncate) on the second; read-back multiset equals two appends."""
+    from hana_bq_beam_connector_spark.sinks import jdbc_append
+
+    df = spark.range(50).selectExpr(
+        "id AS rid", "CAST(id * 2 AS DOUBLE) AS score"
+    )
+    jdbc_append(
+        df, derby_url, "sink_rt", driver=DERBY_DRIVER, batchsize=16
+    )
+    jdbc_append(
+        df.where("rid < 10"), derby_url, "sink_rt", driver=DERBY_DRIVER
+    )
+    back = spark.read.jdbc(
+        url=derby_url, table="sink_rt", properties={"driver": DERBY_DRIVER}
+    )
+    assert back.count() == 60
+    # Spark quotes identifiers at CREATE time, so the column name
+    # round-trips in its original case (unlike the unquoted-DDL tables
+    # above, which Derby folds to uppercase).
+    got = sorted(r["rid"] for r in back.collect())
+    assert got == sorted(list(range(50)) + list(range(10)))

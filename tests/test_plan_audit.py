@@ -51,3 +51,65 @@ def test_no_cartesian_or_nested_loop(spark, sf_dir, spec):
     )
     assert "CartesianProduct" not in plan, spec.name
     assert "BroadcastNestedLoopJoin" not in plan, spec.name
+
+
+def _physical(spark, sf_dir, name: str) -> str:
+    return (
+        registry()[name]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q6_filter_pushdown_and_column_pruning(spark, sf_dir):
+    """The Q6 scan must push its range predicates into the parquet
+    reader and prune to the 4 referenced lineitem columns — the
+    'reads all 16 columns for a 4-column query' plan is wrong at any
+    scale."""
+    plan = _physical(spark, sf_dir, "sql_entrypoint_q6")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_discount" in pushed or "l_shipdate" in pushed, pushed
+    schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    for col in ("l_quantity", "l_extendedprice", "l_discount"):
+        assert col in schema, schema
+    assert "l_returnflag" not in schema, schema  # unreferenced -> pruned
+
+
+def _executed(spark, sf_dir, name: str) -> str:
+    """Run the query so AQE finalizes, then return the final plan
+    (whole-stage-codegen spans print as ``*(n)`` only after that)."""
+    df = registry()[name].fn(spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """Q5-shaped star join: the small dims (nation, region) must
+    arrive as BroadcastHashJoin and the final plan must run inside
+    whole-stage codegen.  (customer stays a shuffled join by design —
+    it is a LARGE dim at the 100 TB design point; AQE demotes it to
+    broadcast when it is actually small.)"""
+    plan = _executed(spark, sf_dir, "join_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan  # whole-stage-codegen span markers
+
+
+def test_dedup_pipeline_stays_jvm_side(spark, sf_dir):
+    """MinHash-LSH must be pure codegen'd SQL expressions — a
+    BatchEvalPython / ArrowEvalPython node in this plan means Python
+    re-entered the per-row hot path."""
+    plan = _executed(spark, sf_dir, "dedup_minhash_lsh_pairs")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "*(" in plan
+
+
+def test_chunking_preserves_partitioning(spark, sf_dir):
+    """Context-window chunking must be a zero-Exchange projection:
+    the fan-out happens per-partition, never through a shuffle."""
+    plan = _physical(spark, sf_dir, "text_chunk_overlap")
+    assert "Exchange" not in plan, plan

@@ -265,3 +265,37 @@ def test_foreach_batch_idempotent_append(spark, stream_dir, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(f"{base}/batch=*").count() == want
+
+
+def test_stream_static_enrich_equals_batch(spark, stream_dir, tmp_path, sf_dir):
+    """Stream-static broadcast enrichment: the live readStream join
+    yields exactly the batch join, and it is stateless (append mode,
+    no watermark required)."""
+    from hana_bq_beam_connector_spark.sources.files import load_table
+    from hana_bq_beam_connector_spark.streaming.joins import enrich_with_dim
+    from hana_bq_beam_connector_spark.streaming.windows import events_stream
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = events_stream(spark, stream_dir)
+    joined = enrich_with_dim(stream, dim).select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    assert joined.isStreaming
+    run_available_now(
+        joined, "enrich_t", str(tmp_path / "ckpt_enrich"), mode="append"
+    )
+    got = {
+        (r["event_id"], r["user_id"], r["c_mktsegment"])
+        for r in spark.sql("SELECT * FROM enrich_t").collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(stream_dir)
+    want = {
+        (r["event_id"], r["user_id"], r["c_mktsegment"])
+        for r in enrich_with_dim(static, dim)
+        .select("event_id", "user_id", "c_mktsegment")
+        .collect()
+    }
+    assert got == want and len(got) > 0
