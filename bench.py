@@ -38,7 +38,9 @@ HEADLINE = [
     "text_quality_features",      # per-doc scoring
     "curation_pipeline",          # quality->dedup->split end-to-end
     "decontam_ngram_overlap",     # eval 5-gram decontamination
+    "text_chunk_overlap",         # zero-shuffle context-window chunking
     "stream_session_windows",     # sessionization (gaps-and-islands)
+    "stream_static_enrich",       # stateless broadcast dim enrichment
     "scalar_json_funcs",          # JSON extraction over events
 ]
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from hana_bq_beam_connector_spark.functions.hashing import (
     duck_polyhash,
+    duck_shingle_hash_chain,
     spark_polyhash,
 )
 from hana_bq_beam_connector_spark.operators.dedup import keep_first_by_key
@@ -103,54 +104,62 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_5GRAMS = (
-    "list_transform(range(1, greatest(len(w) - 4, 0) + 1), "
-    "i -> array_to_string(list_slice(w, i, i + 4), ' '))"
-)
+def _duck_5gram_hashes(src: str) -> str:
+    """CTE body: (doc_id, gh) — distinct composed 5-gram hashes per
+    doc, mirroring operators/dedup.shingle_hashes(k=5) exactly."""
+    return f"""
+      SELECT doc_id, unnest(g5) AS gh FROM (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(wh) - 3),
+            i -> {duck_shingle_hash_chain("wh", "i", 5)})) AS g5
+        FROM (
+          SELECT doc_id,
+            list_transform(string_split(text, ' '),
+                           x -> {duck_polyhash("x")}) AS wh
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 5 AND ({src})
+        )
+      )"""
 
 
 @register(
     "decontam_ngram_overlap",
     f"""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
-      FROM documents
+    WITH eval_grams AS (
+      SELECT DISTINCT gh FROM ({_duck_5gram_hashes("doc_id % 50 = 0")})
     ),
-    grams AS (
-      SELECT doc_id, unnest({_DUCK_5GRAMS}) AS g FROM t
-    ),
-    eval_grams AS (
-      SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
-    )
-    SELECT grams.doc_id, COUNT(DISTINCT g) AS n_shared_ngrams
-    FROM grams JOIN eval_grams USING (g)
-    WHERE grams.doc_id % 50 <> 0
-    GROUP BY grams.doc_id
+    train AS ({_duck_5gram_hashes("doc_id % 50 <> 0")})
+    SELECT train.doc_id, COUNT(*) AS n_shared_ngrams
+    FROM train JOIN eval_grams USING (gh)
+    GROUP BY train.doc_id
     """,
     doc="Benchmark decontamination: flag training documents sharing "
     "any word 5-gram with the held-out eval slice (doc_id % 50 = 0 "
-    "stands in for the benchmark set).  Spark plan: eval 5-grams are "
-    "hashed to 8-byte keys and BROADCAST (eval sets are MBs even "
-    "when the corpus is 100 TB), so the training side never "
-    "shuffles n-gram strings — the only exchange is the per-doc "
-    "count-distinct on hashed grams.  Oracle counts the same "
-    "distinct grams as strings.",
+    "stands in for the benchmark set).  No n-gram STRING ever "
+    "exists: each word is character-hashed once and 5-gram hashes "
+    "compose word hashes (same chain as MinHash shingling — O(chars "
+    "+ words*5) integer ops).  Eval hashes BROADCAST (eval sets are "
+    "MBs even when the corpus is 100 TB); per-doc hashes are "
+    "pre-distinct arrays, so the post-join agg is a plain COUNT.  "
+    "The only exchange is that count's 16-byte partials.",
 )
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hana_bq_beam_connector_spark.operators.text import word_ngrams
+    from hana_bq_beam_connector_spark.operators.dedup import shingle_hashes
 
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(word_ngrams("text", 5)).alias("g")
-    ).withColumn("gh", F.xxhash64("g"))
-    eval_grams = (
-        grams.where(F.col("doc_id") % 50 == 0).select("gh").distinct()
-    )
-    train = grams.where(F.col("doc_id") % 50 != 0)
+
+    def grams(pred):
+        side = d.where(pred).select("doc_id", "text")
+        return shingle_hashes(side, "text", k=5, out="g5").select(
+            "doc_id", F.explode("g5").alias("gh")
+        )
+
+    eval_grams = grams(F.col("doc_id") % 50 == 0).select("gh").distinct()
+    train = grams(F.col("doc_id") % 50 != 0)
     return (
         train.join(F.broadcast(eval_grams), "gh")
         .groupBy("doc_id")
-        .agg(F.count_distinct("gh").alias("n_shared_ngrams"))
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
 
 

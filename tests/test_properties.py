@@ -83,3 +83,54 @@ def test_hll_sketch_within_rsd(spark):
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a")
     ).first()["a"]
     assert abs(approx - exact) / exact < 0.06  # 3x rsd safety margin
+
+
+_edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _union_find_components(edges):
+    """Reference connected components: min node id per component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edge_lists)
+def test_near_dup_clusters_match_union_find(spark, edges):
+    """Min-label propagation equals a driver-side union-find on random
+    graphs — including chains, cycles, self-merging stars, and
+    multi-edge duplicates."""
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["label"]
+        for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == _union_find_components(edges)
