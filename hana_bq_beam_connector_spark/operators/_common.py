@@ -26,6 +26,36 @@ def persist_reused(df: DataFrame) -> DataFrame:
     return out
 
 
+def explode_nonempty(col):
+    """``explode`` for array columns the caller guarantees non-empty
+    and non-null — spelled as ``explode_outer`` to dodge a Catalyst
+    performance trap.
+
+    For a plain ``explode``, ``InferFiltersFromGenerate`` adds
+    ``size(arr) > 0 AND arr IS NOT NULL`` above the child, and
+    ``PushDownPredicates`` then pushes that filter through the
+    projections that *define* the array, substituting the full array
+    expression into the filter.  If the array is built from
+    higher-order functions over a bound intermediate (e.g. per-word
+    hashes), the substitution re-inlines the intermediate into every
+    lambda reference — turning an O(words) projection into an
+    O(words·k·words) filter evaluated per input row.  Measured on the
+    5-gram decontamination query at sf0.1: 72 s → 2 s.  Outer
+    generators are exempt from the infer rule, and on non-empty
+    arrays ``explode_outer`` ≡ ``explode`` row-for-row."""
+    from pyspark.sql import functions as F
+
+    return F.explode_outer(col)
+
+
+def posexplode_nonempty(col):
+    """``posexplode`` variant of :func:`explode_nonempty` — same
+    Catalyst trap, same non-empty/non-null caller contract."""
+    from pyspark.sql import functions as F
+
+    return F.posexplode_outer(col)
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to full cluster parallelism before
     CPU-heavy per-row work (hashing, vector folds).

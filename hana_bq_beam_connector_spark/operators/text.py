@@ -93,14 +93,19 @@ def fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint") -> DataF
     return spread(df).withColumn(out, F.expr(spark_polyhash(norm)))
 
 
-def word_ngrams(text_col: str, n: int) -> Column:
-    """All word n-grams (with multiplicity) as an array column."""
-    words = f"split(lower({text_col}), '\\\\s+')"
-    # sequence(1, 0) would count *down* — guard short docs explicitly.
+def word_ngrams(words_col: str, n: int) -> Column:
+    """All word n-grams (with multiplicity) as an array column.
+
+    ``words_col`` must be a *bound* array<string> column (tokenize
+    once in a prior projection), not an inline ``split(...)`` — an
+    inline expression would be re-evaluated inside every lambda call
+    (``slice`` per position), turning O(words) per row into
+    O(words²).  sequence(1, 0) would count *down* — guard short docs
+    explicitly."""
     return F.expr(
-        f"IF(size({words}) < {n}, array(), "
-        f"transform(sequence(1, size({words}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({words}, i, {n}))))"
+        f"IF(size({words_col}) < {n}, array(), "
+        f"transform(sequence(1, size({words_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({words_col}, i, {n}))))"
     )
 
 

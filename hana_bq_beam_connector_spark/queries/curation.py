@@ -26,6 +26,7 @@ from hana_bq_beam_connector_spark.functions.hashing import (
     duck_shingle_hash_chain,
     spark_polyhash,
 )
+from hana_bq_beam_connector_spark.operators._common import explode_nonempty
 from hana_bq_beam_connector_spark.operators.dedup import keep_first_by_key
 from hana_bq_beam_connector_spark.operators.text import quality_features
 from hana_bq_beam_connector_spark.queries import register
@@ -150,8 +151,9 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def grams(pred):
         side = d.where(pred).select("doc_id", "text")
+        # shingle_hashes guarantees >= 1 shingle per surviving row.
         return shingle_hashes(side, "text", k=5, out="g5").select(
-            "doc_id", F.explode("g5").alias("gh")
+            "doc_id", explode_nonempty("g5").alias("gh")
         )
 
     eval_grams = grams(F.col("doc_id") % 50 == 0).select("gh").distinct()

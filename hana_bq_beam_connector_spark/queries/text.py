@@ -6,6 +6,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hana_bq_beam_connector_spark.functions.hashing import duck_polyhash
+from hana_bq_beam_connector_spark.operators._common import (
+    explode_nonempty,
+    posexplode_nonempty,
+)
 from hana_bq_beam_connector_spark.operators.relational import topk_per_group
 from hana_bq_beam_connector_spark.operators.text import (
     STOPWORDS,
@@ -174,8 +178,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    exploded = d.select(
-        F.explode(word_ngrams("text", 2)).alias("bigram")
+    # Tokenize once per row, then filter BEFORE building n-grams so
+    # the exploded array is provably non-empty (explode_nonempty
+    # contract) and the short-doc guard stays on the cheap split.
+    t = d.select(
+        F.split(F.lower("text"), r"\s+").alias("__w")
+    ).where(F.size("__w") >= 2)
+    exploded = t.select(
+        explode_nonempty(word_ngrams("__w", 2)).alias("bigram")
     )
     counted = exploded.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     return (
@@ -379,7 +389,10 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size("w") - 1, F.lit(24)),
         lambda s: F.slice(F.col("w"), s + 1, 32),
     )
-    e = t.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+    # size(w) > 0 above guarantees >= 1 window per row.
+    e = t.select(
+        "doc_id", posexplode_nonempty(chunks).alias("chunk_id", "chunk")
+    )
     return e.select(
         "doc_id",
         F.col("chunk_id").cast("long"),
