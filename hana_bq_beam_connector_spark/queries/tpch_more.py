@@ -561,3 +561,121 @@ def unpivot_customer_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@register(
+    "agg_priority_by_linestatus",
+    """
+    SELECT l.l_linestatus AS linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY linestatus
+    """,
+    doc="TPC-H Q12 shape (fixtures lack l_shipmode; l_linestatus "
+    "stands in): fact-fact join + conditional two-way counts.  The "
+    "ship-date range pushes into the lineitem scan (partition/row-"
+    "group pruning — at 100 TB this is the difference between one "
+    "year and the whole table); orders prunes to 2 columns.  Both "
+    "sides shuffle on l_orderkey; the CASE counts fold map-side into "
+    "two BIGINTs per partition before the 2-row final agg.",
+)
+def agg_priority_by_linestatus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (
+            F.col("l_shipdate")
+            >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        & (
+            F.col("l_shipdate")
+            < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = (
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0)
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "join_excess_qty_supplier",
+    """
+    WITH qty AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS q
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_type = 'PROMO'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 70
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM qty)
+    """,
+    doc="TPC-H Q20 shape (fixtures lack partsupp.availqty; the "
+    "excess-quantity threshold applies to shipped quantity): nested "
+    "semi-join on an aggregated subquery.  The PROMO part filter "
+    "broadcasts into the fact scan, the per-(supplier, part) HAVING "
+    "aggregate is the single fact shuffle, and the surviving "
+    "supplier keys collapse to a distinct set small enough to "
+    "broadcast — the supplier and nation dims never shuffle.",
+)
+def join_excess_qty_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (
+            F.col("l_shipdate")
+            >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        & (
+            F.col("l_shipdate")
+            < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+        )
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    qty = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .where(F.col("q") > 70)
+    )
+    supp_keys = qty.select("l_suppkey").distinct()
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(
+            F.broadcast(supp_keys),
+            s["s_suppkey"] == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
