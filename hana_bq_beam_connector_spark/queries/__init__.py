@@ -90,6 +90,7 @@ def _load_all() -> None:
         scalar,
         setops,
         similarity,
+        sketches,
         streaming,
         text,
         timeseries,

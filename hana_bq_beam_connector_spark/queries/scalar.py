@@ -316,3 +316,54 @@ def scalar_nullsafe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("both_null"),
     )
+
+
+@register(
+    "scalar_higher_order_funcs",
+    """
+    SELECT doc_id,
+      list_reduce(list_prepend(CAST(0 AS BIGINT), L),
+                  (acc, x) -> acc + x) AS total_chars,
+      CAST(len(list_filter(L, x -> x > 4)) AS BIGINT) AS n_long_tokens,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, len(L) + 1),
+                         i -> L[i] * L[len(L) - i + 1])),
+          (acc, x) -> acc + x) AS rev_dot
+    FROM (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            x -> CAST(length(x) AS BIGINT)) AS L
+      FROM documents
+    )
+    """,
+    doc="Higher-order array functions — transform / filter / "
+    "aggregate (fold) / zip_with — over per-token lengths: total "
+    "characters, long-token count, and the dot product of the length "
+    "vector with its reverse.  All-integer folds, bit-identical "
+    "across engines.  The token-length array binds in its own "
+    "projection (word_ngrams contract: an inline split would "
+    "re-tokenize per lambda call).",
+)
+def scalar_higher_order_funcs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bound = d.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '), x -> cast(length(x) as bigint))"
+        ).alias("L"),
+    )
+    return bound.select(
+        "doc_id",
+        F.expr(
+            "aggregate(L, cast(0 as bigint), (acc, x) -> acc + x)"
+        ).alias("total_chars"),
+        F.expr("cast(size(filter(L, x -> x > 4)) as bigint)").alias(
+            "n_long_tokens"
+        ),
+        F.expr(
+            "aggregate(zip_with(L, reverse(L), (a, b) -> a * b), "
+            "cast(0 as bigint), (acc, x) -> acc + x)"
+        ).alias("rev_dot"),
+    )

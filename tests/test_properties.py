@@ -134,3 +134,38 @@ def test_near_dup_clusters_match_union_find(spark, edges):
         for r in near_dup_clusters(pairs).collect()
     }
     assert got == _union_find_components(edges)
+
+
+_key_lists = st.lists(
+    st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=300
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=_key_lists)
+def test_cms_never_undercounts(spark, keys):
+    """Count-Min guarantee: estimate >= true count for every key, and
+    exact when the tiny grid has no collisions for that key."""
+    from collections import Counter
+
+    from hana_bq_beam_connector_spark.operators.sketch import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    # w=16 forces collisions so the over-count path is exercised.
+    sketch = count_min_sketch(df, "k", w=16, d=4)
+    probes = df.distinct()
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(sketch, probes, "k", w=16, d=4).collect()
+    }
+    truth = Counter(keys)
+    assert set(est) == set(truth)
+    for k, true_cnt in truth.items():
+        assert est[k] >= true_cnt
