@@ -39,6 +39,7 @@ HEADLINE = [
     "curation_pipeline",          # quality->dedup->split end-to-end
     "decontam_ngram_overlap",     # eval 5-gram decontamination
     "text_chunk_overlap",         # zero-shuffle context-window chunking
+    "sketch_cms_frequency",       # Count-Min build + probe
     "stream_session_windows",     # sessionization (gaps-and-islands)
     "stream_static_enrich",       # stateless broadcast dim enrichment
     "scalar_json_funcs",          # JSON extraction over events

@@ -9,6 +9,7 @@ from hana_bq_beam_connector_spark.functions.hashing import duck_polyhash
 from hana_bq_beam_connector_spark.operators._common import (
     explode_nonempty,
     posexplode_nonempty,
+    spread,
 )
 from hana_bq_beam_connector_spark.operators.relational import topk_per_group
 from hana_bq_beam_connector_spark.operators.text import (
@@ -181,9 +182,13 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokenize once per row, then filter BEFORE building n-grams so
     # the exploded array is provably non-empty (explode_nonempty
     # contract) and the short-doc guard stays on the cheap split.
-    t = d.select(
-        F.split(F.lower("text"), r"\s+").alias("__w")
-    ).where(F.size("__w") >= 2)
+    # spread: n-gram string building is CPU-bound; a single small
+    # parquet split would otherwise serialize it on one core.
+    t = (
+        spread(d)
+        .select(F.split(F.lower("text"), r"\s+").alias("__w"))
+        .where(F.size("__w") >= 2)
+    )
     exploded = t.select(
         explode_nonempty(word_ngrams("__w", 2)).alias("bigram")
     )
