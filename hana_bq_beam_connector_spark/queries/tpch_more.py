@@ -679,3 +679,40 @@ def join_excess_qty_supplier(
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select("s_suppkey", "s_name", "n_name", "s_acctbal")
     )
+
+
+@register(
+    "agg_key_skew_profile",
+    """
+    WITH per_key AS (
+      SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt) AS skew_ratio
+    FROM per_key
+    """,
+    doc="Join-key skew diagnostic: per-key counts reduced to "
+    "(cardinality, hottest key count, total, max/avg ratio).  This "
+    "is the measurement that decides between a plain shuffled join, "
+    "AQE skew-split, and an explicit salted join (operators/"
+    "relational.salted_join) before launching a 100 TB job — two "
+    "hash aggs, the second over one row per key, and the profile "
+    "itself costs a single shuffle of 16-byte pairs.  skew_ratio is "
+    "one IEEE multiply+divide of exact integer aggregates, "
+    "bit-identical across engines.",
+)
+def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").alias("n_rows"),
+        (
+            F.max("cnt").cast("double")
+            * F.count(F.lit(1))
+            / F.sum("cnt")
+        ).alias("skew_ratio"),
+    )

@@ -299,3 +299,38 @@ def test_stream_static_enrich_equals_batch(spark, stream_dir, tmp_path, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_cms_merges_to_batch(spark, stream_dir, tmp_path):
+    """Count-Min is mergeable: the streaming cell-count agg (partial
+    sums per micro-batch, merged in the state store) lands on exactly
+    the one-shot batch grid."""
+    from hana_bq_beam_connector_spark.operators.sketch import (
+        count_min_sketch,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        events_stream,
+        run_available_now,
+    )
+
+    stream = events_stream(spark, stream_dir).select("user_id")
+    run_available_now(
+        count_min_sketch(stream, "user_id", w=64, d=4),
+        "cms_t",
+        str(tmp_path / "ckpt_cms"),
+    )
+    got = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_t").collect()
+    }
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(stream_dir)
+        .select("user_id")
+    )
+    want = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in count_min_sketch(batch, "user_id", w=64, d=4).collect()
+    }
+    assert got == want and len(got) > 0
