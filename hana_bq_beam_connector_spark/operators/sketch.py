@@ -24,7 +24,7 @@ north star.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Column
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hana_bq_beam_connector_spark.functions.hashing import PRIME

@@ -24,7 +24,6 @@ from hana_bq_beam_connector_spark.operators._common import (
 )
 from hana_bq_beam_connector_spark.queries import register
 from hana_bq_beam_connector_spark.queries._util import (
-    SQL_SUM_DEC,
     dec,
     rate,
     sum_dec_as_double,
