@@ -121,9 +121,9 @@ def _union_find_components(edges):
 )
 @given(edges=_edge_lists)
 def test_near_dup_clusters_match_union_find(spark, edges):
-    """Min-label propagation equals a driver-side union-find on random
-    graphs — including chains, cycles, self-merging stars, and
-    multi-edge duplicates."""
+    """Min-label propagation + pointer jumping equals a driver-side
+    union-find on random graphs — including chains, cycles,
+    self-merging stars, and multi-edge duplicates."""
     from hana_bq_beam_connector_spark.operators.dedup import (
         near_dup_clusters,
     )
@@ -169,3 +169,23 @@ def test_cms_never_undercounts(spark, keys):
     assert set(est) == set(truth)
     for k, true_cnt in truth.items():
         assert est[k] >= true_cnt
+
+
+def test_near_dup_clusters_deep_chain(spark):
+    """A 60-node path needs 60 rounds under plain min-label
+    propagation (the pre-fix code silently returned half-merged
+    labels past max_iter=20, and its uncheckpointed per-round plan
+    doubled until the driver OOMed stringifying it); pointer jumping
+    + localCheckpoint converge it in ~log2(60) rounds with a flat
+    plan."""
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["label"] for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
