@@ -71,3 +71,28 @@ def jdbc_append(
         props["driver"] = driver
     writer = df.write.mode("append").option("batchsize", str(batchsize))
     writer.jdbc(url, table, mode="append", properties=props)
+
+
+def range_clustered_write(
+    df: DataFrame, path: str, col: str, n_files: int
+) -> None:
+    """Write parquet range-clustered on ``col``: repartitionByRange
+    (sampled range boundaries → one contiguous value band per file)
+    plus an in-partition sort (monotone pages within the file).
+
+    Layout, not just a write: parquet footers carry per-row-group
+    min/max, and a later range scan (the copy pipeline's chunk
+    predicates, time-windowed queries) skips every file/row-group
+    whose band misses the filter.  On a randomly-laid-out 100 TB
+    table every file's [min, max] spans the whole domain and nothing
+    prunes; range-clustered, a day-window scan touches ~1/365th of
+    the files.  Costs one range-exchange at write time — paid once,
+    recouped on every subsequent scan (tests/test_sources.py asserts
+    the bands are disjoint and that Spark's scan prunes).
+    """
+    (
+        df.repartitionByRange(n_files, col)
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

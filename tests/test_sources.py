@@ -134,3 +134,41 @@ def test_star_join_broadcasts_dims(spark):
     df = registry()["join_region_revenue"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_range_clustered_write_disjoint_bands(spark, sf_dir, tmp_path):
+    """range_clustered_write produces files whose [min, max] value
+    bands are pairwise disjoint — the property that lets parquet
+    footer min/max prune range scans (a random layout's bands all
+    overlap and nothing prunes)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from hana_bq_beam_connector_spark.sinks import range_clustered_write
+    from hana_bq_beam_connector_spark.sources.files import load_table
+
+    ev = load_table(spark, str(sf_dir), "events").select("event_id", "ts")
+    out = str(tmp_path / "clustered")
+    range_clustered_write(ev, out, "ts", 8)
+
+    bands = []
+    for f in Path(out).glob("*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "ts"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        bands.append((min(mins), max(maxs)))
+    assert len(bands) >= 4  # range exchange actually split the data
+    bands.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(bands, bands[1:]):
+        assert hi1 <= lo2  # disjoint, contiguous bands
+
+    # and the round trip is lossless
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
