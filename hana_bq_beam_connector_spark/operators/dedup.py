@@ -103,6 +103,30 @@ def minhash_signature(
     return out
 
 
+def band_table(
+    sig: DataFrame, id_col: str, n_bands: int = 4, n_sig: int = 16
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows — the LSH index shape.  In a
+    production incremental pipeline this is the frame you persist as
+    the corpus dedup index (bucketed by band_hash) and probe with
+    each new increment."""
+    bands = band_exprs([f"mh{i}" for i in range(n_sig)], n_bands)
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(b).alias("band_hash"),
+                    )
+                    for i, b in enumerate(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str, n_bands: int = 4, n_sig: int = 16
 ) -> DataFrame:
@@ -112,25 +136,9 @@ def lsh_candidate_pairs(
     the self-join runs per (band_idx, band_hash) bucket — tiny groups,
     never the global cross product.  Output: (id_a, id_b), id_a < id_b.
     """
-    bands = band_exprs([f"mh{i}" for i in range(n_sig)], n_bands)
     # Both sides of the self-join read this frame; without persist the
     # whole shingle+signature lineage recomputes once per side.
-    banded = _persist(
-        sig.select(
-            F.col(id_col),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band_idx"),
-                            F.expr(b).alias("band_hash"),
-                        )
-                        for i, b in enumerate(bands)
-                    ]
-                )
-            ).alias("band"),
-        ).select(id_col, "band.band_idx", "band.band_hash")
-    )
+    banded = _persist(band_table(sig, id_col, n_bands, n_sig))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -186,6 +194,73 @@ def minhash_near_dup_pairs(
         .withColumn("jaccard", jaccard("sh_a", "sh_b"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_near_dup_filter(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental dedup: rows of ``new_df`` with NO near-duplicate in
+    ``corpus_df`` (the production shape at 100 TB — you never re-dedup
+    the corpus, you probe each increment against its LSH index).
+
+    Plan: band tables for both sides, increment-bands ⋈ corpus-bands
+    on (band_idx, band_hash) — the increment side is small, so its
+    bands broadcast and the corpus index is probed without a corpus
+    shuffle — then exact-Jaccard verify, then an 8-byte-id anti-join
+    back to the increment.  Per-run cost is O(increment), not
+    O(corpus): the corpus band table and shingle sets are write-once
+    artifacts (band_table docstring) recomputed here only because the
+    test fixture is tiny.  Documents too short to shingle have no
+    band and survive by construction (nothing to collide with).
+    """
+    sh_new = _persist(
+        shingle_hashes(new_df.select(id_col, text_col), text_col, k)
+    )
+    sh_cor = _persist(
+        shingle_hashes(corpus_df.select(id_col, text_col), text_col, k)
+    )
+    bands_new = band_table(minhash_signature(sh_new), id_col)
+    bands_cor = band_table(minhash_signature(sh_cor), id_col)
+    cand = (
+        bands_new.select(
+            F.col(id_col).alias("new_id"), "band_idx", "band_hash"
+        )
+        .join(
+            bands_cor.select(
+                F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    dup_ids = (
+        cand.join(
+            sh_new.select(
+                F.col(id_col).alias("new_id"),
+                F.col("shingle_hashes").alias("sh_a"),
+            ),
+            "new_id",
+        )
+        .join(
+            sh_cor.select(
+                F.col(id_col).alias("corpus_id"),
+                F.col("shingle_hashes").alias("sh_b"),
+            ),
+            "corpus_id",
+        )
+        .where(jaccard("sh_a", "sh_b") >= threshold)
+        .select("new_id")
+        .distinct()
+    )
+    return new_df.join(
+        dup_ids, new_df[id_col] == dup_ids["new_id"], "left_anti"
     )
 
 

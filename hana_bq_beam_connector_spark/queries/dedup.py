@@ -69,9 +69,12 @@ def dedup_keep_first_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_minhash_ctes(threshold: float = 0.8) -> str:
+def _duck_minhash_ctes(
+    threshold: float = 0.8, pair_pred: str = "a.doc_id < b.doc_id"
+) -> str:
     """CTE chain ending in ``verified`` (id_a, id_b, jaccard) — shared
-    by the pair query and the connected-components cluster query."""
+    by the pair query, the connected-components cluster query, and
+    (with an asymmetric ``pair_pred``) the incremental-dedup query."""
     sig_cols = [f"mh{i}" for i in range(16)]
     minhashes = ",\n      ".join(
         f"{duck_minhash('hashes', i)} AS mh{i}" for i in range(16)
@@ -108,7 +111,7 @@ def _duck_minhash_ctes(threshold: float = 0.8) -> str:
       FROM bands a
       JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id
+       AND ({pair_pred})
     ),
     verified AS (
       SELECT id_a, id_b,
@@ -419,3 +422,39 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= 2)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+@register(
+    "dedup_incremental_vs_corpus",
+    f"""
+    WITH {_duck_minhash_ctes(
+        0.8,
+        pair_pred="a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0",
+    )}
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id % 10 = 0
+      AND doc_id NOT IN (SELECT id_a FROM verified)
+    """,
+    doc="Incremental dedup — the production shape: new documents "
+    "(doc_id % 10 = 0 stands in for today's increment) are probed "
+    "against the existing corpus's LSH band index and survive only "
+    "with no verified near-dup (Jaccard >= 0.8).  Per-run cost is "
+    "O(increment): the increment's bands broadcast into the index "
+    "probe, verification touches candidate pairs only, and the "
+    "final anti-join carries 8-byte ids.  The corpus band table is "
+    "the write-once artifact a daily pipeline persists (bucketed by "
+    "band_hash) instead of ever re-deduping 100 TB.",
+)
+def dedup_incremental_vs_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        incremental_near_dup_filter,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    return incremental_near_dup_filter(
+        new, corpus, id_col="doc_id", text_col="text", k=3, threshold=0.8
+    ).select("doc_id", "n_chars")
