@@ -426,15 +426,25 @@ def near_dup_clusters(
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
-    pinned.unpersist()
     if not converged:
+        edges.unpersist()
+        pinned.unpersist()
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iter} rounds — "
             "component diameter exceeds 2^max_iter or the edge list is "
             "being regenerated nondeterministically between rounds"
         )
-    return labels
+    # Hand the caller a checkpointed leaf, not the iterative lineage:
+    # the accumulated plan is exponentially large as a tree (fine to
+    # EXECUTE through the per-round caches, pathological to reprint /
+    # reoptimize downstream, and silently recomputed from scratch if
+    # the caches are evicted).  Cheap: reads the final cached round.
+    out = labels.localCheckpoint()
+    edges.unpersist()
+    pinned.unpersist()
+    if prev_persisted is not None:
+        prev_persisted.unpersist()
+    return out
 
 
 def embedding_near_dup_pairs(
