@@ -129,3 +129,54 @@ def test_range_join_avoids_nested_loop(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_incremental_dedup_empty_increment(spark):
+    """Empty increment → empty survivors, no error (the daily-run
+    no-new-data case)."""
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        incremental_near_dup_filter,
+    )
+
+    d = load_table(spark, SF, "documents")
+    empty = d.where(F.lit(False))
+    out = incremental_near_dup_filter(
+        empty, d, id_col="doc_id", text_col="text"
+    )
+    assert out.count() == 0
+
+
+def test_incremental_dedup_short_docs_survive(spark):
+    """Docs below the shingle size have no bands and must survive
+    (nothing to collide with), not be dropped by the plumbing."""
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        incremental_near_dup_filter,
+    )
+
+    new = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "one")], "doc_id long, text string"
+    )
+    corpus = load_table(spark, SF, "documents").select("doc_id", "text")
+    out = incremental_near_dup_filter(
+        new, corpus, id_col="doc_id", text_col="text"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_cms_empty_input(spark):
+    """CMS of an empty frame is an empty grid; probing it yields
+    zero estimates (left join + coalesce), not nulls or errors."""
+    from hana_bq_beam_connector_spark.operators.sketch import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    empty = spark.createDataFrame([], "k long")
+    sketch = count_min_sketch(empty, "k", w=16, d=4)
+    assert sketch.count() == 0
+    probes = spark.createDataFrame([(7,), (9,)], "k long")
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(sketch, probes, "k", w=16, d=4).collect()
+    }
+    assert est == {7: 0, 9: 0}
