@@ -204,3 +204,56 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("k"), F.lit(64)).cast("long").alias("shuffle_bucket"),
         F.row_number().over(w).cast("long").alias("pos_in_bucket"),
     )
+
+
+_DUCK_QSCORE = (
+    "CAST(len(list_distinct(string_split_regex(lower(text), '\\s+')))"
+    " AS DOUBLE)"
+    " / CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE)"
+    " * 0.5"
+    " + LEAST(CAST(len(string_split_regex(lower(text), '\\s+'))"
+    " AS DOUBLE) / 100.0, 1.0) * 0.5"
+)
+
+
+@register(
+    "curation_quality_quantile_filter",
+    f"""
+    SELECT doc_id, lang, quality_score, pr FROM (
+      SELECT doc_id, lang, quality_score,
+        PERCENT_RANK() OVER (
+          PARTITION BY lang ORDER BY quality_score
+        ) AS pr
+      FROM (
+        SELECT doc_id, lang, {_DUCK_QSCORE} AS quality_score
+        FROM documents
+      )
+    ) WHERE pr >= 0.25
+    """,
+    doc="Corpus-RELATIVE quality cutoff: drop the bottom quartile per "
+    "language by percent_rank instead of a fixed threshold — the "
+    "curation policy that survives distribution drift (a fixed 0.75 "
+    "bar deletes whole low-resource languages; a quantile bar keeps "
+    "every language's best 75%).  One window shuffle on lang; "
+    "percent_rank = (rank-1)/(n-1) is the same IEEE division both "
+    "engines.  At 100 TB the per-lang sort is the cost — for "
+    "coarse cutoffs swap in approx_percentile thresholds computed in "
+    "one sketch pass and broadcast back as a plain filter.",
+)
+def curation_quality_quantile_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    scored = quality_features(d, "text").select(
+        "doc_id", "lang", "quality_score"
+    )
+    w = Window.partitionBy("lang").orderBy("quality_score")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") >= 0.25)
+        .select("doc_id", "lang", "quality_score", "pr")
+    )
