@@ -172,3 +172,20 @@ def test_range_clustered_write_disjoint_bands(spark, sf_dir, tmp_path):
     # and the round trip is lossless
     back = spark.read.parquet(out)
     assert back.count() == ev.count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema drift across historical files (the 100 TB lakehouse
+    reality): mergeSchema=true unions old and new schemas, nulling
+    the column where absent, instead of silently dropping it."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        p + "/batch=0"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(p + "/batch=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert {f.name for f in merged.schema.fields} >= {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5

@@ -334,3 +334,69 @@ def test_streaming_cms_merges_to_batch(spark, stream_dir, tmp_path):
         for r in count_min_sketch(batch, "user_id", w=64, d=4).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_incremental_dedup_matches_batch(
+    spark, tmp_path, sf_dir
+):
+    """The production daily loop, live: new documents arrive as a
+    stream, each micro-batch is probed against the corpus LSH index
+    inside foreachBatch, and survivors append to the sink.  The
+    streamed survivor set must equal the one-shot batch
+    incremental_near_dup_filter on the same slice."""
+    import shutil
+
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        incremental_near_dup_filter,
+    )
+
+    docs_dir = tmp_path / "docs_stream"
+    docs_dir.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", docs_dir / "part0.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 10 != 0)
+        .select("doc_id", "text")
+    )
+    out_dir = str(tmp_path / "survivors")
+
+    def handle(batch_df, _batch_id):
+        surv = incremental_near_dup_filter(
+            batch_df.select("doc_id", "text"),
+            corpus,
+            id_col="doc_id",
+            text_col="text",
+        )
+        surv.select("doc_id").write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(docs_dir))
+        .where(F.col("doc_id") % 10 == 0)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt_inc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    new_batch = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in incremental_near_dup_filter(
+            new_batch, corpus, id_col="doc_id", text_col="text"
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert got == want and len(got) > 0
