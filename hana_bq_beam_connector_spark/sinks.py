@@ -96,3 +96,45 @@ def range_clustered_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark, path: str, target_file_mb: int = 512
+) -> int:
+    """Compact a small-files parquet directory in place: read, coalesce
+    to ceil(bytes / target), atomically swap.  Returns the new file
+    count.
+
+    The small-files problem is the silent killer of long-lived 100 TB
+    tables fed by streaming/incremental appends: a million 1 MB files
+    means a million scan tasks and a throttled namenode.  Coalesce
+    (not repartition) merges without a shuffle; the rewrite is
+    staged to a sibling directory then swapped, so readers never see
+    a half-compacted table.  Run it per partition directory in
+    production so compaction itself parallelizes across partitions.
+    """
+    import math
+    import os
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dns, fns in os.walk(path)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    staged = path.rstrip("/") + "._compacting"
+    spark.read.parquet(path).coalesce(n).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    old = path.rstrip("/") + "._old"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for _dp, _dns, fns in os.walk(path)
+        for f in fns
+        if f.endswith(".parquet")
+    )

@@ -189,3 +189,26 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert {f.name for f in merged.schema.fields} >= {"id", "v", "score"}
     rows = {r["id"]: r["score"] for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """20 tiny appended files compact to a handful without losing a
+    row; the swap leaves no staging debris."""
+    import os
+
+    from hana_bq_beam_connector_spark.sinks import compact_parquet
+
+    p = str(tmp_path / "smallfiles")
+    for i in range(20):
+        spark.range(i * 100, (i + 1) * 100).repartition(1).write.mode(
+            "append"
+        ).parquet(p)
+    before = sum(
+        1 for f in os.listdir(p) if f.endswith(".parquet")
+    )
+    assert before >= 20
+    n = compact_parquet(spark, p, target_file_mb=512)
+    assert n <= 2
+    assert spark.read.parquet(p).count() == 2000
+    assert not os.path.exists(p + "._compacting")
+    assert not os.path.exists(p + "._old")
