@@ -715,3 +715,78 @@ def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cnt")
         ).alias("skew_ratio"),
     )
+
+
+@register(
+    "agg_mode_per_group",
+    """
+    SELECT c_nationkey, mode_priority, n_orders FROM (
+      SELECT c.c_nationkey, o.o_orderpriority AS mode_priority,
+             COUNT(*) AS n_orders,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.c_nationkey
+               ORDER BY COUNT(*) DESC, o.o_orderpriority ASC
+             ) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_orderpriority
+    ) WHERE rn = 1
+    """,
+    doc="Statistical mode per group (most frequent order priority per "
+    "customer nation, ties broken lexicographically): two-level "
+    "count-then-rank — the deterministic spelling of mode() that "
+    "needs only a hash agg plus a window over the tiny "
+    "(group, value) count table, never a per-group collect.",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    counts = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n_orders").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "join_null_safe_counts",
+    """
+    SELECT k, COUNT(*) AS n_pairs FROM (
+      SELECT COALESCE(a.k, '-1') AS k
+      FROM (SELECT NULLIF(o_orderpriority, '5-LOW') AS k, o_orderkey
+            FROM orders WHERE o_orderkey % 7 = 0) a
+      JOIN (SELECT NULLIF(o_orderpriority, '5-LOW') AS k, o_orderkey
+            FROM orders WHERE o_orderkey % 11 = 0) b
+        ON a.k IS NOT DISTINCT FROM b.k
+    ) GROUP BY k
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of silently dropping — the semantic "
+    "SQL joins get wrong by default when a key is nullable.  Still "
+    "a hash join (null-safe equality is a valid hash key), not a "
+    "nested loop; the '5-LOW' priority is nulled to manufacture a "
+    "NULL key population.",
+)
+def join_null_safe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.expr("NULLIF(o_orderpriority, '5-LOW')")
+    a = o.where(F.col("o_orderkey") % 7 == 0).select(k.alias("ka"))
+    b = o.where(F.col("o_orderkey") % 11 == 0).select(k.alias("kb"))
+    return (
+        a.join(b, a["ka"].eqNullSafe(b["kb"]))
+        .groupBy(F.coalesce(F.col("ka"), F.lit("-1")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
