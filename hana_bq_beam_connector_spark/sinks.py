@@ -138,3 +138,21 @@ def compact_parquet(
         for f in fns
         if f.endswith(".parquet")
     )
+
+
+def idempotent_append(df: DataFrame, path: str, run_id: str) -> None:
+    """Append that is safe to RETRY: each run writes (overwrite) its
+    own ``run_id=<id>`` subdirectory, so re-executing a failed or
+    duplicated run replaces its output instead of appending twice.
+
+    The reference's WRITE_APPEND pipeline duplicates every row if the
+    job is re-run for the same window (HanaToBQ.java:256-259 — no
+    dedup, no run scoping); pairing the run id with the incremental
+    window (plans/incremental.py) makes the whole copy pipeline
+    retry-idempotent: readers see ``path/run_id=*`` as one table, and
+    exactly-once-per-window holds under any number of retries.
+    """
+    safe = "".join(
+        ch if ch.isalnum() or ch in "-_." else "_" for ch in run_id
+    )
+    df.write.mode("overwrite").parquet(f"{path}/run_id={safe}")

@@ -84,3 +84,26 @@ def test_config_validation():
         PipelineConfig(
             table_name="t", timestamp_column="ts", start_time=0, chunk_size=0
         )
+
+
+def test_idempotent_append_retry_safe(spark, tmp_path):
+    """Re-running the same run_id replaces, never duplicates; distinct
+    run_ids accumulate — exactly-once per window under retries (the
+    reference's WRITE_APPEND duplicates on re-run; SURVEY §2a R13)."""
+    from pyspark.sql import functions as F
+
+    from hana_bq_beam_connector_spark.sinks import idempotent_append
+
+    p = str(tmp_path / "sink")
+    batch = spark.range(100).select(F.col("id").alias("event_id"))
+    idempotent_append(batch, p, "2026-08-13")
+    idempotent_append(batch, p, "2026-08-13")  # retry: same window
+    assert spark.read.parquet(p).count() == 100
+    idempotent_append(
+        spark.range(100, 150).select(F.col("id").alias("event_id")),
+        p,
+        "2026-08-14",
+    )
+    got = spark.read.parquet(p)
+    assert got.count() == 150
+    assert got.select("event_id").distinct().count() == 150
