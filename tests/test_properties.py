@@ -189,3 +189,49 @@ def test_near_dup_clusters_deep_chain(spark):
         r["node"]: r["label"] for r in near_dup_clusters(pairs).collect()
     }
     assert got == {i: 0 for i in range(61)}
+
+
+_ts_lists = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=50),   # heavy duplicates
+        st.integers(min_value=0, max_value=100_000),
+    ),
+    min_size=1,
+    max_size=400,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ts=_ts_lists, chunk_rows=st.integers(min_value=1, max_value=200))
+def test_chunk_scans_partition_any_distribution(spark, ts, chunk_rows):
+    """Quirk-#4 seam invariant under adversarial distributions
+    (duplicate-heavy, skewed, tiny): the chunk scans are contiguous
+    half-open intervals whose concatenation equals the single scan —
+    no row duplicated or skipped at any seam."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hana_bq_beam_connector_spark.plans.chunking import (
+        equi_depth_intervals,
+    )
+
+    df = spark.createDataFrame([(float(t),) for t in ts], ["ts"])
+    intervals = equi_depth_intervals(
+        df, "ts", chunk_rows=chunk_rows, start=0.0
+    )
+    for a, b in zip(intervals, intervals[1:]):
+        assert a.hi == b.lo
+    assert intervals[0].lo == 0.0 and math.isinf(intervals[-1].hi)
+    col = F.col("ts")
+    n = 0
+    for iv in intervals:
+        cond = col >= iv.lo
+        if not math.isinf(iv.hi):
+            cond = cond & (col < iv.hi)
+        n += df.where(cond).count()
+    assert n == len(ts)
