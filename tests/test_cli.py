@@ -72,3 +72,24 @@ def test_runner_list_and_run(capsys):
         == 0
     )
     assert runner_main(["--query", "no_such_query"]) == 2
+
+
+def test_sql_catalog_views(spark, sf_dir):
+    """register_views makes tables and queries SQL-addressable, and
+    filters written against a view still push into the parquet scan
+    (views are lazy plans, not materializations)."""
+    from hana_bq_beam_connector_spark.sql_catalog import register_views
+
+    names = register_views(
+        spark, str(sf_dir), queries=["agg_pricing_summary"]
+    )
+    assert "lineitem" in names and "q_agg_pricing_summary" in names
+    n = spark.sql("SELECT COUNT(*) AS n FROM q_agg_pricing_summary").first()[
+        "n"
+    ]
+    assert n > 0
+    composed = spark.sql(
+        "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity < 2"
+    )
+    plan = composed._jdf.queryExecution().simpleString()
+    assert "PushedFilters" in plan and "LessThan" in plan

@@ -3,6 +3,7 @@ determinism — properties the oracle hash can't express."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hana_bq_beam_connector_spark.operators.dedup import (
@@ -206,3 +207,32 @@ def test_near_dup_clusters_transitive(spark):
         r["node"]: r["label"] for r in near_dup_clusters(pairs).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+_MM_GOLDEN_SF0001 = {
+    "mm_decode_image_meta": (500, "5056914ad9800bb6e72540e088919bf1"),
+    "mm_resize_shapes": (500, "a40a14dcef310242f02ad51b40bc29f9"),
+    "mm_frame_sample": (2000, "2c692545ca61e879b64b49e84be78bb7"),
+    "mm_feature_topk": (30, "3edf4d61ff109cb57738627ed789d306"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_MM_GOLDEN_SF0001))
+def test_multimodal_golden_hashes(spark, sf_dir, name):
+    """The rows-only multimodal queries (no SQL oracle — mapInPandas
+    stub stages) are pinned by golden value-hashes at sf0.001, so the
+    driver's weaker rows-only check is backed by a full-value
+    regression gate here.  (Hashes are a pure function of the
+    seed-42 testdata and the deterministic MD5 stubs.)"""
+    import hashlib
+    import os
+
+    if os.path.basename(str(sf_dir).rstrip("/")) != "sf0.001":
+        pytest.skip("golden hashes pinned at sf0.001")
+    from hana_bq_beam_connector_spark.queries import registry
+
+    df = registry()[name].fn(spark, str(sf_dir))
+    cols = sorted(df.columns)
+    rows = sorted(str(tuple(r[c] for c in cols)) for r in df.collect())
+    h = hashlib.md5("\n".join(rows).encode()).hexdigest()
+    assert (len(rows), h) == _MM_GOLDEN_SF0001[name]
