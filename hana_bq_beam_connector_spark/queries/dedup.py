@@ -458,3 +458,62 @@ def dedup_incremental_vs_corpus(
     return incremental_near_dup_filter(
         new, corpus, id_col="doc_id", text_col="text", k=3, threshold=0.8
     ).select("doc_id", "n_chars")
+
+
+@register(
+    "dedup_semantic_not_lexical",
+    f"""
+    WITH pairs AS ({_duck_embedding_pairs_sql()})
+    SELECT p.id_a, p.id_b, p.cos_sim,
+           CAST(levenshtein(
+             substr(da.text, 1, 40), substr(db.text, 1, 40)
+           ) AS BIGINT) AS prefix_edit_dist
+    FROM pairs p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+    WHERE regexp_replace(lower(da.text), '\\s+', ' ', 'g')
+       <> regexp_replace(lower(db.text), '\\s+', ' ', 'g')
+    """,
+    doc="Cross-table curation analysis: embedding near-dup pairs "
+    "(LSH-blocked, exact-cosine verified) whose documents are NOT "
+    "lexical duplicates after whitespace/case normalization — the "
+    "'paraphrase duplicate' population that lexical dedup "
+    "(exact/MinHash) misses and only semantic dedup catches, with a "
+    "bounded-prefix edit distance as evidence.  The doc join carries "
+    "8-byte ids to the pair list; text comparison happens on the "
+    "surviving pairs only, never corpus-wide.",
+)
+def dedup_semantic_not_lexical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, dim=64, threshold=0.4)
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    da = d.select(
+        F.col("doc_id").alias("id_a"),
+        norm.alias("norm_a"),
+        F.substring("text", 1, 40).alias("pre_a"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("id_b"),
+        norm.alias("norm_b"),
+        F.substring("text", 1, 40).alias("pre_b"),
+    )
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .where(F.col("norm_a") != F.col("norm_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cos_sim",
+            F.levenshtein("pre_a", "pre_b")
+            .cast("long")
+            .alias("prefix_edit_dist"),
+        )
+    )
