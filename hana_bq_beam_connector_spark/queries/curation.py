@@ -257,3 +257,53 @@ def curation_quality_quantile_filter(
         .where(F.col("pr") >= 0.25)
         .select("doc_id", "lang", "quality_score", "pr")
     )
+
+
+@register(
+    "curation_source_cap",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+        ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY {duck_polyhash("CAST(doc_id AS VARCHAR)")}, doc_id
+        ) AS rk
+      FROM documents
+    )
+    SELECT source,
+      COUNT(*) AS n_kept,
+      CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+      MIN(doc_id) AS first_doc
+    FROM ranked
+    WHERE rk <= 40
+    GROUP BY source
+    """,
+    doc="Per-source (domain) document cap — the over-represented-"
+    "domain guard every web-corpus build applies (cap each domain at "
+    "N docs so no single crawl host dominates training).  Survivor "
+    "choice is a deterministic hash-priority rank, not arrival order, "
+    "so the kept set is an unbiased fixed-size sample per source and "
+    "identical on every run/layout.  One window shuffle keyed on "
+    "source; at 100 TB a hot domain skews that window — the fix is a "
+    "two-phase cap (per-task partial top-N on (source, partition), "
+    "then global top-N over the ~N*tasks survivors), which this "
+    "operator's rank-based semantics make exact, not approximate.",
+)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    pri = F.expr(spark_polyhash("cast(doc_id as string)"))
+    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 40)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

@@ -44,6 +44,28 @@ def read_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 
 
+def read_binary_files(
+    spark: SparkSession, path: str, *, glob: str | None = None
+) -> DataFrame:
+    """Raw-media ingest: one row per file with the opaque payload.
+
+    ``binaryFile`` is the multimodal on-ramp — images/audio/video land
+    as ``(path, modificationTime, length, content binary)`` rows that
+    feed the operators/multimodal.py stages.  Scale notes: the scan
+    parallelizes per-file (no splitting inside a file), pathGlobFilter
+    prunes at listing time, and
+    ``spark.sql.sources.binaryFile.maxLength`` guards against a single
+    oversized blob OOMing an executor; for billions of small files,
+    compact into parquet with a binary column first (small-files
+    problem) — which is exactly what pairing this reader with the
+    parquet sink does.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md)."""
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))

@@ -212,3 +212,52 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert spark.read.parquet(p).count() == 2000
     assert not os.path.exists(p + "._compacting")
     assert not os.path.exists(p + "._old")
+
+
+def test_binary_file_ingest_feeds_multimodal_stages(spark, tmp_path):
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        decode_image_meta,
+    )
+    from hana_bq_beam_connector_spark.sources.files import read_binary_files
+
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    payloads = {f"img_{i}.jpg": bytes([i]) * (10 + i) for i in range(5)}
+    (media_dir / "notes.txt").write_bytes(b"not media")
+    for fname, blob in payloads.items():
+        (media_dir / fname).write_bytes(blob)
+
+    raw = read_binary_files(spark, str(media_dir), glob="*.jpg")
+    assert set(raw.columns) == {
+        "path",
+        "modificationTime",
+        "length",
+        "content",
+    }
+    got = {
+        r.path.rsplit("/", 1)[-1]: (r.length, bytes(r.content))
+        for r in raw.collect()
+    }
+    assert got == {f: (len(b), b) for f, b in payloads.items()}
+
+    # Files -> media-column table -> Arrow decode stage (the real
+    # multimodal flow: ingest, then mapInPandas feature stages).
+    media = raw.select(
+        F.abs(F.xxhash64("path")).alias("media_id"),
+        F.col("content").alias("payload"),
+        F.lit("image/jpeg").alias("media_type"),
+        F.col("length").alias("byte_len"),
+    )
+    meta = decode_image_meta(media)
+    rows = meta.collect()
+    assert len(rows) == 5
+    assert {r.byte_len for r in rows} == {10 + i for i in range(5)}
+
+    # Compaction path: small files -> parquet with binary column,
+    # payload survives byte-for-byte.
+    out = str(tmp_path / "compacted")
+    media.write.parquet(out)
+    back = spark.read.parquet(out)
+    assert sorted(bytes(r.payload) for r in back.collect()) == sorted(
+        payloads.values()
+    )
