@@ -107,3 +107,46 @@ def test_idempotent_append_retry_safe(spark, tmp_path):
     got = spark.read.parquet(p)
     assert got.count() == 150
     assert got.select("event_id").distinct().count() == 150
+
+
+def test_observe_quality_audits_the_write_pass(spark, tmp_path):
+    """df.observe metrics ride the write action itself (CollectMetrics
+    in-plan, no second scan): row count + null/range counters come
+    back without re-reading source or sink."""
+    from pyspark.sql import functions as F
+
+    from hana_bq_beam_connector_spark.quality import (
+        QualityViolation,
+        assert_expectations,
+        null_rate_checks,
+        observe_quality,
+    )
+    from hana_bq_beam_connector_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    audited, obs = observe_quality(
+        ev,
+        checks={
+            **null_rate_checks(ev, ["user_id", "event_type"]),
+            "neg_value": F.sum((F.col("value") < 0).cast("long")),
+        },
+    )
+    # The audit must not add a job: one write action, then O(1) .get.
+    audited.write.parquet(str(tmp_path / "sink"))
+    m = obs.get
+    assert m["rows"] == ev.count()
+    assert m["nulls_user_id"] == 0 and m["nulls_event_type"] == 0
+    assert_expectations(m, {"nulls_user_id": 0, "neg_value": 0})
+
+    # A violated expectation names the metric and both values.
+    try:
+        assert_expectations(m, {"rows": -1})
+    except QualityViolation as e:
+        assert "rows" in str(e) and "-1" in str(e)
+    else:
+        raise AssertionError("expected QualityViolation")
+
+    # The metrics node stays in-plan (CollectMetrics), not a side job.
+    plan = audited._jdf.queryExecution().optimizedPlan().toString()
+    assert "CollectMetrics" in plan
