@@ -91,6 +91,50 @@ def topk_per_group(
     )
 
 
+def topk_per_group_skewed(
+    df: DataFrame,
+    partition_by: list[str],
+    order: list[Column],
+    k: int,
+    rank_col: str = "rn",
+    fanout: int = 64,
+) -> DataFrame:
+    """Skew-robust exact top-k per group (two-phase cap).
+
+    ``topk_per_group`` windows directly on the group key, so one hot
+    key (a dominant crawl domain in a per-domain document cap) lands
+    on one task and sorts the whole group — AQE cannot split a window.
+    This variant exploits a selection identity: the global k smallest
+    rows of a group equal the k smallest of each subgroup's k
+    smallest, for ANY disjoint subgrouping.  Phase 1 windows on
+    (key, salt) — the hot key spreads over ``fanout`` tasks and every
+    subgroup truncates to k rows; phase 2 re-windows on the key alone
+    over at most ``k * fanout`` survivors per key.  Two shuffles, but
+    the second moves a bounded sliver; peak per-task work drops from
+    O(hot_group) to O(hot_group / fanout).  Salt is a deterministic
+    xxhash64 of the full row, not a RNG, so results stay run-stable.
+
+    Exactness requires a total order: ``order`` must end in a unique
+    tiebreaker (same contract as ``topk_per_group``).
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(fanout)
+    )
+    w1 = Window.partitionBy(*partition_by, "__salt").orderBy(*order)
+    phase1 = (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn1", F.row_number().over(w1))
+        .where(F.col("__rn1") <= k)
+        .drop("__rn1")
+    )
+    w2 = Window.partitionBy(*partition_by).orderBy(*order)
+    return (
+        phase1.withColumn(rank_col, F.row_number().over(w2))
+        .where(F.col(rank_col) <= k)
+        .drop("__salt")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

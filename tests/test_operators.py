@@ -180,3 +180,32 @@ def test_cms_empty_input(spark):
         for r in cms_estimate(sketch, probes, "k", w=16, d=4).collect()
     }
     assert est == {7: 0, 9: 0}
+
+
+def test_topk_per_group_skewed_exact_and_salted(spark):
+    """Two-phase skew-robust cap: identical result set to the direct
+    window (selection identity: top-k of per-salt top-k's), with the
+    phase-1 exchange keyed on (group, salt) so a hot group spreads
+    across fanout tasks before anything sorts the whole group."""
+    from hana_bq_beam_connector_spark.operators.relational import (
+        topk_per_group_skewed,
+    )
+
+    o = load_table(spark, SF, "orders")
+    # Make one group pathologically hot: collapse 90% of keys into 0.
+    hot = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 10 != 0, F.lit(0)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    direct = topk_per_group(hot, ["o_custkey"], order, 5).drop("rn")
+    two_phase = topk_per_group_skewed(
+        hot, ["o_custkey"], order, 5, fanout=16
+    ).drop("rn")
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, two_phase.collect())
+    )
+    plan = two_phase._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(o_custkey" in plan and "__salt" in plan
