@@ -235,3 +235,42 @@ def test_chunk_scans_partition_any_distribution(spark, ts, chunk_rows):
             cond = cond & (col < iv.hi)
         n += df.where(cond).count()
     assert n == len(ts)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # group key (few → hot)
+            st.integers(min_value=-1000, max_value=1000),  # value (dups ok)
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+    fanout=st.integers(min_value=1, max_value=9),
+)
+def test_two_phase_cap_equals_direct_window(spark, rows, k, fanout):
+    """Selection identity under arbitrary key skew, duplicate values,
+    k, and fanout (incl. fanout=1 and k > group size): the two-phase
+    salted cap returns exactly the direct window's rows."""
+    from hana_bq_beam_connector_spark.operators.relational import (
+        topk_per_group,
+        topk_per_group_skewed,
+    )
+
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], ["g", "v", "uid"]
+    )
+    order = [F.col("v").desc(), F.col("uid")]
+    direct = topk_per_group(df, ["g"], order, k).drop("rn")
+    salted = topk_per_group_skewed(df, ["g"], order, k, fanout=fanout).drop(
+        "rn"
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
