@@ -156,3 +156,37 @@ def idempotent_append(df: DataFrame, path: str, run_id: str) -> None:
         ch if ch.isalnum() or ch in "-_." else "_" for ch in run_id
     )
     df.write.mode("overwrite").parquet(f"{path}/run_id={safe}")
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Reprocess-in-place for a partitioned table: replace ONLY the
+    partitions present in ``df``, leave every other partition's files
+    untouched.
+
+    The backfill idiom for a 100 TB date-partitioned sink — "yesterday
+    arrived late, recompute 2024-03-07" — must not rewrite (or even
+    list) the other ~3650 day partitions, and static ``overwrite``
+    would truncate the whole table.  Spark's dynamic partition
+    overwrite scopes the commit to the partition directories the
+    incoming frame actually contains; combined with the high-watermark
+    planner (plans/incremental.py) this gives idempotent per-partition
+    reprocessing: re-running a window replaces exactly that window's
+    partitions, any number of times.
+
+    The conf is set per-write here (session-level default left alone)
+    because the same session may also run static overwrites.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )

@@ -150,3 +150,48 @@ def test_observe_quality_audits_the_write_pass(spark, tmp_path):
     # The metrics node stays in-plan (CollectMetrics), not a side job.
     plan = audited._jdf.queryExecution().optimizedPlan().toString()
     assert "CollectMetrics" in plan
+
+
+def test_overwrite_partitions_replaces_only_incoming_days(spark, tmp_path):
+    """Dynamic partition overwrite: a backfill frame containing day 2
+    replaces day 2's files and rows only; day 1 is untouched (same
+    files on disk), and static whole-table truncation never happens."""
+    import os
+
+    from hana_bq_beam_connector_spark.sinks import overwrite_partitions
+
+    p = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 10), ("d2", 11)], ["day", "v"]
+    )
+    overwrite_partitions(base, p, ["day"])
+
+    def files(day):
+        d = os.path.join(p, f"day={day}")
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    d1_before = files("d1")
+
+    # Backfill day 2 with corrected rows; day 1 absent from the frame.
+    fix = spark.createDataFrame([("d2", 99)], ["day", "v"])
+    overwrite_partitions(fix, p, ["day"])
+
+    back = spark.read.parquet(p)
+    got = sorted((r.day, r.v) for r in back.collect())
+    assert got == [("d1", 1), ("d1", 2), ("d2", 99)]
+    assert files("d1") == d1_before  # untouched, not rewritten
+
+    # Re-run (retry) is idempotent.
+    overwrite_partitions(fix, p, ["day"])
+    assert sorted(
+        (r.day, r.v) for r in spark.read.parquet(p).collect()
+    ) == [("d1", 1), ("d1", 2), ("d2", 99)]
+
+    # Session default restored (per-write scoping): a later static
+    # overwrite elsewhere must not silently become dynamic.
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        != "dynamic"
+    )
