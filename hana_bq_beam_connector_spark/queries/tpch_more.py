@@ -790,3 +790,66 @@ def join_null_safe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("ka"), F.lit("-1")).alias("k"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "agg_corr_exact",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+        COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_items,
+      (sxy - sx * sy / n_items) / n_items AS cov_pop_qty_disc,
+      (sxy - sx * sy / n_items)
+        / SQRT((sxx - sx * sx / n_items) * (syy - sy * sy / n_items))
+        AS corr_qty_disc
+    FROM s
+    """,
+    doc="Exact covariance / Pearson correlation from exact decimal "
+    "cross-moments (sum, sum-of-squares, sum-of-products, count): "
+    "engine-native corr()/covar_pop() use different one-pass "
+    "streaming updates whose rounding differs between engines, so the "
+    "portable formulation aggregates the moments exactly (decimal) "
+    "and applies ONE shared IEEE expression.  Columns chosen so every "
+    "moment's unscaled decimal stays under 2^53 (quantity <= 50, "
+    "discount <= 0.1) — the envelope where decimal->double casts are "
+    "identically rounded in both engines; price-squared sums overflow "
+    "it and drift by 1 ulp.  Same single map-side-combined hash "
+    "aggregate as any Q1-style query — five moment sums on one "
+    "shuffle.",
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = dec("l_quantity")
+    y = dec("l_discount")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n_items")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        * (F.col("syy") - F.col("sy") * F.col("sy") / n)
+    )
+    return s.select(
+        "l_returnflag",
+        "n_items",
+        cov.alias("cov_pop_qty_disc"),
+        corr.alias("corr_qty_disc"),
+    )
