@@ -11,7 +11,14 @@ Determinism conventions (so hashes match exactly, not approximately):
 
 * double-typed measures are aggregated through ``DECIMAL(18,2)`` casts
   in BOTH engines (decimal arithmetic is exact) and the final value is
-  cast back to ``double`` — bit-identical results on both sides;
+  cast back to ``double`` — bit-identical results on both sides
+  PROVIDED the sum's unscaled integer stays under 2^53 (above it, the
+  decimal→double cast itself rounds differently across engines — one
+  correctly-rounded conversion vs int/10^scale in doubles).  For
+  high-scale sums that outgrow the envelope (e.g. Q1's scale-8 charge)
+  split FLOOR(s) + (s - FLOOR(s)): each part casts exactly, and the
+  single IEEE add is correctly rounded in both engines at any scale
+  factor;
 * ratios/averages divide that exact decimal-sum (as double) by the
   exact count — one IEEE division of identical operands;
 * ``events.ts`` (parquet TIMESTAMP(NANOS)) is int64 nanoseconds on the

@@ -39,9 +39,15 @@ from hana_bq_beam_connector_spark.sources.files import load_table
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(4,3)))) AS DOUBLE)
         AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(4,3)))
-               * (1 + CAST(l_tax AS DECIMAL(4,3)))) AS DOUBLE)
+               * (1 + CAST(l_tax AS DECIMAL(4,3))))) AS DOUBLE)
+      + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,3)))
+               * (1 + CAST(l_tax AS DECIMAL(4,3))))
+             - FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,3)))
+               * (1 + CAST(l_tax AS DECIMAL(4,3))))) AS DOUBLE)
         AS sum_charge,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         AS avg_qty,
@@ -65,7 +71,15 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_dec_as_double("l_quantity", "sum_qty"),
             sum_dec_as_double("l_extendedprice", "sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # Floor/fraction split: the scale-8 charge sum's unscaled
+            # decimal exceeds 2^53 at sf>=0.1, where decimal->double
+            # casts round differently across engines; each part casts
+            # exactly, so the single IEEE add is correctly rounded in
+            # both.
+            (
+                F.floor(F.sum(charge)).cast("double")
+                + (F.sum(charge) - F.floor(F.sum(charge))).cast("double")
+            ).alias("sum_charge"),
             (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
