@@ -59,7 +59,7 @@ _DUCK_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
     ),
     kept AS (
       SELECT * FROM scored
-      WHERE quality_score >= 0.75 AND n_tokens >= 10
+      WHERE quality_score >= 0.5 AND n_tokens >= 10
     ),
     survivors AS (
       SELECT * FROM (
@@ -74,7 +74,7 @@ _DUCK_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
            ELSE 'test' END AS split
     FROM survivors
     """,
-    doc="Full curation pipeline: quality filter (score >= 0.75, >= 10 "
+    doc="Full curation pipeline: quality filter (score >= 0.5, >= 10 "
     "tokens) → exact near-dup removal on the normalized-text "
     "fingerprint (min-doc_id survivor) → deterministic 80/10/10 "
     "split.  One corpus scan + one fingerprint shuffle; split "
@@ -90,7 +90,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", F.expr(_SPARK_BUCKET))
     )
     kept = scored.where(
-        (F.col("quality_score") >= 0.75) & (F.col("n_tokens") >= 10)
+        (F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10)
     )
     survivors = keep_first_by_key(
         kept, key=["fp"], order=[F.col("doc_id").asc()]
