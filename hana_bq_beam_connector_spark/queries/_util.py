@@ -37,31 +37,65 @@ def avg_dec_as_double(col: str | Column, alias: str) -> Column:
     return (F.sum(c).cast("double") / count).alias(alias)
 
 
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _ts_bound_lit(ts_type: str, bound_us: int) -> Column:
+    """A literal comparable to the raw ``ts`` column (so the filter
+    reaches parquet ``PushedFilters`` and prunes row groups — the
+    difference between scanning a day and scanning a year at 100 TB).
+    Bounds are µs-aligned epoch integers."""
+    if ts_type == "bigint":  # legacy int64-nanosecond layout
+        return F.lit(bound_us * 1000)
+    from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(bound_us / 1e6, tz=timezone.utc)
+    iso = dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if ts_type == "timestamp_ntz":
+        return F.expr(f"TIMESTAMP_NTZ '{iso}'")
+    # timestamp_ltz: an absolute instant — construct tz-independently.
+    return F.timestamp_micros(F.lit(bound_us))
+
+
+def ts_epoch_us(ts_type: str, col: str = "ts") -> Column:
+    """Raw ``ts`` → epoch microseconds, matching DuckDB ``epoch_us``.
+
+    timestamp_ntz is handled via ``timestampdiff`` from the NTZ epoch
+    — session-timezone independent (the driver's verify harness runs
+    queries under its own SparkSession whose tz we don't control).
+    """
+    if ts_type == "bigint":
+        return F.expr(f"{col} div 1000")
+    if ts_type == "timestamp_ntz":
+        return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {col})")
+    return F.unix_micros(F.col(col))
+
+
 def events_us(
     spark: SparkSession,
     sf_dir: str,
     lo_us: int | None = None,
     hi_us: int | None = None,
 ) -> DataFrame:
-    """events with ts as epoch microseconds (ns div 1000), matching
-    DuckDB's truncated read of the TIMESTAMP(NANOS) column.
+    """events with ts exposed as epoch microseconds, matching DuckDB's
+    ``epoch_us(ts)`` on the TIMESTAMP(MICROS) parquet column.
 
-    Window bounds are applied on the RAW nanosecond column *before*
-    the µs projection: a filter on ``ts div 1000`` cannot be pushed
-    into the parquet scan (only IsNotNull survives), a filter on
-    ``ts`` reaches PushedFilters and prunes row groups — the
-    difference between scanning a day and scanning a year at 100 TB.
-    Bounds must be µs-aligned (they are second-aligned in practice),
-    making ``ts >= lo_us*1000`` ≡ ``ts div 1000 >= lo_us``.
+    Window bounds are applied on the RAW timestamp column *before* the
+    epoch-µs projection: a filter on a projected expression cannot be
+    pushed into the parquet scan (only IsNotNull survives), a filter
+    on ``ts`` itself reaches PushedFilters.  Handles all three layouts
+    the testdata has shipped as (timestamp_ntz today; int64-ns and
+    ltz historically) so the engine is schema-drift proof.
     """
     ev = load_table(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
     if lo_us is not None:
-        ev = ev.where(F.col("ts") >= lo_us * 1000)
+        ev = ev.where(F.col("ts") >= _ts_bound_lit(ts_type, lo_us))
     if hi_us is not None:
-        ev = ev.where(F.col("ts") < hi_us * 1000)
+        ev = ev.where(F.col("ts") < _ts_bound_lit(ts_type, hi_us))
     return ev.select(
         "event_id",
-        F.expr("ts div 1000").alias("ts"),
+        ts_epoch_us(ts_type).alias("ts"),
         "user_id",
         "event_type",
         "value",

@@ -150,11 +150,18 @@ def subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
             "l_extendedprice", [0.25, 0.5, 0.75], 10000
         ).alias("price_quartiles"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+    # One row per (flag, quartile): scalar columns only — the driver's
+    # canonicalizer sorts every output column, which array cells break.
+    return agg.select(
+        "l_returnflag",
+        F.posexplode("price_quartiles").alias("quartile_idx", "price"),
+        "n_items",
     )
 
 

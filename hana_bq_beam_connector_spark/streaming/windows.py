@@ -25,12 +25,13 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch nanoseconds (nanosAsLong)
+        StructField("ts", TimestampNTZType()),  # parquet TIMESTAMP(MICROS)
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -43,14 +44,13 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over an events-shaped parquet directory.
 
     ``maxFilesPerTrigger`` keeps micro-batches bounded on backfills;
-    the event-time column is materialized as a proper timestamp for
-    watermarking (int64 ns → µs precision timestamp)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    the NTZ event-time column is cast to an instant (session tz is
+    UTC in our session factory) for watermarking."""
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 4)
         .parquet(path)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
     )
 
 
