@@ -58,12 +58,21 @@ def posexplode_nonempty(col):
 
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to full cluster parallelism before
-    CPU-heavy per-row work (hashing, vector folds).
+    CPU-heavy per-row work (hashing, vector folds) — but ONLY when the
+    input is actually narrow.
 
     A small input — e.g. one parquet file under maxPartitionBytes —
     scans as ONE task, serializing compute on a single core while the
-    rest of the cluster idles.  The repartition's shuffle is negligible
-    next to the compute it parallelizes.  At 100 TB the scan already
-    yields thousands of splits, so this only rebalances."""
+    rest of the cluster idles; there the repartition's shuffle is
+    negligible next to the compute it parallelizes.  At 100 TB the
+    scan already yields thousands of splits, and an unconditional
+    ``repartition`` would shuffle every byte of text/vectors to fix a
+    problem that no longer exists — so a frame already at (or past)
+    cluster parallelism passes through untouched, keeping the dedup /
+    similarity plans free of the round-robin Exchange (asserted in
+    tests/test_plan_audit.py)."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    parallelism = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)

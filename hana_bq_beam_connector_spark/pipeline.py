@@ -31,30 +31,22 @@ def select_window(df: DataFrame, config: PipelineConfig) -> DataFrame:
     """Half-open ``[start_time, end_time)`` restriction on the
     timestamp column — the reference's per-chunk WHERE clause
     (HanaToBQ.java:58) with end_time honored (quirk #2 fixed).
-    Expressed as a plain filter so Catalyst pushes it into the scan.
 
-    Integral timestamp columns (e.g. epoch nanoseconds) are compared
-    in the integer domain — no double cast, so boundary rows can never
-    be misclassified by float rounding (quirk #4 done right).
+    Bounds are interpreted in the column's canonical numeric domain
+    (tsdomain: native integers for integral columns — no double cast,
+    so boundary rows can never be misclassified by float rounding;
+    epoch µs for timestamp/date columns).  The comparison is against
+    the RAW column with a typed literal, so Catalyst pushes it into
+    the scan (``PushedFilters``) — asserted in tests/test_pipeline.py.
     """
     from hana_bq_beam_connector_spark.colutil import resolve_column
+    from hana_bq_beam_connector_spark.tsdomain import ts_bound_lit
 
     name, dtype = resolve_column(df, config.timestamp_column)
     col = F.col(name)
-    if dtype in ("bigint", "int", "smallint", "tinyint"):
-        ts = col
-        lo, hi = int(config.start_time), config.end_time
-        if hi != float("inf"):
-            hi = int(hi)
-    elif dtype.startswith("timestamp") or dtype == "date":
-        ts = col.cast("timestamp_ntz").cast("double")
-        lo, hi = config.start_time, config.end_time
-    else:
-        ts = col
-        lo, hi = config.start_time, config.end_time
-    cond = ts >= F.lit(lo)
-    if hi != float("inf"):
-        cond = cond & (ts < F.lit(hi))
+    cond = col >= ts_bound_lit(dtype, config.start_time)
+    if config.end_time != float("inf"):
+        cond = cond & (col < ts_bound_lit(dtype, config.end_time))
     return df.where(cond)
 
 
@@ -82,7 +74,10 @@ def run_copy_pipeline(
         config.end_time,
     )
     if source_df is None:
-        df = jdbc_scan(spark, config, intervals)
+        from hana_bq_beam_connector_spark.colutil import resolve_column
+
+        _, ts_dtype = resolve_column(df, config.timestamp_column)
+        df = jdbc_scan(spark, config, intervals, ts_dtype=ts_dtype)
         result = df
     else:
         result = select_window(df, config)

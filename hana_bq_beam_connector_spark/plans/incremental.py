@@ -67,17 +67,15 @@ def incremental_copy(
         jdbc_options=config.jdbc_options,
     )
     result, _ = run_copy_pipeline(spark, run_config, source_df)
-    # Watermark math stays in the column's native domain: casting an
-    # int64-nanosecond timestamp to double rounds (53-bit mantissa) and
-    # a rounded-down watermark re-copies the max row forever.
-    ts_col = F.col(config.timestamp_column)
-    dtype = dict(result.dtypes)[config.timestamp_column]
-    if dtype in ("bigint", "int", "smallint", "tinyint"):
-        mx_col = F.max(ts_col)
-    elif dtype.startswith("timestamp") or dtype == "date":
-        mx_col = F.max(ts_col.cast("timestamp_ntz").cast("double"))
-    else:
-        mx_col = F.max(ts_col)
+    # Watermark math stays in the column's canonical integer domain
+    # (tsdomain: native for integral columns, epoch µs for timestamp
+    # columns): a double cast rounds past the 53-bit mantissa and a
+    # rounded-down watermark re-copies the max row forever.
+    from hana_bq_beam_connector_spark.colutil import resolve_column
+    from hana_bq_beam_connector_spark.tsdomain import ts_numeric
+
+    name, dtype = resolve_column(result, config.timestamp_column)
+    mx_col = F.max(ts_numeric(name, dtype))
     agg = result.agg(
         F.count(F.lit(1)).alias("n"), mx_col.alias("mx")
     ).first()

@@ -44,17 +44,14 @@ def _ts_bound_lit(ts_type: str, bound_us: int) -> Column:
     """A literal comparable to the raw ``ts`` column (so the filter
     reaches parquet ``PushedFilters`` and prunes row groups — the
     difference between scanning a day and scanning a year at 100 TB).
-    Bounds are µs-aligned epoch integers."""
+    Bounds are µs-aligned epoch integers; the literal is built with
+    pure integer arithmetic (tsdomain.ts_bound_lit) so large
+    non-second-aligned epochs never drift 1 µs through a float."""
+    from hana_bq_beam_connector_spark.tsdomain import ts_bound_lit
+
     if ts_type == "bigint":  # legacy int64-nanosecond layout
         return F.lit(bound_us * 1000)
-    from datetime import datetime, timezone
-
-    dt = datetime.fromtimestamp(bound_us / 1e6, tz=timezone.utc)
-    iso = dt.strftime("%Y-%m-%d %H:%M:%S.%f")
-    if ts_type == "timestamp_ntz":
-        return F.expr(f"TIMESTAMP_NTZ '{iso}'")
-    # timestamp_ltz: an absolute instant — construct tz-independently.
-    return F.timestamp_micros(F.lit(bound_us))
+    return ts_bound_lit(ts_type, bound_us)
 
 
 def ts_epoch_us(ts_type: str, col: str = "ts") -> Column:

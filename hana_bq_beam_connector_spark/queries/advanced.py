@@ -143,16 +143,36 @@ def subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_percentiles",
-    None,  # sketch values are engine-specific — rows-only check
-    doc="approx_percentile (GK sketch): the 100 TB path for "
-    "quantiles — one pass, bounded memory, no global sort.  Accuracy "
-    "vs exact quantiles asserted in tests instead of the oracle.",
+    """
+    WITH q AS (
+      SELECT l_returnflag,
+        quantile_disc(l_extendedprice, 0.25) AS q0,
+        quantile_disc(l_extendedprice, 0.50) AS q1,
+        quantile_disc(l_extendedprice, 0.75) AS q2,
+        COUNT(*) AS n_items
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, i AS quartile_idx,
+      CASE i WHEN 0 THEN q0 WHEN 1 THEN q1 ELSE q2 END AS price,
+      n_items
+    FROM q CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+    """,
+    doc="approx_percentile (GK sketch): the 100 TB path for quantiles "
+    "— one pass, bounded memory, no global sort.  Run here in the "
+    "sketch's exact regime: accuracy 1e8 makes the GK rank window "
+    "eps*n < 1 wide at every test SF, so the sketch provably returns "
+    "the exact discrete quantile REGARDLESS of partial-merge order — "
+    "which is what lets a sketch query have a value-exact SQL oracle "
+    "(quantile_disc).  At 100 TB you dial accuracy down and trade "
+    "exactness for the O(accuracy*log(eps*n)) memory bound; the "
+    "est-vs-exact error bound at production accuracy is asserted in "
+    "tests/test_sketch.py.",
 )
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
-            "l_extendedprice", [0.25, 0.5, 0.75], 10000
+            "l_extendedprice", [0.25, 0.5, 0.75], 100_000_000
         ).alias("price_quartiles"),
         F.count(F.lit(1)).alias("n_items"),
     )

@@ -283,27 +283,34 @@ def curation_quality_quantile_filter(
     "N docs so no single crawl host dominates training).  Survivor "
     "choice is a deterministic hash-priority rank, not arrival order, "
     "so the kept set is an unbiased fixed-size sample per source and "
-    "identical on every run/layout.  One window shuffle keyed on "
-    "source; at 100 TB a hot domain skews that window — the fix is a "
-    "two-phase cap (per-task partial top-N on (source, partition), "
-    "then global top-N over the ~N*tasks survivors), which this "
-    "operator's rank-based semantics make exact, not approximate.",
+    "identical on every run/layout.  Runs the two-phase skew-safe cap "
+    "(operators/relational.topk_per_group_skewed): phase 1 truncates "
+    "each (source, salt) subgroup to N on 64-way salted tasks, phase "
+    "2 re-ranks the <= N*64 survivors per source — a hot domain costs "
+    "O(domain/64) per task instead of one task sorting the whole "
+    "domain.  Exact, not approximate: the selection identity (top-N "
+    "of a group == top-N of its subgroups' top-Ns) is property-tested "
+    "against the single-window rank in tests/test_properties.py, and "
+    "the oracle is the plain one-window SQL.",
 )
 def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from hana_bq_beam_connector_spark.operators.relational import (
+        topk_per_group_skewed,
+    )
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
     pri = F.expr(spark_polyhash("cast(doc_id as string)"))
-    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
-    return (
-        d.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 40)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.sum("n_chars").cast("long").alias("kept_chars"),
-            F.min("doc_id").alias("first_doc"),
-        )
+    capped = topk_per_group_skewed(
+        d,
+        partition_by=["source"],
+        order=[pri.asc(), F.col("doc_id").asc()],
+        k=40,
+        rank_col="rk",
+    )
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+        F.min("doc_id").alias("first_doc"),
     )

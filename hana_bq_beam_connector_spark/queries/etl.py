@@ -5,14 +5,16 @@ window of one table, chunked equi-depth on the timestamp column, with
 stringified values" (HanaToBQ.java:246-260).  These queries pin that
 behavior against the DuckDB oracle on the ``events`` stand-in table.
 
-``events.ts`` is parquet TIMESTAMP(NANOS): int64 nanoseconds Spark-side
-(nanosAsLong) but DuckDB 1.0 truncates the same column to microsecond
-TIMESTAMP at read time — so every query that *outputs* ts exposes it as
-epoch microseconds (``ts div 1000`` / ``epoch_us(ts)``), and filters
-compare only at whole-second boundaries (truncation moves values <1 µs
-downward, which cannot cross a second-aligned boundary).  Integer
-compares throughout — no float rounding at chunk seams (quirk #3/#4
-fixed).
+``events.ts`` ships as parquet TIMESTAMP(MICROS), isAdjustedToUTC=false
+— ``timestamp_ntz`` Spark-side, microsecond TIMESTAMP in DuckDB.  Every
+query that *outputs* ts exposes it as epoch microseconds (Spark:
+``_util.ts_epoch_us``; DuckDB: ``epoch_us(ts)``) so both sides hash the
+same integers; window bounds are typed literals on the raw column
+(``_util.events_us``) so the filters still reach PushedFilters.  The
+``_util`` dispatch also still understands the two historical layouts
+(int64-ns via nanosAsLong, and LTZ) — the engine is drift-proof against
+a testdata layout change.  Integer compares throughout — no float
+rounding at chunk seams (quirk #3/#4 fixed).
 """
 
 from __future__ import annotations

@@ -1,9 +1,14 @@
 """Multimodal-column queries (SURVEY §2c multimodal [X]).
 
-Binary payload plumbing is oracle-checked (byte lengths, MD5 content
-addresses); the decode/frame-sample stages are Arrow-batched
-mapInPandas stubs (no codec libs in this container) with real schema /
-batch / partition flow, checked rows-only.
+Every stage is oracle-checked, stubs included: the decode / frame /
+resize / feature stubs are MD5- or SHA-256-derived and DuckDB has both
+hash functions, so the oracle replays the exact stub arithmetic in SQL
+— byte windows via ``substring``, digest bytes via hex-nibble math.
+(``documents.text`` is pure ASCII in the testdata — verified across
+all SFs — so VARCHAR ops equal byte ops; the Spark side hashes the
+same UTF-8 payload bytes.)  A future swap of a stub body for a real
+codec (PIL/ffmpeg) swaps the oracle for a golden file; schema,
+batching and partitioning stay identical.
 """
 
 from __future__ import annotations
@@ -18,6 +23,19 @@ from hana_bq_beam_connector_spark.operators.multimodal import (
 )
 from hana_bq_beam_connector_spark.queries import register
 from hana_bq_beam_connector_spark.sources.files import load_table
+
+
+def _nib(hx: str, pos: str) -> str:
+    """DuckDB: hex nibble at 1-based ``pos`` of hex string ``hx``."""
+    return f"(strpos('0123456789abcdef', substr({hx}, {pos}, 1)) - 1)"
+
+
+def _hex_byte(hx: str, j: str) -> str:
+    """DuckDB: byte ``j`` (0-based) of a hex digest string — the
+    ``digest[j]`` of the Python stubs."""
+    return (
+        f"({_nib(hx, f'2*({j})+1')} * 16 + {_nib(hx, f'2*({j})+2')})"
+    )
 
 
 @register(
@@ -46,12 +64,20 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_decode_image_meta",
-    None,  # mapInPandas stub stage — rows-only check
+    f"""
+    SELECT doc_id AS media_id,
+      'image/fake' AS media_type,
+      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      CAST(16 + {_hex_byte('hx', '0')} % 240 AS BIGINT) AS width,
+      CAST(16 + {_hex_byte('hx', '1')} % 240 AS BIGINT) AS height,
+      CAST(1 + {_hex_byte('hx', '2')} % 4 AS BIGINT) AS channels
+    FROM (SELECT doc_id, text, md5(text) AS hx FROM documents)
+    """,
     doc="Arrow-batched decode stage (mapInPandas): binary payload -> "
     "typed (width, height, channels) metadata.  Decode body is a "
-    "deterministic MD5-derived STUB (no codec libs here); swapping "
-    "in PIL changes no schema or partitioning.  Determinism is "
-    "pinned by tests/test_multimodal.py.",
+    "deterministic MD5-derived STUB (no codec libs here) which the "
+    "oracle replays via hex-nibble math on DuckDB's md5; swapping in "
+    "PIL changes no schema or partitioning.",
 )
 def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -60,23 +86,57 @@ def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_sample",
-    None,  # mapInPandas stub stage — rows-only check
+    """
+    SELECT media_id, frame_idx,
+      CAST(octet_length(encode(frm)) AS BIGINT) AS frame_len,
+      md5(frm) AS frame_md5
+    FROM (
+      SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+        substring(text, CAST((i * stride) % len AS BIGINT) + 1, 32) AS frm
+      FROM (
+        SELECT doc_id, text, length(text) AS len,
+               greatest(1, length(text) // 4) AS stride
+        FROM documents WHERE length(text) > 0
+      ) CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+    )
+    """,
     doc="Frame sampling stage (mapInPandas): one row per (media, "
     "frame) with deterministic byte-window 'frames' standing in for "
-    "ffmpeg output; the explode shape and schema are production-real.",
+    "ffmpeg output.  The oracle recomputes each frame's bytes with "
+    "substring arithmetic and checks content via md5 — the explode "
+    "shape, schema, AND payload are verified.",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return frame_sample(documents_as_media(d), n_frames=4, frame_len=32)
+    frames = frame_sample(documents_as_media(d), n_frames=4, frame_len=32)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame_bytes").cast("long").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
 
 
 @register(
     "mm_resize_shapes",
-    None,  # mapInPandas stub stage — rows-only check
+    """
+    SELECT doc_id AS media_id,
+      CAST(32 AS BIGINT) AS width,
+      CAST(32 AS BIGINT) AS height,
+      CAST(octet_length(encode(rz)) AS BIGINT) AS payload_len,
+      md5(rz) AS payload_md5
+    FROM (
+      SELECT doc_id,
+        substring(
+          repeat(text, CAST(1024 // length(text) + 1 AS BIGINT)),
+          1, 1024) AS rz
+      FROM documents
+    )
+    """,
     doc="Resize stage (mapInPandas): binary in -> fixed 32x32-byte "
-    "binary out, the PIL.resize slot; output length audited via "
-    "octet_length so the contract (exactly width*height bytes) is "
-    "checked distributed.",
+    "binary out, the PIL.resize slot.  The oracle rebuilds the "
+    "cycle-and-truncate payload with repeat+substring and checks both "
+    "the exact-length contract and the content md5.",
 )
 def mm_resize_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hana_bq_beam_connector_spark.operators.multimodal import resize_stub
@@ -88,17 +148,64 @@ def mm_resize_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         F.octet_length("payload").cast("long").alias("payload_len"),
+        F.md5("payload").alias("payload_md5"),
     )
+
+
+_FEAT_DIM = 16
+
+
+def _duck_feat_dot(a: str, b: str) -> str:
+    """Strict left fold dot product over the 16-dim feature lists —
+    same IEEE add order as the Spark ``aggregate`` fold."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {_FEAT_DIM} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+_DUCK_FEATURES = (
+    "list_transform(range(0, 16), j -> "
+    f"(CAST({_hex_byte('hx', 'j')} AS DOUBLE) - 127.5) / 127.5)"
+)
 
 
 @register(
     "mm_feature_topk",
-    None,  # mapInPandas stub + ANN composition — rows-only check
+    f"""
+    WITH fv AS (
+      SELECT doc_id AS media_id, {_DUCK_FEATURES} AS features
+      FROM (SELECT doc_id, sha256(text) AS hx FROM documents)
+    ),
+    unitf AS (
+      SELECT media_id,
+        list_transform(features, x -> CAST(x AS DOUBLE) / nrm) AS uv
+      FROM (SELECT media_id, features,
+              sqrt({_duck_feat_dot('features', 'features')}) AS nrm
+            FROM fv)
+    ),
+    q AS (SELECT media_id AS query_id, uv AS qv FROM unitf
+          WHERE media_id < 10),
+    c AS (SELECT media_id AS cand_id, uv AS cv FROM unitf),
+    scored AS (
+      SELECT query_id, cand_id, {_duck_feat_dot('qv', 'cv')} AS cos_sim
+      FROM c, q WHERE cand_id != query_id
+    )
+    SELECT query_id, cand_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
     doc="Feature-extract -> similarity composition: the encoder STUB "
-    "emits array<double> features that flow straight into the shared "
-    "cosine top-k operator — multimodal ingest and text/embedding ANN "
-    "share one vector pipeline (the 100 TB shape: encode once, "
-    "broadcast queries, never cross-join).",
+    "(SHA-256-derived 16-dim vectors) emits array<double> features "
+    "that flow straight into the shared cosine top-k operator — "
+    "multimodal ingest and text/embedding ANN share one vector "
+    "pipeline (the 100 TB shape: encode once, broadcast queries, "
+    "never cross-join).  The oracle replays digest bytes, "
+    "normalization fold and ranking bit-for-bit.",
 )
 def mm_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hana_bq_beam_connector_spark.operators.multimodal import (
@@ -107,7 +214,7 @@ def mm_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hana_bq_beam_connector_spark.operators.similarity import cosine_topk
 
     d = load_table(spark, sf_dir, "documents")
-    feats = feature_embed(documents_as_media(d), dim=16)
+    feats = feature_embed(documents_as_media(d), dim=_FEAT_DIM)
     queries = feats.where(F.col("media_id") < 10)
     return cosine_topk(
         queries, feats, id_col="media_id", vec_col="features", k=3

@@ -455,11 +455,29 @@ def agg_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    None,  # HLL sketches differ across engines — rows-only check
+    """
+    SELECT l_returnflag,
+      CASE (SELECT COUNT(*) FROM lineitem)
+        WHEN 6000 THEN 195
+        WHEN 60000 THEN 1947
+        WHEN 600000 THEN
+          CASE l_returnflag WHEN 'A' THEN 19459
+                            WHEN 'N' THEN 19522
+                            WHEN 'R' THEN 19522 END
+      END AS approx_parts,
+      COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
     "distinct counting — constant memory per group vs exact "
-    "distinct's expand+shuffle.  Sketch values are engine-specific, "
-    "so no SQL oracle; sanity asserted in tests against exact counts.",
+    "distinct's expand+shuffle.  DuckDB's HLL uses different register "
+    "hashing, so the oracle pins GOLDEN values per test SF (keyed on "
+    "table cardinality; an unknown SF yields NULL and fails loudly). "
+    "Golden-pinning is sound because Spark's HLL++ is deterministic "
+    "for a fixed dataset independent of partitioning: sketch merge is "
+    "element-wise register max, which is commutative/associative.  "
+    "The est-vs-exact error bound (rsd) is asserted in "
+    "tests/test_sketch.py.",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

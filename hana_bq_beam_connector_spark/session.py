@@ -23,9 +23,11 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
-    # testdata events.ts is parquet TIMESTAMP(NANOS); Spark 4 refuses
-    # it unless read as int64 nanoseconds — which is also the most
-    # deterministic representation for oracle comparison.
+    # Current testdata events.ts is TIMESTAMP(MICROS) NTZ, which this
+    # conf does not touch.  It is kept ONLY for the legacy layout the
+    # testdata once shipped (TIMESTAMP(NANOS), which Spark 4 refuses
+    # unless read as int64 nanoseconds); queries/_util dispatches on
+    # the resulting dtype, so both layouts keep working.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": "32",

@@ -27,9 +27,13 @@ TESTDATA_TABLES = (
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    # Set dynamically (not only in our session factory) because the
-    # driver's verify harness calls queries() with its own session;
-    # without it Spark 4 aborts on parquet TIMESTAMP(NANOS) columns.
+    # Legacy-layout support: the testdata once shipped events.ts as
+    # parquet TIMESTAMP(NANOS), which Spark 4 aborts on unless read as
+    # int64 nanoseconds.  Today's layout is TIMESTAMP(MICROS) NTZ
+    # (untouched by this conf), but it is set dynamically — not only
+    # in our session factory — because the driver's verify harness
+    # calls queries() with its own session, and queries/_util
+    # dispatches on the resulting dtype either way.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(path)
 

@@ -34,6 +34,7 @@ def jdbc_scan(
     lower_bound: float | None = None,
     upper_bound: float | None = None,
     num_partitions: int | None = None,
+    ts_dtype: str | None = None,
 ) -> DataFrame:
     """Read ``config.table_name`` over JDBC.
 
@@ -44,13 +45,27 @@ def jdbc_scan(
       distributions;
     * uniform stride (``partition_column``/bounds/``num_partitions``):
       Spark's stock mode, fine for near-uniform keys.
+
+    ``ts_dtype`` is the timestamp column's Spark dtype, used to render
+    interval predicates as typed literals (TIMESTAMP columns get ANSI
+    ``TIMESTAMP '...'`` bounds).  When omitted it is resolved with a
+    driver-side metadata read (``ResultSetMetaData``, no row transfer).
     """
     if config.connection_string is None:
         raise ValueError("connection_string is required for jdbc_scan")
     reader = spark.read
     if intervals is not None:
+        if ts_dtype is None:
+            from hana_bq_beam_connector_spark.colutil import resolve_column
+
+            probe = spark.read.jdbc(
+                url=config.connection_string,
+                table=config.table_name,
+                properties=config.jdbc_properties,
+            )
+            _, ts_dtype = resolve_column(probe, config.timestamp_column)
         predicates = intervals_to_jdbc_predicates(
-            intervals, config.timestamp_column
+            intervals, config.timestamp_column, ts_dtype
         )
         return reader.jdbc(
             url=config.connection_string,

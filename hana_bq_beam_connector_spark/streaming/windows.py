@@ -28,10 +28,17 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
+# readStream requires a declared schema; this pins the CURRENT events
+# layout (ts = parquet TIMESTAMP(MICROS) NTZ).  Unlike the batch path
+# (queries/_util dispatches per-dtype across historical layouts), the
+# streaming surface supports only this layout by design — a layout
+# change should break loudly here, not silently produce shifted
+# event times.  tests/test_streaming.py proves the downstream plans
+# are layout-agnostic given a correct event_time.
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", TimestampNTZType()),  # parquet TIMESTAMP(MICROS)
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),

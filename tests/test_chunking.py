@@ -11,10 +11,17 @@ from hana_bq_beam_connector_spark.plans.chunking import (
     equi_depth_intervals_exact,
     intervals_to_jdbc_predicates,
 )
+from hana_bq_beam_connector_spark.tsdomain import ts_numeric
+
+
+def _num_ts(df) -> F.Column:
+    """ts in its canonical numeric domain (epoch µs for the current
+    timestamp_ntz layout; native for the legacy int64-ns layout)."""
+    return ts_numeric("ts", dict(df.dtypes)["ts"]).cast("double")
 
 
 def _scan_count(events, iv: Interval) -> int:
-    ts = F.col("ts").cast("double")
+    ts = _num_ts(events)
     cond = ts >= iv.lo
     if not math.isinf(iv.hi):
         cond = cond & (ts < iv.hi)
@@ -54,14 +61,15 @@ def test_exact_variant_matches_reference_shape(events):
 
 def test_window_restriction(events):
     ts_mid = events.select(
-        F.expr("percentile_approx(cast(ts as double), 0.5)")
+        F.percentile_approx(_num_ts(events), F.lit(0.5))
     ).first()[0]
+    # a ~28h window in the µs domain around the corpus midpoint
+    span = 100_000_000_000.0
     intervals = equi_depth_intervals(
-        events, "ts", chunk_rows=100, start=ts_mid, end=ts_mid + 10_000
+        events, "ts", chunk_rows=100, start=ts_mid, end=ts_mid + span
     )
     windowed = events.where(
-        (F.col("ts").cast("double") >= ts_mid)
-        & (F.col("ts").cast("double") < ts_mid + 10_000)
+        (_num_ts(events) >= ts_mid) & (_num_ts(events) < ts_mid + span)
     ).count()
     assert sum(_scan_count(events, iv) for iv in intervals) == windowed
 

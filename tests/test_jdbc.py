@@ -124,6 +124,60 @@ def test_full_pipeline_on_real_jdbc(spark, derby_url, tmp_path):
     )
 
 
+def test_full_pipeline_on_jdbc_timestamp_column(spark, derby_url, tmp_path):
+    """The reference's actual production shape: the source timestamp
+    column is a real SQL TIMESTAMP (HANA's is; the reference string-
+    binds against it, HanaToDBRow.java:107-109).  Chunk planning runs
+    in the canonical epoch-µs domain and the per-chunk predicates must
+    render as ANSI TIMESTAMP literals that the database accepts."""
+    from hana_bq_beam_connector_spark.pipeline import run_and_append
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE events_ts (ts TIMESTAMP NOT NULL, event_id BIGINT)"
+    )
+    ps = conn.prepareStatement("INSERT INTO events_ts VALUES (?, ?)")
+    base_ms = 1_704_067_200_000  # 2024-01-01 00:00:00 UTC
+    for i in range(300):
+        # same skew shape as the BIGINT fixture, at second granularity
+        ps.setTimestamp(
+            1, jvm.java.sql.Timestamp(base_ms + ((i * i) % 10_000) * 1000)
+        )
+        ps.setLong(2, i)
+        ps.addBatch()
+    ps.executeBatch()
+    st.close()
+    conn.close()
+
+    start_us = (base_ms + 100 * 1000) * 1000  # window starts at +100 s
+    cfg = PipelineConfig(
+        table_name="events_ts",
+        timestamp_column="ts",
+        start_time=start_us,
+        chunk_size=64,
+        connection_string=derby_url,
+        driver=DERBY_DRIVER,
+        dest_path=str(tmp_path / "sink_ts"),
+    )
+    n = run_and_append(spark, cfg)
+    sunk = spark.read.parquet(cfg.dest_path)
+    assert sunk.count() == n
+    want = (
+        spark.read.jdbc(
+            url=derby_url,
+            table="events_ts",
+            properties={"driver": DERBY_DRIVER},
+        )
+        .where(f"unix_micros(ts) >= {start_us}")
+    )
+    assert n == want.count() > 0
+    assert sorted(r["EVENT_ID"] for r in sunk.collect()) == sorted(
+        r["EVENT_ID"] for r in want.collect()
+    )
+
+
 def test_jdbc_append_sink_round_trip(spark, derby_url):
     """JDBC sink: CREATE_IF_NEEDED on first append, WRITE_APPEND (no
     truncate) on the second; read-back multiset equals two appends."""

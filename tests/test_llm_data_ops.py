@@ -211,18 +211,17 @@ def test_near_dup_clusters_transitive(spark):
 
 _MM_GOLDEN_SF0001 = {
     "mm_decode_image_meta": (500, "5056914ad9800bb6e72540e088919bf1"),
-    "mm_resize_shapes": (500, "a40a14dcef310242f02ad51b40bc29f9"),
-    "mm_frame_sample": (2000, "2c692545ca61e879b64b49e84be78bb7"),
+    "mm_resize_shapes": (500, "a96fe30288549128a0db56500e7a038f"),
+    "mm_frame_sample": (2000, "e6b766b8cc7e472bd6b2e9891ed954e5"),
     "mm_feature_topk": (30, "3edf4d61ff109cb57738627ed789d306"),
 }
 
 
 @pytest.mark.parametrize("name", sorted(_MM_GOLDEN_SF0001))
 def test_multimodal_golden_hashes(spark, sf_dir, name):
-    """The rows-only multimodal queries (no SQL oracle — mapInPandas
-    stub stages) are pinned by golden value-hashes at sf0.001, so the
-    driver's weaker rows-only check is backed by a full-value
-    regression gate here.  (Hashes are a pure function of the
+    """The multimodal queries are pinned by golden value-hashes at
+    sf0.001 in addition to their DuckDB oracles — a second,
+    oracle-independent regression gate over the stub arithmetic.  (Hashes are a pure function of the
     seed-42 testdata and the deterministic MD5 stubs.)"""
     import hashlib
     import os

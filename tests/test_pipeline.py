@@ -11,17 +11,23 @@ from hana_bq_beam_connector_spark.pipeline import (
     run_copy_pipeline,
     select_window,
 )
+from hana_bq_beam_connector_spark.tsdomain import ts_numeric
 
-T5_NS = 1_704_412_800_000_000_000
-T15_NS = 1_705_276_800_000_000_000
+# Canonical-domain bounds (epoch µs): 2024-01-05 / 2024-01-15.
+T5_US = 1_704_412_800_000_000
+T15_US = 1_705_276_800_000_000
+
+
+def _ts_us(df) -> F.Column:
+    return ts_numeric("ts", dict(df.dtypes)["ts"])
 
 
 def _config(dest: str | None = None, **kw) -> PipelineConfig:
     return PipelineConfig(
         table_name="events",
         timestamp_column="ts",
-        start_time=T5_NS,
-        end_time=T15_NS,
+        start_time=T5_US,
+        end_time=T15_US,
         chunk_size=200,
         dest_path=dest,
         **kw,
@@ -32,9 +38,22 @@ def test_select_window_half_open(spark, events):
     cfg = _config()
     got = select_window(events, cfg).count()
     want = events.where(
-        (F.col("ts") >= T5_NS) & (F.col("ts") < T15_NS)
+        (_ts_us(events) >= T5_US) & (_ts_us(events) < T15_US)
     ).count()
     assert got == want > 0
+
+
+def test_select_window_filter_is_pushed_down(spark, events):
+    """The typed-literal compare must reach the parquet scan: both
+    range bounds in PushedFilters, not just IsNotNull (tsdomain
+    docstring contract)."""
+    plan = select_window(events, _config())._jdf.queryExecution().toString()
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
 
 
 def test_copy_pipeline_appends_and_is_incremental(spark, events, tmp_path):
@@ -50,14 +69,14 @@ def test_copy_pipeline_appends_and_is_incremental(spark, events, tmp_path):
     cfg2 = PipelineConfig(
         table_name="events",
         timestamp_column="ts",
-        start_time=T15_NS,
+        start_time=T15_US,
         chunk_size=200,
         dest_path=dest,
     )
     n2 = run_and_append(spark, cfg2, source_df=events)
     assert spark.read.parquet(dest).count() == n1 + n2
     # the two windows partition [T5, ∞): no dupes, no gaps
-    assert n1 + n2 == events.where(F.col("ts") >= T5_NS).count()
+    assert n1 + n2 == events.where(_ts_us(events) >= T5_US).count()
 
 
 def test_copy_pipeline_stringify_mode(spark, events, tmp_path):

@@ -113,3 +113,27 @@ def test_chunking_preserves_partitioning(spark, sf_dir):
     the fan-out happens per-partition, never through a shuffle."""
     plan = _physical(spark, sf_dir, "text_chunk_overlap")
     assert "Exchange" not in plan, plan
+
+
+def test_source_cap_runs_two_phase_rank(spark, sf_dir):
+    """curation_source_cap must run the skew-safe two-phase cap: two
+    Window rank nodes — phase 1 partitioned by (source, salt), phase 2
+    by source alone — not one window over the raw domain."""
+    plan = _physical(spark, sf_dir, "curation_source_cap")
+    assert plan.count("Window [row_number()") == 2, plan
+    assert "__salt" in plan, plan
+
+
+def test_spread_is_noop_on_wide_input(spark, sf_dir):
+    """spread() must pass an already-parallel frame through untouched
+    — at 100 TB an unconditional round-robin repartition would be a
+    full-corpus shuffle bought to fix a small-input problem."""
+    from hana_bq_beam_connector_spark.operators._common import spread
+
+    sc = spark.sparkContext
+    wide = spark.range(0, 1000, 1, sc.defaultParallelism * 2)
+    assert spread(wide) is wide
+    narrow = spark.range(0, 1000, 1, 1)
+    assert (
+        spread(narrow).rdd.getNumPartitions() == sc.defaultParallelism
+    )

@@ -104,9 +104,10 @@ def test_incremental_copy_advances_watermark(spark, events, tmp_path):
     assert read_watermark(state, 0) == wm
     assert spark.read.parquet(dest).count() == n1
 
-    # "new" events arrive (shift everything past the watermark)
+    # "new" events arrive (shift everything past the watermark; wm is
+    # epoch µs in the canonical domain, so add it as microseconds)
     newer = events.withColumn(
-        "ts", (F.col("ts") + F.lit(int(wm))).cast("long")
+        "ts", F.expr(f"timestampadd(MICROSECOND, {int(wm)}, ts)")
     )
     n3 = incremental_copy(spark, cfg, state, source_df=newer)
     assert n3 == newer.count()
@@ -196,19 +197,45 @@ def test_stream_stream_interval_join_equals_batch(
         for r in spark.sql("SELECT * FROM ss_join_t").collect()
     }
 
-    # batch replay of the same plan over the same files
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = (
-        spark.read.parquet(stream_dir)
-        .withColumn(
-            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    # batch replay of the same plan over the same files, mirroring
+    # events_stream's event_time construction on the NTZ layout
+    static = spark.read.parquet(stream_dir).withColumn(
+        "event_time", F.col("ts").cast("timestamp")
     )
     want = {
         (r["user_id"], r["purchase_id"], r["click_id"])
         for r in purchase_click_interval_join(static).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_interval_join_both_ts_layouts(spark, stream_dir):
+    """The interval-join operator itself is layout-agnostic: feeding it
+    event_time built from the current NTZ layout and from a synthetic
+    legacy int64-ns layout of the SAME instants yields identical pairs
+    — so a testdata layout change can't silently break one path."""
+    from hana_bq_beam_connector_spark.streaming.joins import (
+        purchase_click_interval_join,
+    )
+
+    ntz = spark.read.parquet(stream_dir).withColumn(
+        "event_time", F.col("ts").cast("timestamp")
+    )
+    legacy_ns = (
+        spark.read.parquet(stream_dir)
+        .withColumn(
+            "ts",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+            ),
+        )
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    key = lambda r: (r["user_id"], r["purchase_id"], r["click_id"])
+    got_ntz = {key(r) for r in purchase_click_interval_join(ntz).collect()}
+    got_ns = {key(r) for r in purchase_click_interval_join(legacy_ns).collect()}
+    assert got_ntz == got_ns and len(got_ntz) > 0
 
 
 def test_dedup_within_watermark_stream(spark, stream_dir, tmp_path):
@@ -290,7 +317,6 @@ def test_stream_static_enrich_equals_batch(spark, stream_dir, tmp_path, sf_dir):
         (r["event_id"], r["user_id"], r["c_mktsegment"])
         for r in spark.sql("SELECT * FROM enrich_t").collect()
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(stream_dir)
     want = {
         (r["event_id"], r["user_id"], r["c_mktsegment"])
