@@ -38,9 +38,13 @@ HEADLINE = [
     "text_tfidf_topk",            # tokenize + 2-shuffle TF-IDF
     "text_quality_features",      # per-doc scoring
     "curation_pipeline",          # quality->dedup->split end-to-end
+    "curation_source_cap",        # two-phase skew-safe per-domain cap
+    "curation_quality_quantile_sketch",  # sketch-threshold quality bar
     "decontam_ngram_overlap",     # eval 5-gram decontamination
     "text_chunk_overlap",         # zero-shuffle context-window chunking
     "sketch_cms_frequency",       # Count-Min build + probe
+    "agg_approx_percentiles",     # GK quantile sketch (exact regime)
+    "mm_feature_topk",            # multimodal features -> shared ANN
     "stream_session_windows",     # sessionization (gaps-and-islands)
     "stream_static_enrich",       # stateless broadcast dim enrichment
     "scalar_json_funcs",          # JSON extraction over events

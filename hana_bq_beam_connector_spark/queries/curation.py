@@ -260,6 +260,54 @@ def curation_quality_quantile_filter(
 
 
 @register(
+    "curation_quality_quantile_sketch",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_DUCK_QSCORE} AS quality_score
+      FROM documents
+    ),
+    th AS (
+      SELECT lang, quantile_disc(quality_score, 0.25) AS q25
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality_score, th.q25
+    FROM scored s JOIN th USING (lang)
+    WHERE s.quality_score >= th.q25
+    """,
+    doc="The SCALE path for the corpus-relative quality cutoff: "
+    "per-lang thresholds from ONE percentile-sketch aggregation pass, "
+    "broadcast back as a plain filter — replaces "
+    "curation_quality_quantile_filter's full per-lang window sort "
+    "(same policy, no sort of the corpus; at 100 TB the sort is the "
+    "bill).  Cutoff is >= the discrete 25th-percentile score, so the "
+    "kept set differs from percent_rank's strict-quartile drop only "
+    "at tie boundaries — both are deterministic.  The sketch runs in "
+    "its exact regime (accuracy 1e8, eps*n < 1 per lang) so the "
+    "oracle is plain quantile_disc; production dials accuracy down "
+    "and the answer degrades gracefully (rank error <= eps*n).",
+)
+def curation_quality_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    scored = quality_features(d, "text").select(
+        "doc_id", "lang", "quality_score"
+    )
+    thresholds = scored.groupBy("lang").agg(
+        F.percentile_approx(
+            "quality_score", F.lit(0.25), F.lit(100_000_000)
+        ).alias("q25")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), "lang")
+        .where(F.col("quality_score") >= F.col("q25"))
+        .select("doc_id", "lang", "quality_score", "q25")
+    )
+
+
+@register(
     "curation_source_cap",
     f"""
     WITH ranked AS (
