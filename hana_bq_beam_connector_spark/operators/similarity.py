@@ -240,6 +240,92 @@ def lsh_bucket_topk(
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str,
+    qvec: str = "qvec",
+    qscale: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q[i] = round(v[i] /
+    scale)`` with ``scale = max|v| / 127`` — values in [-127, 127].
+
+    THE memory lever for a corpus-scale vector index: the stored
+    payload drops 8× (1 byte vs 8 per component; 64-dim: 64 B + one
+    double scale vs 512 B), which at 10^10 vectors is the difference
+    between an index that fits executor memory and one that doesn't.
+    Scoring stays JVM-side integer folds; the approximate dot is
+    ``int_dot * scale_a * scale_b``.  Quantize AFTER :func:`unit` so
+    scores approximate cosine.  Deterministic and oracle-replayable:
+    round-half-away-from-zero on IEEE doubles agrees between Spark
+    and DuckDB."""
+    mx = f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"
+    return (
+        df.withColumn(qscale, F.expr(mx) / F.lit(127.0))
+        .withColumn(
+            qvec,
+            F.expr(
+                f"transform({vec_col}, x -> "
+                f"cast(round(cast(x as double) / {qscale}) as bigint))"
+            ),
+        )
+    )
+
+
+def _int_dot_fold(a: str, b: str) -> str:
+    """Spark expr: integer dot product fold (all BIGINT — |q| <= 127,
+    dim <= 2^40 before overflow is even near)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k by int8-quantized approximate cosine.
+
+    Same broadcast-bounded-query shape as :func:`cosine_topk`, but
+    the candidate side carries 1-byte codes + one scale instead of
+    doubles — the memory-side scale path (combine with LSH/IVF
+    candidate pruning for the compute side).  Score =
+    ``int_dot * qscale_q * qscale_c``; ranking quality vs the exact
+    baseline is asserted in tests (recall@k)."""
+    q = quantize_int8(unit(queries, vec_col, "uv"), "uv", "qq", "qs").select(
+        F.col(id_col).alias("query_id"), "qq", "qs"
+    )
+    c = quantize_int8(
+        unit(spread(candidates.select(id_col, vec_col)), vec_col, "uv"),
+        "uv",
+        "cq",
+        "cs",
+    ).select(F.col(id_col).alias("cand_id"), "cq", "cs")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.expr(_int_dot_fold("qq", "cq")).cast("double")
+                * F.col("qs")
+                * F.col("cs")
+            ).alias("approx_cos"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        partition_by=["query_id"],
+        order=[F.col("approx_cos").desc(), F.col("cand_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -260,6 +260,59 @@ def curation_quality_quantile_filter(
 
 
 @register(
+    "curation_budget_mixture",
+    f"""
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+        {duck_polyhash("CAST(doc_id AS VARCHAR)")} AS pri
+      FROM documents
+    ),
+    acc AS (
+      SELECT doc_id, lang, n_chars,
+        COALESCE(SUM(n_chars) OVER (
+          PARTITION BY lang ORDER BY pri, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS chars_before
+      FROM pri
+    )
+    SELECT doc_id, lang, n_chars, CAST(chars_before AS BIGINT) AS chars_before
+    FROM acc WHERE chars_before < 20000
+    """,
+    doc="Training-mixture budget sampler: every LLM corpus build ends "
+    "with 'take N tokens per language/domain in a reproducible way'. "
+    "Docs are ordered by deterministic hash priority (an unbiased "
+    "fixed sample, not arrival order) and greedily taken while the "
+    "EXCLUSIVE running size is under the per-lang budget — so the "
+    "budget is always met or minimally overshot by one doc, and the "
+    "selection is identical on any run/layout.  One window shuffle on "
+    "lang.  At 100 TB the prefix sum windows a hot language onto one "
+    "task: pre-cap candidates first with topk_per_group_skewed (only "
+    "the budget/min_doc_size best-priority docs can possibly fit) so "
+    "the prefix-sum window sees a bounded sliver, same exactness.",
+)
+def curation_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    pri = F.expr(spark_polyhash("cast(doc_id as string)"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(pri.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn(
+            "chars_before",
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("long"),
+        )
+        .where(F.col("chars_before") < 20000)
+        .select("doc_id", "lang", "n_chars", "chars_before")
+    )
+
+
+@register(
     "curation_quality_quantile_sketch",
     f"""
     WITH scored AS (

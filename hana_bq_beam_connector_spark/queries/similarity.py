@@ -86,6 +86,69 @@ def sim_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_quant_cte(name: str = "qv") -> str:
+    """CTE: per-vector int8 quantization of the unit vectors —
+    mirrors operators/similarity.quantize_int8 exactly (same
+    round-half-away-from-zero on the same IEEE doubles)."""
+    return f"""{name} AS (
+      SELECT vec_id, qs,
+        list_transform(uv, x -> CAST(round(CAST(x AS DOUBLE) / qs)
+                                     AS BIGINT)) AS qq
+      FROM (SELECT vec_id, uv,
+              list_max(list_transform(uv, x -> abs(CAST(x AS DOUBLE))))
+                / 127.0 AS qs
+            FROM unitv)
+    )"""
+
+
+def _duck_int_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {DIM} + 1), "
+        f"i -> {a}[i] * {b}[i])), (acc, v) -> acc + v)"
+    )
+
+
+@register(
+    "sim_quantized_topk",
+    f"""
+    WITH {_duck_unit_cte()},
+    {_duck_quant_cte()},
+    q AS (SELECT vec_id AS query_id, qq AS qa, qs AS sa FROM qv
+          WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, qq AS ca, qs AS sb FROM qv),
+    scored AS (
+      SELECT query_id, cand_id,
+        (CAST({_duck_int_dot('qa', 'ca')} AS DOUBLE) * sa) * sb
+          AS approx_cos
+      FROM c, q WHERE cand_id != query_id
+    )
+    SELECT query_id, cand_id, approx_cos, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_cos DESC, cand_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="Int8-quantized top-5: the candidate index carries 1-byte "
+    "codes + one scale per vector (8x memory cut — at 10^10 vectors "
+    "the difference between an index that fits executor memory and "
+    "one that doesn't); scoring is a BIGINT fold rescaled by the two "
+    "scales.  Recall vs the exact-cosine baseline asserted in tests; "
+    "oracle replays quantization, integer dot and rescale "
+    "bit-for-bit.",
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.similarity import (
+        quantized_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(emb["vec_id"] < 10)
+    return quantized_topk(queries, emb, k=5).select(
+        "query_id", "cand_id", "approx_cos", "rank"
+    )
+
+
 def _duck_plane_dot(vec: str, p: int) -> str:
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "

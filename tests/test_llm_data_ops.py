@@ -69,6 +69,29 @@ def test_lsh_ann_recall_vs_exact(spark):
     assert recall > 0.1, f"ANN recall collapsed: {recall}"
 
 
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization must preserve the cosine ranking almost
+    perfectly — on unit 64-dim vectors the per-component error is
+    <= 0.5/127, so top-k recall vs the exact baseline should be near
+    1 (this is a memory optimization, not a recall trade)."""
+    from hana_bq_beam_connector_spark.operators.similarity import (
+        quantized_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(emb["vec_id"] < 20)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in cosine_topk(queries, emb, k=3).collect()
+    }
+    quant = {
+        (r["query_id"], r["cand_id"])
+        for r in quantized_topk(queries, emb, k=3).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"int8 quantization broke ranking: {recall}"
+
+
 def test_multimodal_decode_deterministic_schema(spark):
     d = load_table(spark, SF, "documents").limit(50)
     meta = decode_image_meta(documents_as_media(d))

@@ -21,6 +21,7 @@ from hana_bq_beam_connector_spark.queries import registry
 # name -> why it's allowed to nested-loop / cross
 _ALLOWED = {
     "sim_cosine_topk_exact": "exact baseline: bounded query set broadcast",
+    "sim_quantized_topk": "int8 variant of the bounded-broadcast baseline",
     "mm_feature_topk": "exact baseline over media features",
     "sim_ivf_topk": "centroid set (16 rows) broadcast for assignment",
     "stream_late_events": "single-row watermark aggregate broadcast",

@@ -174,6 +174,63 @@ def test_range_clustered_write_disjoint_bands(spark, sf_dir, tmp_path):
     assert back.count() == ev.count()
 
 
+def test_zorder_write_localizes_both_dimensions(spark, sf_dir, tmp_path):
+    """zorder_clustered_write must localize EVERY clustered column at
+    once: per-file min/max spans of both dimensions stay small
+    fractions of their domains, so a conjunctive 2-D range filter
+    prunes by footer stats.  Contrast: 1-D range clustering on
+    o_custkey leaves o_totalprice spanning ~the whole domain in every
+    file."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from hana_bq_beam_connector_spark.sinks import (
+        range_clustered_write,
+        zorder_clustered_write,
+    )
+    from hana_bq_beam_connector_spark.sources.files import load_table
+
+    o = load_table(spark, str(sf_dir), "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def avg_span(path, col):
+        dom = o.selectExpr(
+            f"max({col}) - min({col}) as d"
+        ).first()["d"]
+        spans = []
+        for f in Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            spans.append((max(maxs) - min(mins)) / dom)
+        return sum(spans) / len(spans)
+
+    zpath = str(tmp_path / "zorder")
+    zorder_clustered_write(
+        o, zpath, ["o_custkey", "o_totalprice"], n_files=16
+    )
+    rpath = str(tmp_path / "range1d")
+    range_clustered_write(o, rpath, "o_custkey", 16)
+
+    # both dimensions localized under Z-order...
+    assert avg_span(zpath, "o_custkey") < 0.5
+    assert avg_span(zpath, "o_totalprice") < 0.5
+    # ...while 1-D clustering localizes only its own column
+    assert avg_span(rpath, "o_custkey") < 0.2
+    assert avg_span(rpath, "o_totalprice") > 0.8
+    # lossless round trip
+    assert spark.read.parquet(zpath).count() == o.count()
+
+
 def test_parquet_schema_evolution_merge(spark, tmp_path):
     """Schema drift across historical files (the 100 TB lakehouse
     reality): mergeSchema=true unions old and new schemas, nulling
