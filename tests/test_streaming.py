@@ -178,6 +178,79 @@ def test_stateful_user_totals_converge_to_batch(
         assert total == pytest.approx(want[uid][1], rel=1e-9)
 
 
+def test_tws_user_totals_converge_to_batch(
+    spark, events, stream_dir, tmp_path
+):
+    """transformWithStateInPandas (Spark 4 stateful API, RocksDB
+    store): the final update per user equals the batch lifetime
+    aggregate — same contract as the applyInPandasWithState twin.
+
+    ENV-GATED like the BigQuery sink: the API's state-server protocol
+    needs the ``protobuf`` Python package, which this container does
+    not ship (verified: the query fails in PRE_INIT importing
+    ``google.protobuf``).  The operator is interface-complete; this
+    test runs wherever protobuf exists."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf "
+        "(not shipped in this container)",
+    )
+    from hana_bq_beam_connector_spark.streaming.stateful import (
+        tws_user_totals,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import events_stream
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = events_stream(spark, stream_dir)
+        run_available_now(
+            tws_user_totals(stream),
+            "tws_totals_t",
+            str(tmp_path / "ckpt_tws"),
+            mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value, max_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                 FROM tws_totals_t) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"], r["m"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("t"),
+            F.max("value").alias("m"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, total, mx) in final.items():
+        assert n == want[uid][0]
+        assert total == pytest.approx(want[uid][1], rel=1e-9)
+        assert mx == want[uid][2]
+
+
 def test_stream_stream_interval_join_equals_batch(
     spark, stream_dir, tmp_path
 ):
