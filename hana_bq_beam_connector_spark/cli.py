@@ -51,6 +51,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dest-path", help="parquet sink instead of BigQuery")
     p.add_argument("--state", help="watermark state file -> incremental mode")
     p.add_argument(
+        "--cluster-by",
+        help="comma-separated column(s): lay the sink out clustered for "
+        "data skipping — one column = range clustering, several = "
+        "Z-order (multi-dimension footer pruning).  Full-copy mode "
+        "only (clustering rewrites; incremental appends).",
+    )
+    p.add_argument(
+        "--cluster-files",
+        type=int,
+        default=16,
+        help="target file count for --cluster-by (default 16)",
+    )
+    p.add_argument(
         "--stringify",
         action="store_true",
         help="reference-parity lossy stringify (HanaDBRowToTableRowFn)",
@@ -82,7 +95,32 @@ def main(argv: list[str] | None = None) -> int:
         else None
     )
     if args.state:
+        if args.cluster_by:
+            raise SystemExit(
+                "--cluster-by requires full-copy mode (clustering "
+                "rewrites the layout; incremental mode appends)"
+            )
         n = incremental_copy(spark, config, args.state, source_df=source)
+    elif args.cluster_by:
+        from hana_bq_beam_connector_spark.pipeline import run_copy_pipeline
+        from hana_bq_beam_connector_spark.sinks import (
+            range_clustered_write,
+            zorder_clustered_write,
+        )
+
+        if config.dest_path is None:
+            raise SystemExit("--cluster-by needs --dest-path")
+        result, _ = run_copy_pipeline(spark, config, source_df=source)
+        cols = [c.strip() for c in args.cluster_by.split(",") if c.strip()]
+        n = result.count()
+        if len(cols) == 1:
+            range_clustered_write(
+                result, config.dest_path, cols[0], args.cluster_files
+            )
+        else:
+            zorder_clustered_write(
+                result, config.dest_path, cols, args.cluster_files
+            )
     else:
         n = run_and_append(spark, config, source_df=source)
     print(f"rows_copied={n}")

@@ -46,6 +46,46 @@ def test_cli_incremental_mode(spark, tmp_path, capsys):
     assert spark.read.parquet(dest).count() == 1000
 
 
+def test_cli_clustered_copy(spark, tmp_path, capsys):
+    """--cluster-by lays the copied window out for data skipping:
+    one column -> range clustering (disjoint bands), two -> Z-order;
+    row multiset is the same as a plain copy."""
+    dest = str(tmp_path / "sink_clustered")
+    rc = main(
+        [
+            "--table-name", "events",
+            "--timestamp-column", "ts",
+            "--start-time", "0",
+            "--source-parquet", f"{SF}/events.parquet",
+            "--dest-path", dest,
+            "--cluster-by", "user_id,value",
+            "--cluster-files", "8",
+            "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    assert "rows_copied=1000" in capsys.readouterr().out
+    back = spark.read.parquet(dest)
+    assert back.count() == 1000
+    assert sorted(back.columns) == sorted(
+        spark.read.parquet(f"{SF}/events.parquet").columns
+    )
+
+    # incremental mode rejects clustering loudly
+    with pytest.raises(SystemExit):
+        main(
+            [
+                "--table-name", "events",
+                "--timestamp-column", "ts",
+                "--start-time", "0",
+                "--source-parquet", f"{SF}/events.parquet",
+                "--dest-path", dest,
+                "--state", str(tmp_path / "wm.json"),
+                "--cluster-by", "user_id",
+            ]
+        )
+
+
 def test_cli_required_options():
     with pytest.raises(SystemExit):
         build_parser().parse_args(["--table-name", "t"])

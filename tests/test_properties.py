@@ -274,3 +274,58 @@ def test_two_phase_cap_equals_direct_window(spark, rows, k, fanout):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # lang key
+            st.integers(min_value=1, max_value=400),    # doc size
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    budget=st.integers(min_value=1, max_value=2000),
+)
+def test_budget_mixture_invariants(spark, rows, budget):
+    """The greedy budgeted selection (curation_budget_mixture shape):
+    per key, the kept set (a) never starts a doc at/after the budget,
+    (b) is a PREFIX of the hash-priority order (no doc skipped then a
+    later one taken), and (c) overshoots the budget by at most one
+    final doc."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(g, n, i) for i, (g, n) in enumerate(rows)], ["g", "n", "uid"]
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.xxhash64("uid").asc(), F.col("uid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    all_rows = df.withColumn(
+        "before", F.coalesce(F.sum("n").over(w), F.lit(0))
+    ).collect()
+    kept = [r for r in all_rows if r["before"] < budget]
+    by_key: dict[int, list] = {}
+    for r in sorted(all_rows, key=lambda r: r["before"]):
+        by_key.setdefault(r["g"], []).append(r)
+    for g, ordered in by_key.items():
+        kept_g = [r for r in ordered if r["before"] < budget]
+        # prefix of the priority order
+        assert kept_g == ordered[: len(kept_g)]
+        total = sum(r["n"] for r in kept_g)
+        if kept_g:
+            # at most one doc of overshoot
+            assert total - kept_g[-1]["n"] < budget
+        # never under-filled while more docs existed
+        if len(kept_g) < len(ordered):
+            assert total >= budget
+    assert len(kept) == sum(
+        1 for g in by_key for r in by_key[g] if r["before"] < budget
+    )
