@@ -208,13 +208,20 @@ _DUCK_FEATURES = (
     "normalization fold and ranking bit-for-bit.",
 )
 def mm_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators._common import persist_reused
     from hana_bq_beam_connector_spark.operators.multimodal import (
         feature_embed,
     )
     from hana_bq_beam_connector_spark.operators.similarity import cosine_topk
 
     d = load_table(spark, sf_dir, "documents")
-    feats = feature_embed(documents_as_media(d), dim=_FEAT_DIM)
+    # encode ONCE: the query and candidate sides both read the encoder
+    # output, and without materialization each side re-runs the Python
+    # mapInPandas stage — at scale that doubles the single most
+    # expensive step of the pipeline (the model forward pass).
+    feats = persist_reused(
+        feature_embed(documents_as_media(d), dim=_FEAT_DIM)
+    )
     queries = feats.where(F.col("media_id") < 10)
     return cosine_topk(
         queries, feats, id_col="media_id", vec_col="features", k=3
