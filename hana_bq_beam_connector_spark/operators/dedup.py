@@ -415,7 +415,15 @@ def near_dup_clusters(
                 prev_persisted.unpersist()
                 prev_persisted = None
         else:
-            new_labels = _persist(round_df)
+            # persist WITHOUT an eager count: the convergence count
+            # below touches every partition and doubles as the
+            # materializing action — one job per round, not two.
+            # (persist_reused's eager materialization exists for
+            # CONCURRENT branch fan-out; rounds here are sequential,
+            # so the first action fills the cache race-free.)
+            from pyspark import StorageLevel
+
+            new_labels = round_df.persist(StorageLevel.MEMORY_AND_DISK)
             if prev_persisted is not None:
                 prev_persisted.unpersist()
             prev_persisted = new_labels
