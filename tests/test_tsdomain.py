@@ -96,6 +96,29 @@ def test_ltz_and_bigint_bounds(spark):
     assert [r["ts_int"] for r in got] == [1_000_000]
 
 
+def test_select_window_on_date_column(spark):
+    """DATE chunk columns: the µs bound renders as an NTZ literal and
+    Spark widens the date side for the compare — half-open semantics
+    stay exact (dates are µs-aligned by construction)."""
+    from pyspark.sql import functions as F
+
+    from hana_bq_beam_connector_spark.config import PipelineConfig
+    from hana_bq_beam_connector_spark.pipeline import select_window
+
+    df = spark.sql(
+        "SELECT sequence(DATE'2024-01-01', DATE'2024-01-20') AS d"
+    ).select(F.explode("d").alias("ts"))
+    cfg = PipelineConfig(
+        table_name="t",
+        timestamp_column="ts",
+        start_time=1_704_412_800_000_000,  # 2024-01-05
+        end_time=1_705_276_800_000_000,  # 2024-01-15 (exclusive)
+    )
+    rows = sorted(str(r["ts"]) for r in select_window(df, cfg).collect())
+    assert len(rows) == 10
+    assert rows[0] == "2024-01-05" and rows[-1] == "2024-01-14"
+
+
 def test_numeric_domain_values(spark):
     """ts_numeric yields epoch µs for every time-typed layout and the
     native value for integers — all equal for the same instant."""
