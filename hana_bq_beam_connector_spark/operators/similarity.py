@@ -361,6 +361,80 @@ def ivf_assign(
     return ranked.drop("__csim", "__crank")
 
 
+def kmeans_centroids(
+    corpus_u: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    rounds: int = 1,
+) -> DataFrame:
+    """Spherical k-means refinement of the IVF seed centroids —
+    ``rounds`` Lloyd iterations, fully distributed, DETERMINISTIC.
+
+    Input must be unit vectors (see :func:`unit`); centroids are
+    refined as (a) assign every vector to its nearest centroid by dot
+    product (broadcast centroids, zero vector shuffle — exactly
+    :func:`ivf_assign`), (b) per-centroid component means, (c)
+    re-project to the unit sphere.  The mean's floating-point sum is
+    folded in EXPLICIT ``id_col`` order (collect_list → array_sort →
+    strict left fold) so the result is independent of partitioning
+    and bit-reproducible in the DuckDB oracle (``list(val ORDER BY
+    vec_id)``).  A production run at 10^10 vectors would use the
+    plain hash-agg ``avg`` instead — order-drift of ~1 ulp is
+    harmless for clustering — and keep everything else identical; the
+    ordered fold is the oracle-checkable spelling.  Per-round cost:
+    one corpus scan + one (centroid, component) shuffle whose volume
+    is corpus rows × dim scalars — at 100 TB prefer sampling the
+    update step (standard minibatch k-means), the assign/update
+    plumbing is unchanged.
+    """
+    cents = corpus_u.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cvec"),
+    )
+    for _ in range(rounds):
+        assigned = ivf_assign(
+            corpus_u, cents.select(
+                F.col("centroid_id").alias(id_col),
+                F.col("cvec").alias(vec_col),
+            ),
+            id_col, vec_col, n_probe=1,
+        )
+        comp = assigned.select(
+            "centroid_id",
+            F.col(id_col).alias("__vid"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+        means = (
+            comp.groupBy("centroid_id", "pos")
+            .agg(
+                F.collect_list(F.struct("__vid", "val")).alias("vals"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "centroid_id",
+                "pos",
+                F.expr(
+                    "aggregate(array_sort(vals), cast(0.0 as double), "
+                    "(acc, s) -> acc + s.val) / n"
+                ).alias("m"),
+            )
+        )
+        raw = (
+            means.groupBy("centroid_id")
+            .agg(F.collect_list(F.struct("pos", "m")).alias("pm"))
+            .select(
+                "centroid_id",
+                F.expr(
+                    "transform(array_sort(pm), s -> s.m)"
+                ).alias("cvec_raw"),
+            )
+        )
+        cents = unit(raw, "cvec_raw", "cvec").select("centroid_id", "cvec")
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -280,6 +280,101 @@ def _duck_ivf_topk_sql(
     """
 
 
+def _duck_kmeans_assign_sql(n_centroids: int = 16) -> str:
+    dot_ec = _duck_dot("e.uv", "c.cvec")
+    return f"""
+    WITH {_duck_unit_cte()},
+    cents0 AS (
+      SELECT vec_id AS centroid_id, uv AS cvec FROM unitv
+      WHERE vec_id < {n_centroids}
+    ),
+    assign0 AS (
+      SELECT vec_id, centroid_id, uv FROM (
+        SELECT e.vec_id, e.uv, c.centroid_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY {dot_ec} DESC, c.centroid_id) AS rn
+        FROM unitv e, cents0 c
+      ) WHERE rn = 1
+    ),
+    comp AS (
+      SELECT centroid_id, vec_id, pos, uv[pos] AS val
+      FROM assign0, (SELECT unnest(range(1, {DIM} + 1)) AS pos)
+    ),
+    means AS (
+      SELECT centroid_id, pos,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                 list(val ORDER BY vec_id)),
+                    (acc, v) -> acc + v) / COUNT(*) AS m
+      FROM comp GROUP BY centroid_id, pos
+    ),
+    raw AS (
+      SELECT centroid_id, list(m ORDER BY pos) AS cvec_raw
+      FROM means GROUP BY centroid_id
+    ),
+    cents1 AS (
+      SELECT centroid_id,
+        list_transform(cvec_raw, x -> CAST(x AS DOUBLE) / nrm) AS cvec
+      FROM (SELECT centroid_id, cvec_raw,
+              sqrt({_duck_dot('cvec_raw', 'cvec_raw')}) AS nrm
+            FROM raw)
+    )
+    SELECT vec_id, centroid_id, assign_sim FROM (
+      SELECT e.vec_id, c.centroid_id, {dot_ec} AS assign_sim,
+        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY {dot_ec} DESC, c.centroid_id) AS rn
+      FROM unitv e, cents1 c
+    ) WHERE rn = 1
+    """
+
+
+@register(
+    "sim_kmeans_ivf_assign",
+    _duck_kmeans_assign_sql(),
+    doc="Spherical k-means refinement of the IVF coarse quantizer "
+    "(one distributed Lloyd round: broadcast-assign, per-centroid "
+    "component means, unit re-projection) then the refined "
+    "assignment of every corpus vector.  Replaces the seed-vectors-"
+    "as-centroids shortcut with the real clustering step; "
+    "deterministic because the mean's float sum folds in explicit "
+    "vec_id order (the oracle-checkable spelling; production uses "
+    "plain avg and accepts ~1 ulp of partitioning drift).  The "
+    "centroid broadcast is 16 rows — the allowlisted nested-loop "
+    "shape shared with sim_ivf_topk.",
+)
+def sim_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from hana_bq_beam_connector_spark.operators._common import spread
+    from hana_bq_beam_connector_spark.operators.relational import (
+        topk_per_group,
+    )
+    from hana_bq_beam_connector_spark.operators.similarity import (
+        dot,
+        kmeans_centroids,
+        unit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus_u = unit(
+        spread(emb.select("vec_id", "embedding")), "embedding", "uv"
+    ).select("vec_id", F.col("uv").alias("embedding"))
+    cents = kmeans_centroids(
+        corpus_u, vec_col="embedding", dim=DIM, rounds=1
+    )
+    scored = corpus_u.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        dot("embedding", "cvec").alias("assign_sim"),
+    )
+    return topk_per_group(
+        scored,
+        partition_by=["vec_id"],
+        order=[F.col("assign_sim").desc(), F.col("centroid_id").asc()],
+        k=1,
+        rank_col="__rn",
+    ).select("vec_id", "centroid_id", "assign_sim")
+
+
 @register(
     "sim_ivf_topk",
     _duck_ivf_topk_sql(),

@@ -24,6 +24,7 @@ _ALLOWED = {
     "sim_quantized_topk": "int8 variant of the bounded-broadcast baseline",
     "mm_feature_topk": "exact baseline over media features",
     "sim_ivf_topk": "centroid set (16 rows) broadcast for assignment",
+    "sim_kmeans_ivf_assign": "centroid set (16 rows) broadcast, 2 rounds",
     "stream_late_events": "single-row watermark aggregate broadcast",
     "subquery_above_avg_balance": "scalar aggregate broadcast as literal",
     "agg_having_share_of_total": "global-total scalar (1 row) broadcast",
