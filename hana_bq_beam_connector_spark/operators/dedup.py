@@ -85,6 +85,53 @@ def shingle_hashes(
     )
 
 
+def repeated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated k-word spans — the exact-substring-dedup
+    signal (find the boilerplate/templates duplicated across a corpus,
+    then cut those *spans*, not whole documents).
+
+    Unlike :func:`shingle_hashes` (distinct per-doc set, MinHash
+    input), every span OCCURRENCE counts here: a span repeated inside
+    one document still inflates ``n_occurrences`` (licence headers
+    pasted twice), while ``n_docs`` counts distinct documents.  Output
+    is one row per span hash seen in ≥ ``min_docs`` documents, with a
+    deterministic keeper (min id).
+
+    Scale shape: per-doc work is O(chars + words·k) codegen'd integer
+    ops; only (8-byte hash, id) pairs enter the exchange, with
+    map-side partial aggregation — the corpus text itself is never
+    shuffled.  This is the hash-bucketed approximation of suffix-array
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): collisions at 1e-9 hash density
+    are tolerable because downstream span-cut verifies the text.
+    """
+    words = f"split({text_col}, ' ')"
+    word_hashes = f"transform({words}, w -> {spark_polyhash('w')})"
+    chain = spark_shingle_hash_chain("__wh", "i", k)
+    spans = f"transform(sequence(1, size(__wh) - {k - 1}), i -> {chain})"
+    exploded = (
+        spread(df.select(id_col, text_col))
+        .where(F.expr(f"size({words}) >= {k}"))
+        .withColumn("__wh", F.expr(word_hashes))
+        .select(id_col, F.explode(F.expr(spans)).alias("span_hash"))
+    )
+    return (
+        exploded.groupBy("span_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def minhash_signature(
     df: DataFrame, hashes_col: str = "shingle_hashes", n: int = 16
 ) -> DataFrame:

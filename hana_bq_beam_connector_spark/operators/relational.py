@@ -245,3 +245,65 @@ def range_join(
         .where((F.col(point) >= F.col(lo)) & (F.col(point) < F.col(hi)))
         .drop("__bucket")
     )
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    small_key: str | None = None,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Semi-join reduction: filter ``big`` down to rows whose ``key``
+    *might* appear in ``small``, via a driver-built Bloom filter —
+    the hand-rolled version of the runtime filters a warehouse engine
+    injects (Spark's own `spark.sql.optimizer.runtimeFilter` family).
+
+    Why it matters at 100 TB: a join's shuffle moves the FULL big side
+    before the join drops non-matching rows.  When the small side is
+    selective (e.g. 1% of orders are urgent), pre-filtering the big
+    side where the scan runs cuts the exchange by ~the selectivity,
+    at the cost of one aggregate over the small side plus a
+    ~``m_bits/8``-byte broadcast.  No false negatives — the downstream
+    join sees every matching row, so results are IDENTICAL to the
+    unfiltered join (false positives just ride along and are dropped
+    by the join itself); any hash function works, no cross-engine
+    reproducibility needed.
+
+    The driver collect is bounded by construction: ≤ ``m_bits/64``
+    words (128 KiB at the default), independent of data scale.
+    """
+    m_words = m_bits // 64
+    pos = [
+        F.pmod(
+            F.xxhash64(F.col(small_key or key), F.lit(seed)), F.lit(m_bits)
+        )
+        for seed in range(k_hashes)
+    ]
+    cells = small.select(
+        F.explode(F.array(*pos)).alias("__pos")
+    ).select(
+        (F.col("__pos") / 64).cast("long").alias("__w"),
+        F.expr("shiftleft(cast(1 as bigint), pmod(__pos, 64))").alias(
+            "__bit"
+        ),
+    )
+    words_rows = (
+        cells.groupBy("__w").agg(F.expr("bit_or(__bit)").alias("__word"))
+    ).collect()
+    words = [0] * m_words
+    for r in words_rows:
+        words[r["__w"]] = r["__word"]
+    warr = F.lit(words)  # array<bigint> literal, broadcast with the plan
+    cond = None
+    for seed in range(k_hashes):
+        p = F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(m_bits))
+        word = F.element_at(warr, (p / 64).cast("int") + 1)
+        bit = F.expr(
+            f"shiftleft(cast(1 as bigint), cast(pmod(pmod("
+            f"xxhash64({key}, {seed}), {m_bits}), 64) as int))"
+        )
+        hit = word.bitwiseAND(bit) != 0
+        cond = hit if cond is None else (cond & hit)
+    return big.where(cond)

@@ -112,3 +112,35 @@ def duck_cms_sql(
         for r, (a, b) in enumerate(CMS_COEFFS[:d])
     )
     return f"SELECT r, c, COUNT(*) AS cnt FROM ({arms}) GROUP BY r, c"
+
+
+def bitmap_distinct(
+    df: DataFrame, group_cols: list[str], id_expr: str, out: str = "n_distinct"
+) -> DataFrame:
+    """EXACT count-distinct per group via a two-level bitmap aggregate
+    (the ClickHouse/Doris "bitmap index" pattern).
+
+    Level 1 groups by (group, ``id div 64``) and ORs each id's bit
+    into a 64-bit word; level 2 sums ``bit_count(word)``.  Both
+    levels partial-aggregate map-side, so the exchange carries at most
+    one word per (group, id-bucket) per map task — for dense id
+    spaces that is a 64× cut over count_distinct's expand, and the
+    level-1 word table is itself a mergeable exact-distinct index
+    (persist it bucketed and tomorrow's increment ORs into it without
+    rescanning history).
+
+    Exact for any non-negative BIGINT id; no sketch error.  All
+    codegen'd integer ops (shiftleft / bit_or / bit_count).
+    """
+    words = (
+        df.withColumn("__bkt", F.expr(f"({id_expr}) div 64"))
+        .withColumn(
+            "__bit", F.expr(f"shiftleft(cast(1 as bigint), pmod({id_expr}, 64))")
+        )
+        .groupBy(*group_cols, "__bkt")
+        .agg(F.expr("bit_or(__bit)").alias("__word"))
+    )
+    return (
+        words.groupBy(*group_cols)
+        .agg(F.expr("sum(bit_count(__word))").alias(out))
+    )

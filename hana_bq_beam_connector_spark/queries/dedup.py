@@ -517,3 +517,44 @@ def dedup_semantic_not_lexical(
             .alias("prefix_edit_dist"),
         )
     )
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    ),
+    whs AS (
+      SELECT doc_id, list_transform(w, x -> {duck_polyhash('x')}) AS wh
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(wh) - 3),
+               i -> {duck_shingle_hash_chain('wh', 'i', 5)})) AS span_hash
+      FROM whs
+    )
+    SELECT span_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS keeper_id
+    FROM spans
+    GROUP BY span_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc="Exact repeated-span detection (substring-level dedup signal, "
+    "Lee et al. 2022 shape): every 5-word span occurrence hashed with "
+    "the shared integer rolling hash, aggregated globally; spans in "
+    "≥2 distinct docs survive.  Only 8-byte (hash, id) pairs reach "
+    "the exchange, with map-side partial agg — corpus text never "
+    "shuffles.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        repeated_span_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return repeated_span_stats(d, id_col="doc_id", text_col="text", k=5)

@@ -78,3 +78,38 @@ def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "l_partkey").select(
         "l_partkey", "est", "exact_cnt"
     )
+
+
+@register(
+    "sketch_bitmap_distinct_exact",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="EXACT per-group distinct users via the two-level bitmap "
+    "aggregate (operators/sketch.bitmap_distinct): bit-OR words per "
+    "(group, id div 64) then sum(bit_count) — both levels map-side "
+    "partial, exchange bounded by touched id-buckets, and the word "
+    "table doubles as a mergeable incremental distinct index.  Oracle "
+    "is the semantically-equal COUNT(DISTINCT).",
+)
+def sketch_bitmap_distinct_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.sketch import (
+        bitmap_distinct,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    nd = bitmap_distinct(
+        e, group_cols=["event_type"], id_expr="user_id", out="n_users"
+    )
+    return nd.join(counts, "event_type").select(
+        "event_type", "n_users", "n_events"
+    )

@@ -209,3 +209,74 @@ def test_topk_per_group_skewed_exact_and_salted(spark):
     )
     plan = two_phase._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(o_custkey" in plan and "__salt" in plan
+
+
+def test_bloom_prefilter_equals_plain_filter_and_prunes(spark, sf_dir):
+    """Bloom prefilter keeps every true match (no false negatives) and
+    the filter lands on the big side BEFORE its join exchange."""
+    from hana_bq_beam_connector_spark.operators.relational import (
+        bloom_prefilter,
+    )
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    small = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pruned = bloom_prefilter(
+        li, small, key="l_orderkey", small_key="o_orderkey"
+    )
+    keys = {r[0] for r in small.select("o_orderkey").collect()}
+    # no false negatives: every lineitem row whose key matches survives
+    truth = li.where(F.col("l_orderkey").isin(list(keys)))
+    assert pruned.where(
+        F.col("l_orderkey").isin(list(keys))
+    ).count() == truth.count()
+    # selectivity: the bloom actually prunes (not a pass-through)
+    assert pruned.count() < li.count()
+    # plan: the bloom predicate is a plain Filter over the scan — it
+    # runs scan-side, upstream of any join exchange
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan and "Exchange" not in plan
+
+
+def test_repeated_spans_counts_within_doc_occurrences(spark):
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        repeated_span_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e"),   # span 'a b c d e' twice in doc 1
+            (2, "a b c d e x y z w v"),   # and once in doc 2
+            (3, "p q r s t u v w x y"),   # unrelated
+        ],
+        "id long, text string",
+    )
+    out = repeated_span_stats(df, id_col="id", text_col="text", k=5)
+    rows = {r["span_hash"]: r for r in out.collect()}
+    assert len(rows) == 1  # only 'a b c d e' crosses documents
+    (r,) = rows.values()
+    assert r["n_docs"] == 2 and r["n_occurrences"] == 3 and r["keeper_id"] == 1
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    from hana_bq_beam_connector_spark.operators.sketch import (
+        bitmap_distinct,
+    )
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = {
+        (r["o_orderstatus"], r["n"])
+        for r in bitmap_distinct(
+            o, ["o_orderstatus"], "o_custkey", out="n"
+        ).collect()
+    }
+    want = {
+        (r["o_orderstatus"], r["n"])
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert got == want
