@@ -1,0 +1,109 @@
+"""Graph operators over edge lists (LLM-data surface extension).
+
+Near-dup clustering (operators/dedup.near_dup_clusters) already walks
+connected components; this module adds the other two graph primitives
+a corpus-curation pipeline reaches for:
+
+* PageRank — rank documents/sources by link or co-occurrence
+  structure (e.g. quality-propagate over a citation graph);
+* triangle counting — local clustering density, the standard
+  spam-farm / boilerplate-cluster signal.
+
+Both are EXACT and deterministic: PageRank runs in integer
+micro-units with integer division (sums of integers are
+associativity-independent, so Spark's partial aggregation order
+cannot perturb the result — the same trick the exact-variance
+queries use for doubles via decimals), which makes a bit-exact
+DuckDB oracle expressible as unrolled CTE iterations.
+
+The reference has no graph surface at all (SURVEY §2b); this is [X]
+extension surface like the dedup/similarity stack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.operators._common import (
+    persist_reused as _persist,
+)
+
+PR_UNIT = 1_000_000  # PageRank fixed-point scale (micro-units)
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected edge list → both directions, distinct."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.unionByName(rev).distinct()
+
+
+def pagerank_integer(
+    edges: DataFrame, iters: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """Exact fixed-point PageRank over a symmetric edge list.
+
+    ``pr' = (1 - d) + d * Σ_in pr/deg`` evaluated in integer
+    micro-units: contributions are ``pr div deg`` and the damping step
+    is ``(damping_pct * Σ) div 100`` — all BIGINT, so the result is
+    independent of partial-aggregation order and bit-reproducible
+    across engines (the float formulation is not: IEEE addition is
+    non-associative, and a 1000-executor sum order differs run to
+    run).  The ``div`` truncation loses < 1e-6 of mass per hop —
+    irrelevant for ranking, decisive for testability.
+
+    Scale shape: degree table and ranks are (id, int) pairs; each
+    iteration is one equi-join on src + one groupBy dst — two
+    bounded-width shuffles per hop, text/payloads never enter.  Ranks
+    persist across iterations (reused by the next join); for long
+    chains swap in checkpointing as near_dup_clusters documents.
+    Every node of a symmetric edge list has deg ≥ 1 — no dangling-
+    mass term needed.
+    """
+    e = _persist(edges.select("src", "dst"))
+    deg = _persist(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    pr = deg.select(
+        F.col("src").alias("node_id"), F.lit(PR_UNIT).cast("long").alias("pr")
+    )
+    base = (100 - damping_pct) * PR_UNIT // 100
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e["src"] == pr["node_id"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node_id"),
+                F.expr("pr div deg").alias("c"),
+            )
+        )
+        pr = contrib.groupBy("node_id").agg(
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * sum(c)) div 100")
+            ).alias("pr")
+        )
+    return pr
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count of an undirected graph.
+
+    Canonicalizes to ``src < dst`` then counts paths u→v→w that close
+    with edge (u, w): two equi-joins, never a cartesian.  The
+    ordered-edge form counts every triangle exactly once.  For skewed
+    production graphs, re-rank vertices by degree before ordering
+    (puts the join fan-out on low-degree vertices, the classic
+    O(E^1.5) bound); id-ordering keeps the oracle one line and is
+    correct regardless.
+    """
+    canon = _persist(
+        edges.where(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    )
+    uv = canon.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    vw = canon.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    uw = canon.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    return (
+        uv.join(vw, "v")
+        .join(uw, ["u", "w"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

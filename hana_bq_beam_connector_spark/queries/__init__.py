@@ -91,6 +91,7 @@ def _load_all() -> None:
         curation,
         dedup,
         etl,
+        graph,
         multimodal,
         relational,
         sampling,

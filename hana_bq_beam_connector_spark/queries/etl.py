@@ -156,3 +156,40 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice").cast("decimal(18,2)") * 2).cast("double"),
     )
     return merge_upsert(o, updates.select(*o.columns), key="o_orderkey")
+
+
+@register(
+    "etl_scd2_history",
+    """
+    SELECT user_id, event_id,
+           epoch_us(ts) AS valid_from_us,
+           LEAD(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS valid_to_us,
+           LEAD(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) IS NULL AS is_current,
+           value
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="SCD type-2 history build from a change log: each change row "
+    "becomes a [valid_from, valid_to) validity interval via LEAD, the "
+    "open row flagged current — the standard dimension-versioning "
+    "transform an append-only copy tool (the reference) cannot "
+    "express.  One hash shuffle on the business key; ties broken by "
+    "event_id so versions are total-ordered.",
+)
+def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us_windowed(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        "value",
+    )

@@ -1,0 +1,129 @@
+"""Graph queries (operators/graph): exact PageRank + triangle count.
+
+Both run on graphs derived from the TPC-H-ish testdata:
+
+* supply graph — bipartite supplier ↔ part edges from high-quantity
+  lineitems (part ids offset by 10^7 into a disjoint node-id space);
+* co-supply graph — supplier–supplier edges when two suppliers ship
+  the same part (the unipartite projection).
+
+Integer fixed-point arithmetic end to end (operators/graph docstring
+has the argument), so the oracles are bit-exact unrolled CTEs, not
+approximate comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.queries import register
+from hana_bq_beam_connector_spark.sources.files import load_table
+
+_PART_OFFSET = 10_000_000
+_QTY_BAR = 45
+
+_EDGES_SQL = f"""
+    SELECT DISTINCT l_suppkey AS src,
+           l_partkey + {_PART_OFFSET} AS dst
+    FROM lineitem WHERE l_quantity >= {_QTY_BAR}
+"""
+
+_COSUPPLY_SQL = f"""
+    SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+    FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+          WHERE l_quantity >= {_QTY_BAR}) a
+    JOIN (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+          WHERE l_quantity >= {_QTY_BAR}) b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+"""
+
+
+def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") >= _QTY_BAR
+    )
+    return li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + _PART_OFFSET).alias("dst"),
+    ).distinct()
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled-CTE DuckDB spelling of pagerank_integer (85/100
+    damping, 3 hops, integer micro-units)."""
+    ctes = [
+        f"edges0 AS ({_EDGES_SQL})",
+        "edges AS (SELECT src, dst FROM edges0 "
+        "UNION SELECT dst AS src, src AS dst FROM edges0)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "pr0 AS (SELECT src AS node_id, CAST(1000000 AS BIGINT) AS pr "
+        "FROM deg)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"pr{i} AS ("
+            f"SELECT e.dst AS node_id, "
+            f"CAST(150000 + (85 * SUM(p.pr // d.deg)) // 100 "
+            f"AS BIGINT) AS pr "
+            f"FROM edges e "
+            f"JOIN pr{i - 1} p ON e.src = p.node_id "
+            f"JOIN deg d ON e.src = d.src "
+            f"GROUP BY e.dst)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node_id, pr FROM pr{iters}"
+    )
+
+
+@register(
+    "graph_pagerank_supply",
+    _pagerank_oracle(3),
+    doc="Exact 3-hop PageRank (integer micro-units, 0.85 damping) "
+    "over the supplier↔part supply graph.  Integer division makes "
+    "the sum partial-agg-order independent, hence the bit-exact "
+    "unrolled-CTE oracle; per hop: one equi-join + one groupBy, "
+    "(id, int) pairs only through the exchanges.",
+)
+def graph_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.graph import (
+        pagerank_integer,
+        symmetrize,
+    )
+
+    edges = symmetrize(_supply_edges(spark, sf_dir))
+    return pagerank_integer(edges, iters=3)
+
+
+@register(
+    "graph_triangle_cosupply",
+    f"""
+    WITH canon AS ({_COSUPPLY_SQL})
+    SELECT COUNT(*) AS n_triangles FROM canon uv
+    JOIN canon vw ON uv.dst = vw.src
+    JOIN canon uw ON uw.src = uv.src AND uw.dst = vw.dst
+    """,
+    doc="Global triangle count of the supplier co-supply graph "
+    "(suppliers sharing a high-quantity part).  Ordered-edge "
+    "two-join formulation — each triangle counted once, no "
+    "cartesian; production knob is degree-ordering for the "
+    "O(E^1.5) bound (operators/graph.triangle_count).",
+)
+def graph_triangle_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.graph import triangle_count
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= _QTY_BAR)
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_suppkey").alias("src"), "l_partkey")
+    b = li.select(F.col("l_suppkey").alias("dst"), "l_partkey")
+    edges = (
+        a.join(b, "l_partkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(edges)

@@ -138,3 +138,48 @@ def pack_sequences_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(cum_tokens - n_tokens) div 1024").alias("pack_id"),
         "cum_tokens",
     )
+
+
+# Affine id hash for priority sampling: a, b from the shared MinHash
+# constant pool; (doc_id % PRIME) first so a*x stays well inside
+# BIGINT in both engines (Spark would wrap silently, DuckDB would
+# raise — neither is allowed to happen).
+_PRI_A, _PRI_B = 472882049, 126292772
+_PRI_P = 1_000_000_007
+_PRI_HASH = f"(({_PRI_A} * (doc_id % {_PRI_P}) + {_PRI_B}) % {_PRI_P})"
+
+
+@register(
+    "sample_weighted_priority",
+    f"""
+    SELECT doc_id, n_chars,
+           CAST({_PRI_HASH} AS DOUBLE) / n_chars AS priority
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY priority, doc_id
+    LIMIT 200
+    """,
+    doc="Deterministic weighted sampling (Efraimidis–Spirakis shape): "
+    "priority = hash(id)/weight, keep the k smallest — longer "
+    "documents get proportionally smaller priorities, so inclusion "
+    "odds grow with weight, yet the sample is a pure function of ids "
+    "(reproducible across runs, layouts, cluster sizes; union-able "
+    "across increments by re-ranking).  The exact E-S exponential "
+    "race needs ln(u) — skipped deliberately: libm vs JVM log differ "
+    "in the last ulp, which would break cross-engine bit equality.  "
+    "Distributed as TakeOrdered (per-partition top-k then merge k·p "
+    "rows) — no global sort.",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            (F.expr(_PRI_HASH).cast("double") / F.col("n_chars")).alias(
+                "priority"
+            ),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(200)
+    )

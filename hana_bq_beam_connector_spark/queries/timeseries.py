@@ -151,3 +151,89 @@ def ts_ohlc_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "ts_outlier_mad",
+    """
+    WITH v AS (
+      SELECT event_type, value, event_id FROM events
+    ),
+    r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    med AS (
+      SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2
+    ),
+    d AS (
+      SELECT v.event_type, abs(v.value - m.med) AS adev,
+             v.event_id, m.med
+      FROM v JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, adev, med,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY adev, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type, med, adev AS mad FROM r2 WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type, mad.med, mad.mad,
+           COUNT(*) FILTER (WHERE d.adev > 3 * mad.mad) AS n_outliers,
+           COUNT(*) AS n
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type, mad.med, mad.mad
+    """,
+    doc="Robust outlier detection per series: lower-median and MAD "
+    "(median absolute deviation) picked EXACTLY via row_number (the "
+    "interpolation-free discrete quantile, deterministic under ties "
+    "by event_id), then |v - med| > 3·MAD flags outliers.  Two "
+    "window scans + one broadcastable per-group stats join — no "
+    "global sort, resistant to the heavy tails that break "
+    "mean/stddev z-scores.",
+)
+def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = events_us(spark, sf_dir).select("event_type", "value", "event_id")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("value").alias("med")
+    )
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+        "event_id",
+        "med",
+    )
+    wa = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    r2 = d.select(
+        "event_type",
+        "adev",
+        "med",
+        F.row_number().over(wa).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = r2.where(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("event_type", "med", F.col("adev").alias("mad"))
+    return (
+        d.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count_if(F.col("adev") > 3 * F.col("mad")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
