@@ -50,6 +50,12 @@ HEADLINE = [
     "stream_session_windows",     # sessionization (gaps-and-islands)
     "stream_static_enrich",       # stateless broadcast dim enrichment
     "scalar_json_funcs",          # JSON extraction over events
+    "dedup_substring_spans",      # repeated-span (substring-level) dedup
+    "join_bloom_prefilter",       # runtime-filter semi-join reduction
+    "sketch_bitmap_distinct_exact",  # exact bitmap count-distinct
+    "graph_pagerank_supply",      # 3-hop integer PageRank
+    "ts_outlier_mad",             # exact median/MAD outlier flags
+    "curation_corpus_composition",  # data-mixing report
 ]
 
 

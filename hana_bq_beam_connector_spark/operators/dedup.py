@@ -244,6 +244,21 @@ def minhash_near_dup_pairs(
     )
 
 
+def corpus_dedup_index(
+    corpus_df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Build-once corpus LSH index: (shingle sets, band table), both
+    persisted.  This is the artifact a production pipeline writes
+    bucketed by band_hash and probes with every increment — pass it
+    to :func:`incremental_near_dup_filter` so repeated probes (e.g.
+    one per streaming micro-batch) never re-shingle the corpus."""
+    sh_cor = _persist(
+        shingle_hashes(corpus_df.select(id_col, text_col), text_col, k)
+    )
+    bands_cor = _persist(band_table(minhash_signature(sh_cor), id_col))
+    return sh_cor, bands_cor
+
+
 def incremental_near_dup_filter(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -251,6 +266,7 @@ def incremental_near_dup_filter(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental dedup: rows of ``new_df`` with NO near-duplicate in
     ``corpus_df`` (the production shape at 100 TB — you never re-dedup
@@ -269,11 +285,12 @@ def incremental_near_dup_filter(
     sh_new = _persist(
         shingle_hashes(new_df.select(id_col, text_col), text_col, k)
     )
-    sh_cor = _persist(
-        shingle_hashes(corpus_df.select(id_col, text_col), text_col, k)
+    sh_cor, bands_cor = (
+        index
+        if index is not None
+        else corpus_dedup_index(corpus_df, id_col, text_col, k)
     )
     bands_new = band_table(minhash_signature(sh_new), id_col)
-    bands_cor = band_table(minhash_signature(sh_cor), id_col)
     cand = (
         bands_new.select(
             F.col(id_col).alias("new_id"), "band_idx", "band_hash"

@@ -337,3 +337,46 @@ def agg_conditional_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_histogram_equiwidth",
+    """
+    WITH b AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      FROM orders
+    )
+    SELECT
+      CAST(LEAST(FLOOR((o_totalprice - b.lo)
+                       / ((b.hi - b.lo) / 20)), 19) AS BIGINT) AS bucket,
+      COUNT(*) AS n,
+      MIN(o_totalprice) AS bucket_min,
+      MAX(o_totalprice) AS bucket_max
+    FROM orders, b
+    GROUP BY 1
+    """,
+    doc="Equi-width histogram (20 buckets over [min, max]): global "
+    "bounds from one tiny aggregate broadcast-crossed onto the fact "
+    "scan, bucket index = floor((v - lo)/width) clamped to the last "
+    "bucket — identical IEEE subtract/divide/floor in both engines.  "
+    "Two scans total (bounds + counts), one partial-agg'd shuffle of "
+    "(bucket, count) pairs; the NTILE alternative is a global sort.",
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(20)
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
+    ).cast("long")
+    return (
+        o.join(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("bucket_min"),
+            F.max("o_totalprice").alias("bucket_max"),
+        )
+    )

@@ -415,3 +415,44 @@ def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("kept_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "curation_corpus_composition",
+    """
+    WITH g AS (
+      SELECT source, lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens, sum_chars,
+           CAST(n_tokens AS DOUBLE)
+             / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+    FROM g
+    """,
+    doc="Corpus-composition (data-mixing) report: per (source, lang) "
+    "doc/token/char totals and each cell's token share of the whole "
+    "corpus — the table every mixture-weight decision starts from.  "
+    "One partial-agg'd groupBy; the global total is a second agg "
+    "over the tiny grouped frame (crossed via an unpartitioned "
+    "window), never a rescan.  Shares divide exact integer totals — "
+    "one IEEE division, identical in both engines.",
+)
+def curation_corpus_composition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return g.withColumn(
+        "token_share",
+        F.col("n_tokens").cast("double") / total.cast("double"),
+    )

@@ -237,3 +237,59 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "ts_funnel_signup_purchase",
+    """
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                 THEN epoch_us(ts) END) AS t_signup,
+             MIN(CASE WHEN event_type = 'view'
+                 THEN epoch_us(ts) END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN epoch_us(ts) END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      COUNT(*) FILTER (WHERE t_signup IS NOT NULL) AS n_signup,
+      COUNT(*) FILTER (WHERE t_signup IS NOT NULL
+                       AND t_view > t_signup) AS n_signup_view,
+      COUNT(*) FILTER (WHERE t_signup IS NOT NULL
+                       AND t_view > t_signup
+                       AND t_purchase > t_view) AS n_full_funnel
+    FROM steps
+    """,
+    doc="Ordered funnel analysis (signup → view → purchase): one "
+    "conditional-MIN aggregate collapses each user to first-touch "
+    "timestamps, then ordering predicates count stage survivors — "
+    "a single hash shuffle on user_id regardless of event volume, "
+    "the standard product-analytics conversion query.",
+)
+def ts_funnel_signup_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = events_us(spark, sf_dir)
+    first = F.min  # first-touch = min event time
+    steps = ev.groupBy("user_id").agg(
+        first(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        first(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        first(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    sv = F.col("t_signup").isNotNull() & (F.col("t_view") > F.col("t_signup"))
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(F.col("t_signup").isNotNull()).alias("n_signup"),
+        F.count_if(sv).alias("n_signup_view"),
+        F.count_if(sv & (F.col("t_purchase") > F.col("t_view"))).alias(
+            "n_full_funnel"
+        ),
+    )

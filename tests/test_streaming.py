@@ -499,3 +499,56 @@ def test_streaming_incremental_dedup_matches_batch(
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_against_corpus_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """foreachBatch incremental dedup == the batch filter on the same
+    increment: corpus = docs with doc_id % 3 != 0, stream the rest."""
+    import shutil
+
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        incremental_near_dup_filter,
+    )
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        streaming_dedup_against_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    increment = docs.where(F.col("doc_id") % 3 == 0)
+
+    inc_dir = tmp_path / "inc"
+    increment.coalesce(1).write.parquet(str(inc_dir))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(inc_dir))
+    )
+    out = tmp_path / "accepted"
+    q = streaming_dedup_against_corpus(
+        stream,
+        corpus,
+        "doc_id",
+        "text",
+        str(out),
+        str(tmp_path / "ckpt_sdedup"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/batch=*").select(
+            "doc_id"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in incremental_near_dup_filter(
+            increment, corpus, "doc_id", "text"
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
