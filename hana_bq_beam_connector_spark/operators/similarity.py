@@ -490,3 +490,90 @@ def ivf_topk(
         k=k,
         rank_col="rank",
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Materialize the IVF index as a parquet layout PARTITIONED BY
+    centroid cell — the serving-side half of :func:`ivf_topk`.
+
+    Each unit-normalized corpus vector lands in the directory of its
+    nearest centroid, so a later probe that filters
+    ``centroid_id IN (<n_probe cells>)`` is answered by PARTITION
+    PRUNING: the scan lists and reads only the probed cells'
+    files, ~n_probe/n_centroids of the corpus, without any index
+    structure beyond the directory layout.  At 10^10 vectors this is
+    what turns ANN serving from a corpus scan per query batch into a
+    bounded read.  Returns the (deterministic) centroid frame the
+    prober must reuse.
+    """
+    corpus_u = unit(
+        spread(corpus.select(id_col, vec_col)), vec_col, "uv"
+    ).select(id_col, F.col("uv").alias(vec_col))
+    cents = corpus_u.where(F.col(id_col) < n_centroids)
+    cells = ivf_assign(corpus_u, cents, id_col, vec_col, n_probe=1)
+    cells.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    return cents
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Serve ANN top-k from a :func:`write_ivf_index` layout.
+
+    The query batch (bounded, serving-sized) is assigned to its
+    ``n_probe`` nearest centroids; the DISTINCT probed cell ids —
+    ≤ queries × n_probe of them, collected driver-side by
+    construction — become an ``IN`` filter on the index's partition
+    column, which Spark turns into partition pruning (asserted in
+    tests: the scan's PartitionFilters prune unprobed directories).
+    Scoring then joins only the pruned cells against the broadcast
+    query batch.
+    """
+    queries_u = unit(
+        queries.select(id_col, vec_col), vec_col, "uv"
+    ).select(id_col, F.col("uv").alias(vec_col))
+    probes = ivf_assign(
+        queries_u, centroids, id_col, vec_col, n_probe=n_probe
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        "centroid_id",
+    )
+    probed_cells = [
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    ]
+    cells = (
+        spark.read.parquet(path)
+        .where(F.col("centroid_id").isin(probed_cells))
+        .select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("cv"),
+            "centroid_id",
+        )
+    )
+    scored = (
+        cells.join(F.broadcast(probes), on="centroid_id")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", dot("qv", "cv").alias("cos_sim"))
+    )
+    return topk_per_group(
+        scored,
+        partition_by=["query_id"],
+        order=[F.col("cos_sim").desc(), F.col("cand_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))

@@ -127,3 +127,40 @@ def graph_triangle_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+_REACH_BODY = """reach(node_id, hop) AS (
+      SELECT CAST({seed} AS BIGINT) AS node_id, 0 AS hop
+      UNION ALL
+      SELECT DISTINCT e.dst AS node_id, r.hop + 1 AS hop
+      FROM reach r JOIN {edges} e ON e.src = r.node_id
+      WHERE r.hop < 3
+    )
+    SELECT node_id, CAST(MIN(hop) AS BIGINT) AS min_hops
+    FROM reach GROUP BY node_id
+"""
+
+_REACH_CTE = "WITH RECURSIVE " + _REACH_BODY
+
+_SEED = 1
+
+
+@register(
+    "graph_reachability_cte",
+    "WITH RECURSIVE edges0 AS ({edges0}),\n"
+    "    edges AS (SELECT src, dst FROM edges0 "
+    "UNION SELECT dst, src FROM edges0),\n".format(edges0=_EDGES_SQL)
+    + _REACH_BODY.format(seed=_SEED, edges="edges"),
+    doc="Bounded BFS reachability (≤3 hops from one supplier) via "
+    "WITH RECURSIVE — Spark 4 executes recursive CTEs natively, so "
+    "the exact SQL a warehouse user writes runs unchanged; per-level "
+    "DISTINCT caps each frontier at |V| regardless of path count.  "
+    "min-hop aggregate makes the result path-order independent.",
+)
+def graph_reachability_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.graph import symmetrize
+
+    symmetrize(_supply_edges(spark, sf_dir)).createOrReplaceTempView(
+        "__reach_edges"
+    )
+    return spark.sql(_REACH_CTE.format(seed=_SEED, edges="__reach_edges"))

@@ -258,3 +258,46 @@ def test_multimodal_golden_hashes(spark, sf_dir, name):
     rows = sorted(str(tuple(r[c] for c in cols)) for r in df.collect())
     h = hashlib.md5("\n".join(rows).encode()).hexdigest()
     assert (len(rows), h) == _MM_GOLDEN_SF0001[name]
+
+
+def test_ivf_index_write_probe_round_trip(spark, sf_dir, tmp_path):
+    """Persisted IVF layout: probe == in-memory ivf_topk, and the
+    probe's scan partition-prunes to only the probed cells."""
+    from pyspark.sql import functions as F
+
+    from hana_bq_beam_connector_spark.operators.similarity import (
+        ivf_topk,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 97 == 3)
+    idx = str(tmp_path / "ivf_index")
+    cents = write_ivf_index(emb, idx, n_centroids=16)
+
+    served = probe_ivf_index(
+        spark, idx, queries, cents, k=3, n_probe=2
+    )
+    direct = ivf_topk(queries, emb, k=3, n_probe=2, n_centroids=16)
+    got = {
+        (r["query_id"], r["cand_id"], r["rank"]) for r in served.collect()
+    }
+    want = {
+        (r["query_id"], r["cand_id"], r["rank"]) for r in direct.collect()
+    }
+    assert got == want and len(want) > 0
+
+    # partition pruning: the serving scan must read fewer than all 16
+    # cell directories (n_probe=2 over a handful of queries)
+    probed = served.sparkSession.read.parquet(idx).where(
+        F.col("centroid_id").isin([0, 1])
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the IN filter must land in PartitionFilters (directory pruning),
+    # NOT as a data filter evaluated after reading every cell
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "centroid_id" in pf
