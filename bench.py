@@ -56,6 +56,9 @@ HEADLINE = [
     "graph_pagerank_supply",      # 3-hop integer PageRank
     "ts_outlier_mad",             # exact median/MAD outlier flags
     "curation_corpus_composition",  # data-mixing report
+    "ts_sessionize_gap",          # batch sessionization (lag + running sum)
+    "ts_multi_grain_rollup",      # grouping-sets time-grain ladder
+    "text_inverted_index",        # skew-aware posting-list build
 ]
 
 

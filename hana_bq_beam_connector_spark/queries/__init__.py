@@ -21,8 +21,10 @@ Determinism conventions (so hashes match exactly, not approximately):
   factor;
 * ratios/averages divide that exact decimal-sum (as double) by the
   exact count — one IEEE division of identical operands;
-* ``events.ts`` (parquet TIMESTAMP(NANOS)) is int64 nanoseconds on the
-  Spark side (nanosAsLong) and ``epoch_ns(ts)`` on the DuckDB side;
+* ``events.ts`` ships today as parquet TIMESTAMP(MICROS) NTZ; queries
+  expose it as epoch µs via ``_util.events_us`` (which dispatches on
+  the actual column dtype, so the legacy int64-ns and LTZ layouts
+  keep working) and DuckDB mirrors with ``epoch_us(ts)``;
 * every computed column is aliased identically in both engines (the
   driver sorts columns by name before hashing);
 * anything ordering-sensitive (top-k) breaks ties on a unique key.
@@ -88,11 +90,13 @@ def _load_all() -> None:
         return
     from hana_bq_beam_connector_spark.queries import (  # noqa: F401
         advanced,
+        behavior,
         curation,
         dedup,
         etl,
         graph,
         multimodal,
+        profiling,
         relational,
         sampling,
         scalar,

@@ -1,0 +1,225 @@
+"""Behavioral / event-sequence analytics over `events` (SURVEY §2c
+time-series [X] extension — batch counterparts of the streaming
+session/window operators).
+
+The reference's only notion of event time is the chunk-interval scan
+(`HanaToBQ.java:57-58`); sessionization, retention cohorts, throttle
+dedup and multi-grain rollups are engine extensions a training-data /
+product-analytics pipeline needs.
+
+Scale design (all four queries):
+
+* every per-user computation partitions on ``user_id`` — ONE hash
+  exchange each, window sorts are per-user (bounded by a user's own
+  event count, never a global sort);
+* session/cohort aggregates happen AFTER the window pass, on data the
+  map side has already reduced to session/day granularity — the second
+  exchange moves rows per (user, session), orders of magnitude fewer
+  than raw events;
+* the multi-grain rollup is GROUPING SETS over pre-bucketed integer
+  columns: Spark expands grouping sets map-side and partial-aggregates
+  before the single exchange, so three grains cost one shuffle of
+  already-tiny partial aggregates, not three scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hana_bq_beam_connector_spark.queries import register
+from hana_bq_beam_connector_spark.queries._util import (
+    SQL_SUM_DEC,
+    events_us,
+    sum_dec_as_double,
+)
+
+_MIN_US = 60_000_000
+_SESSION_GAP_US = 30 * _MIN_US
+_THROTTLE_US = 10 * _MIN_US
+_DAY_US = 86_400_000_000
+_H6_US = 21_600_000_000
+
+
+@register(
+    "ts_sessionize_gap",
+    f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts_us, event_id,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                       OR ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts_us, event_id,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    doc="Batch sessionization by 30-minute inactivity gap: LAG flags "
+    "session starts, a running SUM numbers sessions within each user, "
+    "then per-session bounds/duration/size.  Ties on ts break by "
+    "event_id so session numbering is deterministic.",
+)
+def ts_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") - prev > _SESSION_GAP_US), 1
+    ).otherwise(0)
+    numbered = ev.withColumn("session_no", F.sum(new_sess).over(run))
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start_us"),
+        F.max("ts").alias("session_end_us"),
+        (F.max("ts") - F.min("ts")).alias("duration_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "ts_cohort_retention",
+    f"""
+    WITH ev AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(ts) % {_DAY_US} AS day_us
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(day_us) AS cohort_day_us FROM ev GROUP BY user_id
+    ),
+    active AS (SELECT DISTINCT user_id, day_us FROM ev)
+    SELECT c.cohort_day_us,
+           CAST((a.day_us - c.cohort_day_us) / {_DAY_US} AS BIGINT)
+             AS day_offset,
+           COUNT(*) AS n_users
+    FROM active a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY c.cohort_day_us, day_offset
+    """,
+    doc="Cohort retention matrix: users cohorted by first-active day; "
+    "for each (cohort day, day offset) the count of cohort users still "
+    "active.  Both the cohort min and the active-day distinct partition "
+    "on user_id, so the join is co-partitioned (no extra exchange "
+    "beyond the two user_id aggregates); the final matrix aggregate "
+    "moves one row per (user, active day).",
+)
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select(
+        "user_id", (F.col("ts") - F.col("ts") % _DAY_US).alias("day_us")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day_us").alias("cohort_day_us"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            "cohort_day_us",
+            ((F.col("day_us") - F.col("cohort_day_us")) / _DAY_US)
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .groupBy("cohort_day_us", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "dedup_event_throttle",
+    f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts_us
+    FROM (
+      SELECT event_id, user_id, event_type, ts_us,
+             LAG(ts_us) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts_us, event_id
+             ) AS prev_us
+      FROM ev
+    )
+    WHERE prev_us IS NULL OR ts_us - prev_us > {_THROTTLE_US}
+    """,
+    doc="Time-window throttle dedup: within each (user, event_type) "
+    "stream, keep an event only if the previous raw event of the same "
+    "key is more than 10 minutes older (or absent).  LAG against the "
+    "raw stream — not the kept rows — so the rule is one window pass, "
+    "deterministic, and needs no iteration.  The batch twin of "
+    "dropDuplicatesWithinWatermark.",
+)
+def dedup_event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.col("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    kept = ev.withColumn("prev_us", F.lag("ts_us").over(w)).where(
+        F.col("prev_us").isNull()
+        | (F.col("ts_us") - F.col("prev_us") > _THROTTLE_US)
+    )
+    return kept.drop("prev_us")
+
+
+@register(
+    "ts_multi_grain_rollup",
+    f"""
+    WITH ev AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % {_DAY_US} AS day_us,
+             epoch_us(ts) - epoch_us(ts) % {_H6_US} AS h6_us,
+             value
+      FROM events
+    )
+    SELECT event_type, day_us, h6_us,
+           GROUPING(day_us) + 2 * GROUPING(h6_us) AS grain,
+           COUNT(*) AS n,
+           {SQL_SUM_DEC("value", "sum_value")}
+    FROM ev
+    GROUP BY GROUPING SETS ((event_type, day_us), (event_type, h6_us),
+                            (event_type))
+    """,
+    doc="Hypertable-style multi-grain rollup: one GROUPING SETS pass "
+    "produces per-(type, day), per-(type, 6h) and per-type aggregates "
+    "— the continuous-aggregate ladder materialized in one shuffle of "
+    "map-side partials instead of three scans.  The grain id "
+    "(GROUPING bits) disambiguates rows whose bucket columns are NULL.",
+)
+def ts_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select(
+        "event_type",
+        (F.col("ts") - F.col("ts") % _DAY_US).alias("day_us"),
+        (F.col("ts") - F.col("ts") % _H6_US).alias("h6_us"),
+        "value",
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "day_us"], ["event_type", "h6_us"], ["event_type"]],
+            "event_type",
+            "day_us",
+            "h6_us",
+        )
+        .agg(
+            (
+                F.grouping("day_us") + F.lit(2) * F.grouping("h6_us")
+            ).alias("grain"),
+            F.count(F.lit(1)).alias("n"),
+            sum_dec_as_double("value", "sum_value"),
+        )
+    )

@@ -404,3 +404,57 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("long").alias("n_chunk_tokens"),
         F.array_join("chunk", " ").alias("chunk_text"),
     )
+
+
+@register(
+    "text_inverted_index",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT term,
+             COUNT(DISTINCT doc_id) AS df,
+             COUNT(*) AS tf
+      FROM toks GROUP BY term
+    ),
+    top AS (SELECT * FROM stats ORDER BY df DESC, term LIMIT 20)
+    SELECT t.term, t.df, t.tf,
+           list_slice(list_sort(list(DISTINCT x.doc_id)), 1, 5)
+             AS sample_postings
+    FROM top t JOIN toks x USING (term)
+    GROUP BY t.term, t.df, t.tf
+    """,
+    doc="Inverted-index build (search-engine posting lists): explode "
+    "tokens, aggregate document frequency + term frequency per term, "
+    "keep the 20 highest-df terms (ties by term), then fetch the 5 "
+    "smallest doc ids as a posting sample for just those terms.  "
+    "Postings are materialized ONLY for the selected terms via a "
+    "broadcast semi-join back onto the token stream — collecting a "
+    "full posting array per term during the stats pass would hold "
+    "unbounded per-key state exactly on the skewed (stopword) keys; "
+    "df/tf instead partial-aggregate map-side, so hot terms cost "
+    "O(#partitions), not O(#occurrences), through the exchange.",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = spread(d).select(
+        "doc_id", explode_nonempty(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    stats = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    top = stats.orderBy(F.col("df").desc(), "term").limit(20)
+    postings = (
+        toks.join(F.broadcast(top.select("term")), "term")
+        .groupBy("term")
+        .agg(
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5).alias(
+                "sample_postings"
+            )
+        )
+    )
+    return top.join(postings, "term")

@@ -28,6 +28,7 @@ _ALLOWED = {
     "stream_late_events": "single-row watermark aggregate broadcast",
     "subquery_above_avg_balance": "scalar aggregate broadcast as literal",
     "agg_having_share_of_total": "global-total scalar (1 row) broadcast",
+    "agg_histogram_equiwidth": "global min/max bounds (1 row) broadcast",
 }
 _SKIP_EXECUTING = {
     # these run a real streaming query inside fn(); plan checked in
