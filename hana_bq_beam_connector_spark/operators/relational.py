@@ -273,6 +273,17 @@ def bloom_prefilter(
 
     The driver collect is bounded by construction: ≤ ``m_bits/64``
     words (128 KiB at the default), independent of data scale.
+
+    The filter ships to executors as ONE BinaryType literal
+    (``lit(bytes)`` is a single py4j transfer).  The earlier
+    array<bigint> spelling cost ``m_bits/64`` separate ``lit()``
+    py4j round-trips just to CONSTRUCT the Column (~13 s of driver
+    time at the 2^20-bit default, measured — more than the query's
+    whole execution).  Probing is byte-addressed: binary
+    ``substring`` is O(1) byte slicing (unlike string substring,
+    whose UTF-8 seek is O(pos) per access — the quadratic-fold trap
+    SCALE.md documents), ``hex``+``conv`` turn the byte into an int,
+    ``getbit`` tests the bit — all codegen'd scalar ops.
     """
     m_words = m_bits // 64
     pos = [
@@ -292,18 +303,21 @@ def bloom_prefilter(
     words_rows = (
         cells.groupBy("__w").agg(F.expr("bit_or(__bit)").alias("__word"))
     ).collect()
-    words = [0] * m_words
+    # Pack the 64-bit words into a little-endian byte map: bit p lives
+    # in byte p//8 at in-byte position p%8.
+    payload = bytearray(m_bits // 8)
     for r in words_rows:
-        words[r["__w"]] = r["__word"]
-    warr = F.lit(words)  # array<bigint> literal, broadcast with the plan
+        w, word = r["__w"], r["__word"]
+        for j in range(8):
+            payload[w * 8 + j] = (word >> (8 * j)) & 0xFF
+    blit = F.lit(bytes(payload))  # one BinaryType literal
     cond = None
     for seed in range(k_hashes):
         p = F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(m_bits))
-        word = F.element_at(warr, (p / 64).cast("int") + 1)
-        bit = F.expr(
-            f"shiftleft(cast(1 as bigint), cast(pmod(pmod("
-            f"xxhash64({key}, {seed}), {m_bits}), 64) as int))"
+        byte_val = (
+            F.conv(F.hex(F.substring(blit, (p / 8).cast("int") + 1, 1)), 16, 10)
+            .cast("int")
         )
-        hit = word.bitwiseAND(bit) != 0
+        hit = F.getbit(byte_val, F.pmod(p, F.lit(8))) == 1
         cond = hit if cond is None else (cond & hit)
     return big.where(cond)

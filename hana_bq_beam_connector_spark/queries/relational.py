@@ -652,3 +652,51 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "join_asof_tolerance",
+    f"""
+    SELECT p.event_id, p.ts, p.user_id,
+           CASE WHEN c.ts >= p.ts - {3_600_000_000} THEN c.event_id END
+             AS click_event_id,
+           CASE WHEN c.ts >= p.ts - {3_600_000_000} THEN c.value END
+             AS click_value
+    FROM (SELECT event_id, epoch_us(ts) AS ts, user_id
+          FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT event_id, epoch_us(ts) AS ts, user_id, value
+          FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc="As-of join with staleness tolerance: the most recent click "
+    "at-or-before each purchase counts only if it is at most 1 hour "
+    "old; older matches surface as NULL (backward as-of means every "
+    "earlier candidate is staler still, so null-ing the latest match "
+    "is exactly 'no match within tolerance').  Same single-shuffle "
+    "union+window plan as the plain as-of; tolerance is a post-window "
+    "projection, not a join condition — no pair blow-up.",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts="ts",
+        right_cols=["event_id", "value"],
+        tolerance=3_600_000_000,
+    )
+    return joined.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.col("right_event_id").alias("click_event_id"),
+        F.col("right_value").alias("click_value"),
+    )

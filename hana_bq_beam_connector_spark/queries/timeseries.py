@@ -293,3 +293,97 @@ def ts_funnel_signup_purchase(
             "n_full_funnel"
         ),
     )
+
+
+@register(
+    "ts_hourly_interp_linear",
+    f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+    ),
+    h AS (
+      SELECT user_id, ts_us - ts_us % {_HOUR_US} AS hour_us,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM ev GROUP BY user_id, hour_us
+    ),
+    b AS (
+      SELECT user_id, MIN(hour_us) AS lo, MAX(hour_us) AS hi
+      FROM h GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, UNNEST(range(lo, hi + 1, {_HOUR_US})) AS hour_us
+      FROM b
+    ),
+    j AS (
+      SELECT g.user_id, g.hour_us, h.sum_value,
+        LAST_VALUE(h.sum_value IGNORE NULLS) OVER wp AS prev_v,
+        LAST_VALUE(CASE WHEN h.sum_value IS NOT NULL THEN g.hour_us END
+                   IGNORE NULLS) OVER wp AS prev_t,
+        FIRST_VALUE(h.sum_value IGNORE NULLS) OVER wf AS next_v,
+        FIRST_VALUE(CASE WHEN h.sum_value IS NOT NULL THEN g.hour_us END
+                    IGNORE NULLS) OVER wf AS next_t
+      FROM grid g LEFT JOIN h
+        ON g.user_id = h.user_id AND g.hour_us = h.hour_us
+      WINDOW
+        wp AS (PARTITION BY g.user_id ORDER BY g.hour_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY g.user_id ORDER BY g.hour_us
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hour_us,
+      CASE WHEN sum_value IS NOT NULL THEN sum_value
+           ELSE prev_v + (next_v - prev_v)
+                * (CAST(hour_us - prev_t AS DOUBLE)
+                   / CAST(next_t - prev_t AS DOUBLE))
+      END AS interp_value
+    FROM j
+    """,
+    doc="Hourly resample with LINEAR interpolation (the ffill query's "
+    "sibling): densify each user's own hour range, then one backward "
+    "and one forward window pass find the bracketing known points, "
+    "and gaps fill with prev + (next-prev) * elapsed/gap.  Both "
+    "engines evaluate the identical IEEE expression tree on identical "
+    "operands (decimal-exact hourly sums, integer hour arithmetic), "
+    "so the hashes match bit-for-bit.  Grid edges are always known "
+    "points (the grid spans [min, max] of each user's own buckets), "
+    "so no extrapolation branch is needed.",
+)
+def ts_hourly_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select("user_id", "ts", "value")
+    hourly = ev.groupBy(
+        "user_id", F.expr(f"ts - ts % {_HOUR_US}").alias("hour_us")
+    ).agg(sum_dec_as_double("value", "sum_value"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(_HOUR_US))
+        ).alias("hour_us"),
+    )
+    j = grid.join(hourly, ["user_id", "hour_us"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_us")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_t = F.when(F.col("sum_value").isNotNull(), F.col("hour_us"))
+    prev_v = F.last("sum_value", ignorenulls=True).over(wp)
+    prev_t = F.last(known_t, ignorenulls=True).over(wp)
+    next_v = F.first("sum_value", ignorenulls=True).over(wf)
+    next_t = F.first(known_t, ignorenulls=True).over(wf)
+    frac = (F.col("hour_us") - prev_t).cast("double") / (
+        next_t - prev_t
+    ).cast("double")
+    interp = F.when(F.col("sum_value").isNotNull(), F.col("sum_value")).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    return j.select(
+        "user_id", "hour_us", interp.alias("interp_value")
+    )
