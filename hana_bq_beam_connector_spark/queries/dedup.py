@@ -558,3 +558,75 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return repeated_span_stats(d, id_col="doc_id", text_col="text", k=5)
+
+
+@register(
+    "dedup_containment_pairs",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+        list_distinct(
+          CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+          ELSE list_transform(
+            range(1, len(string_split(text, ' ')) - 1),
+            i -> array_to_string(
+              list_slice(string_split(text, ' '), i, i + 2), ' '))
+          END) AS gs
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        / CAST(len(a.gs) AS DOUBLE) AS containment
+    FROM s a JOIN s b
+      ON a.lang = b.lang AND a.doc_id != b.doc_id
+     AND a.doc_id % 10 = 0
+    WHERE len(a.gs) > 0
+      AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        / CAST(len(a.gs) AS DOUBLE) >= 0.04
+    """,
+    doc="Asymmetric containment near-dup (quote / subset detection): "
+    "containment(A in B) = |3-grams(A) ∩ 3-grams(B)| / |3-grams(A)| — "
+    "unlike Jaccard it flags a short document embedded in a long one, "
+    "the shape LLM corpus curation needs for boilerplate and quoted "
+    "reposts.  Same blocked-pair design as the Jaccard baseline "
+    "(sampled probe side × same-lang block, never a global cross "
+    "product); the scale path replaces the block with MinHash band "
+    "buckets, unchanged math.  Asymmetric: sampled probes (doc_id "
+    "% 10 = 0) test against all B ≠ A, both directions of a pair "
+    "distinct; the 0.04 bar is tuned to this synthetic corpus's "
+    "overlap distribution (p99.9 ≈ 0.054) so the result is "
+    "non-vacuous at every test SF.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.text import word_ngrams
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id", "lang", F.array_distinct(word_ngrams("w", 3)).alias("gs")
+        )
+    )
+    a = d.where((F.col("doc_id") % 10 == 0) & (F.size("gs") > 0)).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("gs").alias("gs_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("gs").alias("gs_b"),
+    )
+    cont = F.expr("size(array_intersect(gs_a, gs_b))").cast("double") / F.size(
+        "gs_a"
+    ).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("id_a") != F.col("id_b")),
+        )
+        .withColumn("containment", cont)
+        .where(F.col("containment") >= 0.04)
+        .select("id_a", "id_b", "containment")
+    )

@@ -183,3 +183,58 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(200)
     )
+
+
+@register(
+    "sample_class_balanced",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {duck_polyhash('CAST(doc_id AS VARCHAR)')}, doc_id
+             ) AS rk
+      FROM documents
+    ),
+    counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT lang, MIN(n) OVER () AS mn FROM counts)
+    SELECT r.lang, COUNT(*) AS n_sampled, SUM(r.doc_id) AS id_checksum
+    FROM ranked r JOIN m ON r.lang = m.lang
+    WHERE r.rk <= m.mn
+    GROUP BY r.lang
+    """,
+    doc="Class-balanced downsampling: every language keeps exactly "
+    "min-class-count documents, chosen by hash-priority rank "
+    "(polyhash(doc_id) order, ties by doc_id) — deterministic across "
+    "runs and layouts, no RNG.  The minority count attaches to the "
+    "tiny per-lang counts frame via an unpartitioned window (rows = "
+    "#languages, by construction small) and broadcast-equi-joins back "
+    "onto the ranked documents — no nested-loop scalar cross.  "
+    "id_checksum pins the exact selected set, not just its size.",
+)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.expr(spark_polyhash("cast(doc_id as string)")), "doc_id"
+        )
+    )
+    ranked = d.select("doc_id", "lang", rk.alias("rk"))
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mn = F.min("n").over(
+        Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    quota = counts.select("lang", mn.alias("mn"))
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .where(F.col("rk") <= F.col("mn"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )

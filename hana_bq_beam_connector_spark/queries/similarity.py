@@ -392,3 +392,52 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, k=3, n_centroids=16, n_probe=2).select(
         "query_id", "cand_id", "cos_sim", "rank"
     )
+
+
+@register(
+    "sim_label_centroids",
+    """
+    WITH pos AS (
+      SELECT label, vec_id,
+             unnest(embedding) AS v,
+             unnest(range(0, len(embedding))) AS dim
+      FROM embeddings
+    )
+    SELECT label, dim,
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+                          list(CAST(v AS DOUBLE) ORDER BY vec_id)),
+             (a, b) -> a + b
+           ) / COUNT(*) AS mean_v
+    FROM pos GROUP BY label, dim
+    """,
+    doc="Per-label centroid (element-wise mean embedding) — the "
+    "class-prototype builder behind few-shot retrieval and cluster "
+    "seeding.  posexplode fans each vector into (label, dim, value) "
+    "rows; the per-(label, dim) mean then partial-aggregates "
+    "map-side, so a 100 TB corpus shuffles one partial per "
+    "(label, dim, partition), never raw vectors.  Float summation "
+    "order is pinned by folding over the vec_id-sorted value list in "
+    "BOTH engines (collect_list -> array_sort -> aggregate vs "
+    "list(ORDER BY) -> list_reduce), so the doubles match "
+    "bit-for-bit; at real scale swap the sorted fold for a plain "
+    "sum and accept last-ulp nondeterminism.",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "label", "vec_id", F.posexplode("embedding").alias("dim", "v")
+    )
+    sorted_vals = F.array_sort(
+        F.collect_list(
+            F.struct("vec_id", F.col("v").cast("double").alias("v"))
+        )
+    )
+    total = F.aggregate(
+        sorted_vals, F.lit(0.0), lambda acc, x: acc + x["v"]
+    )
+    return pos.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        (total / F.count(F.lit(1))).alias("mean_v")
+    )

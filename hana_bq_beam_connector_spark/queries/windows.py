@@ -237,3 +237,56 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "window_running_distinct",
+    """
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+             CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) = 1
+             THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, ts_us, event_id,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+    doc="Running distinct count (distinct event types seen so far per "
+    "user): COUNT(DISTINCT) isn't a window aggregate in either "
+    "engine, and a per-row collect_set frame holds O(cardinality) "
+    "state on every row.  The two-pass spelling is exact with O(1) "
+    "row state: pass 1 flags each (user, type)'s first occurrence "
+    "(row_number = 1), pass 2 running-sums the flags — two window "
+    "scans over the same user_id hash partitioning, which Spark "
+    "reuses (one exchange, the second sort is partition-local).",
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select(
+        "user_id", F.col("ts").alias("ts_us"), "event_id", "event_type"
+    )
+    first_w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(first_w) == 1, 1).otherwise(0),
+    )
+    return flagged.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.sum("first_seen").over(run_w).cast("long").alias(
+            "distinct_types_so_far"
+        ),
+    )

@@ -330,3 +330,50 @@ def test_binary_file_ingest_feeds_multimodal_stages(spark, tmp_path):
     assert sorted(bytes(r.payload) for r in back.collect()) == sorted(
         payloads.values()
     )
+
+
+def test_json_corrupt_record_modes(spark, tmp_path):
+    """Malformed-input contract for the JSON source: PERMISSIVE mode
+    surfaces bad lines in a corrupt-record column instead of failing
+    the 100 TB job at hour three; DROPMALFORMED silently drops them.
+    (The reference aborts on any unexpected input — HanaToBQ.java:129-132;
+    our engine must degrade row-wise, not job-wise.)"""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = str(tmp_path / "mixed.json")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "name": "ok"}\n')
+        f.write('{"id": 2, "name": "also ok"}\n')
+        f.write('{"id": THIS IS NOT JSON\n')
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(p)
+        .cache()
+    )
+    try:
+        rows = permissive.collect()
+        assert len(rows) == 3
+        bad = [r for r in rows if r["_corrupt"] is not None]
+        assert len(bad) == 1 and bad[0]["id"] is None
+        good_ids = sorted(r["id"] for r in rows if r["_corrupt"] is None)
+        assert good_ids == [1, 2]
+    finally:
+        permissive.unpersist()
+
+    dropped = (
+        spark.read.schema(
+            StructType([StructField("id", LongType()), StructField("name", StringType())])
+        )
+        .option("mode", "DROPMALFORMED")
+        .json(p)
+    )
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 2]
