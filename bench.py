@@ -35,6 +35,7 @@ HEADLINE = [
     "sim_ivf_topk",               # IVF coarse-quantized ANN
     "sim_quantized_topk",         # int8-quantized index scoring
     "sim_kmeans_ivf_assign",      # distributed k-means refinement
+    "sim_pq_topk",                # product-quantization ANN (trained codebooks)
     "dedup_embedding_cosine",     # LSH-blocked semantic dedup
     "dedup_incremental_vs_corpus",  # increment vs corpus-index probe
     "text_tfidf_topk",            # tokenize + 2-shuffle TF-IDF

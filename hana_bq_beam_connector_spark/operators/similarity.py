@@ -577,3 +577,198 @@ def probe_ivf_index(
         k=k,
         rank_col="rank",
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def _sub_slice(vec: str, s: str, sub_dim: int) -> str:
+    """Spark expr: subvector ``s`` (0-based) of ``vec``."""
+    return f"slice({vec}, {s} * {sub_dim} + 1, {sub_dim})"
+
+
+def _l2sq_fold(a: str, b: str) -> str:
+    """Spark expr: squared L2 distance fold between two equal-length
+    arrays — strict left fold in index order (deterministic IEEE)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(cast(x as double) - cast(y as double)) * "
+        f"(cast(x as double) - cast(y as double))), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def pq_encode_codebook(
+    corpus_u: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ks: int,
+    sub_dim: int,
+    rounds: int = 1,
+):
+    """Product-quantization codebook + corpus codes.
+
+    Codebook: the first ``ks`` corpus vectors' subvectors (same
+    deterministic seeding rule as the IVF centroids — production runs
+    per-subspace k-means on top, exactly like `kmeans_centroids`
+    refines the IVF seeds; the distributed shape is identical).
+    Returns ``(codebook, codes)``:
+
+    * codebook: (s, code, cw array<double>) — m·ks rows, KBs, built
+      once and broadcast everywhere it is used;
+    * codes: (id, s, code) — each vector's nearest codeword per
+      subspace.  The argmin is ``min(struct(dist, code))`` — a plain
+      partial-aggregable MIN, so encoding is one map-side-combined
+      shuffle of (id, s)-keyed partials, never a window sort over the
+      corpus×ks candidate rows.
+
+    At 10^10 vectors the stored code is m bytes (+ nothing else)
+    versus dim·8 for raw doubles — with dim=64, m=8 that is a 64×
+    memory cut, the PQ trade: coarser than int8 scalar quantization
+    (8×) but another order cheaper, with scoring still
+    lookup-table-exact per subspace.
+    """
+    cb = (
+        corpus_u.where(F.col(id_col) < ks)
+        .select(
+            F.col(id_col).alias("code"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            F.col(vec_col).alias("__v"),
+        )
+        .select(
+            "s", "code", F.expr(_sub_slice("__v", "s", sub_dim)).alias("cw")
+        )
+    )
+    sub = corpus_u.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "__id", "s", F.expr(_sub_slice("__v", "s", sub_dim)).alias("sv")
+    )
+
+    def _assign(codebook: DataFrame) -> DataFrame:
+        return (
+            sub.join(F.broadcast(codebook), "s")
+            .select(
+                "__id",
+                "s",
+                "sv",
+                F.struct(
+                    F.expr(_l2sq_fold("sv", "cw")).alias("dist"),
+                    F.col("code").alias("code"),
+                ).alias("dc"),
+            )
+            .groupBy("__id", "s")
+            .agg(F.min("dc").alias("best"), F.first("sv").alias("sv"))
+            .select("__id", "s", F.col("best.code").alias("code"), "sv")
+        )
+
+    # Lloyd refinement per subspace: recompute each codeword as the
+    # mean of its assigned subvectors — the same order-pinned fold
+    # `kmeans_centroids` uses (collect → sort by id → strict fold),
+    # so refined codewords are bit-reproducible in the oracle.  One
+    # round closes most of the gap untrained seed codebooks leave;
+    # production would iterate to tolerance with plain avg().
+    for _ in range(rounds):
+        assigned = _assign(cb)
+        comp = assigned.select(
+            "s", "code", "__id", F.posexplode("sv").alias("pos", "val")
+        )
+        means = (
+            comp.groupBy("s", "code", "pos")
+            .agg(F.collect_list(F.struct("__id", "val")).alias("vals"))
+            .select(
+                "s",
+                "code",
+                "pos",
+                F.expr(
+                    "aggregate(array_sort(vals), cast(0.0 as double), "
+                    "(acc, x) -> acc + x.val) / size(vals)"
+                ).alias("mval"),
+            )
+        )
+        cb = (
+            means.groupBy("s", "code")
+            .agg(F.collect_list(F.struct("pos", "mval")).alias("pm"))
+            .select(
+                "s",
+                "code",
+                F.expr("transform(array_sort(pm), x -> x.mval)").alias("cw"),
+            )
+        )
+        # Empty cells keep no codeword — codes simply never map there
+        # (the min over the surviving codebook is still total).
+
+    codes = _assign(cb).select("__id", "s", "code")
+    return cb, codes
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 16,
+    ks: int = 64,
+    dim: int = 64,
+    rounds: int = 1,
+) -> DataFrame:
+    """ANN top-k via product quantization with asymmetric distance.
+
+    The corpus is stored as m-byte PQ codes; each query builds a
+    lookup table LUT[s, code] = dot(query_subvector_s, codeword) —
+    m·ks doubles per query, broadcast — and a candidate's approximate
+    cosine is the sum of m LUT hits: the query side stays exact
+    (asymmetric PQ), only the corpus side is quantized.  Plan shape:
+    encode = one map-side-combined shuffle; scoring = codes ⋈
+    broadcast(LUT) then a (query, cand) partial agg — the shuffled
+    rows carry (ids, one double), never vectors.  The per-pair sum
+    folds in subspace order (collect → sort → fold) so scores are
+    bit-reproducible; production would use plain SUM (≤1 ulp drift)
+    — same plan, cheaper agg.
+    """
+    sub_dim = dim // m
+    corpus_u = unit(
+        spread(corpus.select(id_col, vec_col)), vec_col, "uv"
+    ).select(id_col, F.col("uv").alias(vec_col))
+    queries_u = unit(
+        queries.select(id_col, vec_col), vec_col, "uv"
+    ).select(id_col, F.col("uv").alias(vec_col))
+    cb, codes = pq_encode_codebook(
+        corpus_u, id_col, vec_col, m=m, ks=ks, sub_dim=sub_dim,
+        rounds=rounds,
+    )
+    lut = (
+        queries_u.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            F.col(vec_col).alias("__q"),
+        )
+        .select(
+            "query_id",
+            "s",
+            F.expr(_sub_slice("__q", "s", sub_dim)).alias("qs"),
+        )
+        .join(F.broadcast(cb), "s")
+        .select(
+            "query_id", "s", "code", F.expr(_dot_fold("qs", "cw")).alias("pdot")
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .where(F.col("__id") != F.col("query_id"))
+        .groupBy("query_id", F.col("__id").alias("cand_id"))
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(s, pdot))), "
+                "cast(0.0 as double), (acc, x) -> acc + x.pdot)"
+            ).alias("approx_cos")
+        )
+    )
+    return topk_per_group(
+        scored,
+        partition_by=["query_id"],
+        order=[F.col("approx_cos").desc(), F.col("cand_id").asc()],
+        k=k,
+        rank_col="rank",
+    ).withColumn("rank", F.col("rank").cast("long"))

@@ -630,3 +630,46 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("containment") >= 0.04)
         .select("id_a", "id_b", "containment")
     )
+
+
+@register(
+    "dedup_cluster_star",
+    f"""
+    WITH RECURSIVE {_duck_minhash_ctes()},
+    e2 AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e2),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e2.dst, walk.label FROM walk JOIN e2 ON e2.src = walk.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id,
+           node = MIN(label) AS is_canonical
+    FROM walk GROUP BY node
+    """,
+    doc="Same clusters as dedup_cluster_canonical, computed by the "
+    "OTHER distributed CC algorithm: alternating large-star / "
+    "small-star contraction (operators/dedup.cc_star) — provably "
+    "O(log n) rounds with a non-increasing edge set, the swap-in for "
+    "graphs where label propagation's min-discovery rounds (~22-26 "
+    "measured on subcritical random graphs) are too many.  Both "
+    "implementations against one recursive-CTE oracle pins their "
+    "equivalence inside the correctness gate itself.",
+)
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.dedup import cc_star
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, id_col="doc_id", text_col="text", k=3, threshold=0.8
+    )
+    labels = cc_star(pairs, id_a="id_a", id_b="id_b")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )

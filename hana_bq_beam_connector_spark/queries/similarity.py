@@ -441,3 +441,118 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
         (total / F.count(F.lit(1))).alias("mean_v")
     )
+
+
+def _duck_sub_l2sq(a: str, b: str, sub_dim: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {sub_dim} + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _duck_sub_dot(a: str, b: str, sub_dim: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {sub_dim} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _duck_pq_topk_sql(k: int = 3, m: int = 16, ks: int = 64) -> str:
+    sub_dim = DIM // m
+    l2 = _duck_sub_l2sq("sub.sv", "cb0.cw", sub_dim)
+    l2t = _duck_sub_l2sq("sub.sv", "cb1.cw", sub_dim)
+    pdot = _duck_sub_dot("sub.sv", "cb1.cw", sub_dim)
+    return f"""
+    WITH {_duck_unit_cte()},
+    ss AS (SELECT unnest(range(0, {m})) AS s),
+    sub AS (
+      SELECT vec_id AS id, s,
+             list_slice(uv, s * {sub_dim} + 1, (s + 1) * {sub_dim}) AS sv
+      FROM unitv, ss
+    ),
+    cb0 AS (
+      SELECT s, id AS code, sv AS cw FROM sub WHERE id < {ks}
+    ),
+    a0 AS (
+      SELECT id, s, code, sv FROM (
+        SELECT sub.id, sub.s, cb0.code, sub.sv,
+          ROW_NUMBER() OVER (PARTITION BY sub.id, sub.s
+            ORDER BY {l2}, cb0.code) AS rn
+        FROM sub JOIN cb0 ON sub.s = cb0.s
+      ) WHERE rn = 1
+    ),
+    comp AS (
+      SELECT s, code, id, pos, sv[pos] AS val
+      FROM a0, (SELECT unnest(range(1, {sub_dim} + 1)) AS pos)
+    ),
+    means AS (
+      SELECT s, code, pos,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                 list(val ORDER BY id)),
+                    (acc, v) -> acc + v) / COUNT(*) AS mval
+      FROM comp GROUP BY s, code, pos
+    ),
+    cb1 AS (
+      SELECT s, code, list(mval ORDER BY pos) AS cw
+      FROM means GROUP BY s, code
+    ),
+    codes AS (
+      SELECT id, s, code FROM (
+        SELECT sub.id, sub.s, cb1.code,
+          ROW_NUMBER() OVER (PARTITION BY sub.id, sub.s
+            ORDER BY {l2t}, cb1.code) AS rn
+        FROM sub JOIN cb1 ON sub.s = cb1.s
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT sub.id AS query_id, sub.s, cb1.code, {pdot} AS pdot
+      FROM sub JOIN cb1 ON sub.s = cb1.s
+      WHERE sub.id < 10
+    ),
+    scored AS (
+      SELECT l.query_id, c.id AS cand_id,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                 list(l.pdot ORDER BY l.s)),
+                    (acc, v) -> acc + v) AS approx_cos
+      FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+      WHERE c.id != l.query_id
+      GROUP BY l.query_id, c.id
+    )
+    SELECT query_id, cand_id, approx_cos, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_cos DESC, cand_id
+      ) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "sim_pq_topk",
+    _duck_pq_topk_sql(),
+    doc="ANN top-3 via product quantization with asymmetric distance: "
+    "corpus stored as 16 one-byte codes per vector (64× smaller than "
+    "raw doubles, 8× smaller than int8 scalar quantization), scored "
+    "against per-query lookup tables of subspace dot products.  "
+    "Codebooks: deterministic seeds + ONE distributed Lloyd round "
+    "per subspace (order-pinned mean folds), so the oracle replays "
+    "training, encoding, LUT build and ranking bit-for-bit.  Plan: "
+    "encode is a map-side-combined min-struct agg (no window over "
+    "the corpus×ks candidates), scoring shuffles (id, double) pairs "
+    "only.  Recall@10 vs the exact baseline ≈ 0.6 on this corpus — "
+    "whose exact neighbors are noise-thin (top-10 same-label "
+    "fraction: 0.11), the PQ-hostile worst case; asserted ≥ 0.4 in "
+    "tests alongside the plan shape.",
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(emb["vec_id"] < 10)
+    return pq_topk(queries, emb, k=3).select(
+        "query_id", "cand_id", "approx_cos", "rank"
+    )
