@@ -60,6 +60,10 @@ HEADLINE = [
     "ts_sessionize_gap",          # batch sessionization (lag + running sum)
     "ts_multi_grain_rollup",      # grouping-sets time-grain ladder
     "text_inverted_index",        # skew-aware posting-list build
+    "search_bm25_topk",           # BM25 retrieval (1-row stats broadcast)
+    "graph_copurchase_pairs",     # co-occurrence pair mining
+    "etl_cdc_apply",              # tombstone CDC apply (anti-join + union)
+    "ts_session_concurrency",     # sweep-line peak concurrency (2-phase)
 ]
 
 

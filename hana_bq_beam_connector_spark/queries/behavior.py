@@ -223,3 +223,97 @@ def ts_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_dec_as_double("value", "sum_value"),
         )
     )
+
+
+@register(
+    "ts_session_concurrency",
+    f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts_us, event_id,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                       OR ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts_us,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_no,
+             MIN(ts_us) AS s, MAX(ts_us) AS e
+      FROM numbered GROUP BY user_id, session_no
+    ),
+    pts AS (
+      SELECT s AS ts_us, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT e AS ts_us, -1 AS delta FROM sessions
+    ),
+    run AS (
+      SELECT SUM(delta) OVER (
+        ORDER BY ts_us, delta DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS conc
+      FROM pts
+    )
+    SELECT CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sessions) AS n_sessions
+    FROM run
+    """,
+    doc="Peak session concurrency (sweep line over session intervals): "
+    "sessions from the 30-min-gap rule become +1/-1 boundary points; "
+    "the maximum of the running sum over (time, starts-before-ends at "
+    "ties: closed intervals) is the peak concurrent-session count — "
+    "the capacity-planning number.  The Spark prefix sum is TWO-PHASE "
+    "(per-day partials + a per-day offset cumsum over O(#days) rows), "
+    "never a single-partition global window — the oracle's one-window "
+    "spelling is the semantic definition, the engine's is the plan "
+    "that survives 10^9 sessions.  Phase-2's window orders O(days) "
+    "rows; ties inside one (ts, delta) group are sum-order-invariant, "
+    "so the max is deterministic.",
+)
+def ts_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") - prev > _SESSION_GAP_US), 1
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("session_no", F.sum(new_sess).over(run))
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    pts = sessions.select(
+        F.col("s").alias("ts_us"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(F.col("e").alias("ts_us"), F.lit(-1).alias("delta"))
+    )
+    day = (F.col("ts_us") - F.col("ts_us") % _DAY_US).alias("day_us")
+    pts = pts.withColumn("day_us", day)
+    w_in = Window.partitionBy("day_us").orderBy(
+        F.col("ts_us"), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    within = pts.withColumn("run_in_day", F.sum("delta").over(w_in))
+    day_tot = pts.groupBy("day_us").agg(F.sum("delta").alias("day_sum"))
+    w_off = Window.orderBy("day_us").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = day_tot.withColumn(
+        "offset", F.coalesce(F.sum("day_sum").over(w_off), F.lit(0))
+    ).select("day_us", "offset")
+    conc = within.join(offsets, "day_us").select(
+        (F.col("run_in_day") + F.col("offset")).alias("conc")
+    )
+    peak = conc.agg(F.max("conc").cast("long").alias("max_concurrent"))
+    n = sessions.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return peak.crossJoin(n)

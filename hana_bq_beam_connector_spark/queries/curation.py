@@ -456,3 +456,94 @@ def curation_corpus_composition(
         "token_share",
         F.col("n_tokens").cast("double") / total.cast("double"),
     )
+
+
+@register(
+    "curation_blocklist_filter",
+    """
+    WITH tot AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    ),
+    blocked AS (
+      SELECT source FROM (
+        SELECT source, ROW_NUMBER() OVER (ORDER BY chars DESC, source) AS rk
+        FROM tot
+      ) WHERE rk <= 5
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE source NOT IN (SELECT source FROM blocked)
+    GROUP BY lang
+    """,
+    doc="Source/domain blocklist filtering (the robots/spam-domain "
+    "step of web-corpus curation): derive the blocklist — here the 5 "
+    "heaviest sources by total chars, i.e. a data-driven 'spammy "
+    "domain' rule — then anti-join the corpus against it.  The "
+    "blocklist derivation aggregates to O(#sources) rows (one "
+    "partial-agg shuffle), the blocklist itself is tiny and "
+    "BROADCASTS, so the corpus-side filter is a scan-local hash "
+    "probe — the 100 TB side never shuffles.",
+)
+def curation_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tot = d.groupBy("source").agg(F.sum("n_chars").cast("long").alias("chars"))
+    rk = F.row_number().over(Window.orderBy(F.col("chars").desc(), "source"))
+    blocked = tot.select("source", rk.alias("rk")).where(F.col("rk") <= 5)
+    kept = d.join(F.broadcast(blocked.select("source")), "source", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+_QUALITY_RULES = [
+    ("quantity_range", "l_quantity >= 1 AND l_quantity <= 50"),
+    ("discount_range", "l_discount >= 0 AND l_discount <= 0.08"),
+    ("tax_range", "l_tax >= 0 AND l_tax <= 0.06"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("returnflag_valid", "l_returnflag IN ('A', 'N', 'R')"),
+]
+
+
+@register(
+    "curation_rule_report",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS rule, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN NOT ({cond}) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM lineitem"""
+        for name, cond in _QUALITY_RULES
+    ),
+    doc="Data-quality rules engine: evaluate a named rule set over "
+    "the fact table and report violations per rule — the publish "
+    "gate of an ingest pipeline.  The Spark plan evaluates ALL "
+    "rules in ONE scan (one agg row of per-rule violation counts, "
+    "then a stack() unpivot of that single row); the oracle's "
+    "UNION ALL spelling is the semantic definition, not the plan.  "
+    "Per-rule counts partial-aggregate map-side, so the exchange "
+    "carries one row per partition regardless of table size.",
+)
+def curation_rule_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(~F.expr(cond), 1).otherwise(0))
+        .cast("long")
+        .alias(f"v_{i}")
+        for i, (_, cond) in enumerate(_QUALITY_RULES)
+    ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', v_{i}" for i, (name, _) in enumerate(_QUALITY_RULES)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_QUALITY_RULES)}, {stack_args}) AS (rule, n_violations)"
+        ),
+        "n_rows",
+    ).select("rule", "n_rows", "n_violations")

@@ -193,3 +193,214 @@ def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "value",
     )
+
+
+@register(
+    "etl_snapshot_diff",
+    """
+    WITH olds AS (
+      SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    news AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN 'RUSH' ELSE o_orderpriority END
+          AS o_orderpriority
+      FROM orders WHERE o_orderkey % 3 <> 0
+    )
+    SELECT COALESCE(olds.o_orderkey, news.o_orderkey) AS o_orderkey,
+      CASE WHEN olds.o_orderkey IS NULL THEN 'added'
+           WHEN news.o_orderkey IS NULL THEN 'removed'
+           ELSE 'changed' END AS change_type,
+      olds.o_orderpriority AS old_o_orderpriority,
+      news.o_orderpriority AS new_o_orderpriority
+    FROM olds FULL JOIN news ON olds.o_orderkey = news.o_orderkey
+    WHERE olds.o_orderkey IS NULL OR news.o_orderkey IS NULL
+       OR olds.o_orderpriority <> news.o_orderpriority
+    """,
+    doc="Snapshot diff (table-level CDC audit): two snapshots of the "
+    "same keyed table reduce to added/removed/changed rows via one "
+    "co-partitioned full-outer hash join — the audit the APPEND-only "
+    "reference (HanaToBQ.java:256-259) cannot express.  Both sides "
+    "shuffle once on the key; on bucketed layouts "
+    "(sinks_bucketed.py) the exchange disappears entirely.  Unchanged "
+    "rows are dropped post-join so only the (small) delta survives "
+    "the operator — at 100 TB the output is the changed sliver, never "
+    "a second copy of the table.",
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.plans.diff import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    new = o.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("RUSH"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    return snapshot_diff(old, new, key="o_orderkey", compare=["o_orderpriority"])
+
+
+@register(
+    "etl_cdc_apply",
+    """
+    SELECT o_orderkey,
+      CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+        AS o_orderstatus
+    FROM orders WHERE o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT o_orderkey + 3000000 AS o_orderkey, 'N' AS o_orderstatus
+    FROM orders WHERE o_orderkey % 13 = 0
+    """,
+    doc="CDC apply with tombstones: one change batch of "
+    "inserts/updates/deletes folds into the base snapshot — deletes "
+    "as an anti-join (keys leave, no payload moves), upserts via the "
+    "staged merge (plans/cdc.apply_cdc).  Deletes take precedence "
+    "over updates on the same key.  The whole apply is anti-join + "
+    "union on the key: one co-partitioned shuffle of the (small) "
+    "change batch against the base, zero with bucketed layouts — the "
+    "missing half of the reference's append-only 'CDC' "
+    "(HanaToBQ.java:206-218).",
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.plans.cdc import apply_cdc
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    key = F.col("o_orderkey")
+    deletes = base.where(key % 11 == 0).select(
+        "o_orderkey", F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit("D").alias("op"),
+    )
+    updates = base.where(key % 7 == 0).select(
+        "o_orderkey", F.lit("X").alias("o_orderstatus"), F.lit("U").alias("op")
+    )
+    inserts = base.where(key % 13 == 0).select(
+        (key + 3000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit("I").alias("op"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    return apply_cdc(base, changes, key="o_orderkey", op_col="op")
+
+
+@register(
+    "etl_scd2_pit_join",
+    """
+    WITH hist AS (
+      SELECT user_id, epoch_us(ts) AS vf,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS vt,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts_us,
+           h.vf AS version_from_us, h.value AS version_value
+    FROM clicks c JOIN hist h
+      ON c.user_id = h.user_id
+     AND h.vf <= c.ts_us AND (h.vt IS NULL OR c.ts_us < h.vt)
+    """,
+    doc="Point-in-time join of facts to an SCD2 dimension: each click "
+    "picks the purchase-history version whose [valid_from, valid_to) "
+    "interval contains the click time — the temporal-correctness join "
+    "every feature-store / training-data build needs (joining "
+    "today's dimension row into yesterday's fact leaks the future).  "
+    "Co-partitioned on the business key: one hash exchange per side, "
+    "the interval predicate filters inside the per-key sort-merge — "
+    "versions tile time, so each fact matches at most one row and "
+    "fan-out is exactly 1.  Zero-width versions (same-timestamp "
+    "updates) match nothing; the final same-timestamp version wins — "
+    "the deterministic tiling LEAD(ts, event_id) defines.",
+)
+def etl_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us_windowed(spark, sf_dir)
+    hist_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("h_user"),
+            F.col("ts").alias("vf"),
+            F.lead("ts").over(hist_w).alias("vt"),
+            F.col("value").alias("version_value"),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("ts_us")
+    )
+    cond = (
+        (clicks["user_id"] == hist["h_user"])
+        & (hist["vf"] <= clicks["ts_us"])
+        & (hist["vt"].isNull() | (clicks["ts_us"] < hist["vt"]))
+    )
+    return clicks.join(hist, cond).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("vf").alias("version_from_us"),
+        "version_value",
+    )
+
+
+@register(
+    "etl_backfill_plan",
+    f"""
+    WITH src_days AS (
+      SELECT DISTINCT epoch_us(ts) - epoch_us(ts) % {86_400_000_000}
+        AS day_us
+      FROM events
+    ),
+    missing AS (
+      SELECT day_us FROM src_days
+      WHERE NOT (day_us < {T15_US}
+                 OR (day_us // {86_400_000_000}) % 7 = 3)
+    ),
+    ranked AS (
+      SELECT day_us,
+             day_us - ROW_NUMBER() OVER (ORDER BY day_us)
+               * {86_400_000_000} AS island
+      FROM missing
+    )
+    SELECT MIN(day_us) AS range_start_us,
+           MAX(day_us) + {86_400_000_000} AS range_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM ranked GROUP BY island
+    """,
+    doc="Backfill planner: diff the source's populated days against "
+    "the sink's copied days (simulated here: everything before T15 "
+    "plus every 7th day is already copied) and fold the missing days "
+    "into contiguous half-open [start, end) backfill ranges via the "
+    "gaps-and-islands day - rank*DAY trick — the driver-side planning "
+    "step that turns 'what's missing' into chunked copy windows for "
+    "the reference pipeline (each range feeds equi_depth_intervals).  "
+    "Day-distinct reduces events to O(days) rows before any window, "
+    "so the island sort is over a tiny domain at any corpus size.",
+)
+def etl_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_us = 86_400_000_000
+    ev = _events_us_windowed(spark, sf_dir)
+    src_days = ev.select(
+        (F.col("ts") - F.col("ts") % day_us).alias("day_us")
+    ).distinct()
+    missing = src_days.where(
+        ~(
+            (F.col("day_us") < T15_US)
+            | (F.floor(F.col("day_us") / day_us) % 7 == 3)
+        )
+    )
+    rn = F.row_number().over(Window.orderBy("day_us"))
+    ranked = missing.select(
+        "day_us", (F.col("day_us") - rn * day_us).alias("island")
+    )
+    return ranked.groupBy("island").agg(
+        F.min("day_us").alias("range_start_us"),
+        (F.max("day_us") + day_us).alias("range_end_us"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).drop("island")

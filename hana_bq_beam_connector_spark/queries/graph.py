@@ -164,3 +164,59 @@ def graph_reachability_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__reach_edges"
     )
     return spark.sql(_REACH_CTE.format(seed=_SEED, edges="__reach_edges"))
+
+
+@register(
+    "graph_copurchase_pairs",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    counted AS (
+      SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM pairs GROUP BY p1, p2
+    )
+    SELECT p1, p2, n_orders, rank FROM (
+      SELECT p1, p2, n_orders,
+             ROW_NUMBER() OVER (ORDER BY n_orders DESC, p1, p2) AS rank
+      FROM counted
+    ) WHERE rank <= 20
+    """,
+    doc="Co-purchase pair mining (bipartite projection of the "
+    "order-part graph): parts bought together in the same order, "
+    "top-20 pairs by order count — the co-occurrence feature build "
+    "behind 'frequently bought together'.  The self-join is an "
+    "equi-join on the order key, so the pair fan-out per order is "
+    "bounded by basket size squared (baskets are small; a pathological "
+    "mega-basket would be capped or salted) — never a cross join; "
+    "pair counts partial-aggregate map-side; the final top-k is "
+    "TakeOrdered over already-reduced pair counts, no global sort.",
+)
+def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    )
+    counted = pairs.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    top = counted.orderBy(F.col("n_orders").desc(), "p1", "p2").limit(20)
+    w = Window.orderBy(F.col("n_orders").desc(), "p1", "p2")
+    return top.select("p1", "p2", "n_orders", F.row_number().over(w).alias("rank"))

@@ -155,3 +155,106 @@ def agg_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+_FK_EDGES = [
+    # (edge label, fact table, fact key, dim table, dim key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "agg_fk_integrity",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{edge}' AS edge, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN d.{dk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
+    FROM {ft} f LEFT JOIN (SELECT DISTINCT {dk} FROM {dt}) d
+      ON f.{fk} = d.{dk}"""
+        for edge, ft, fk, dt, dk in _FK_EDGES
+    ),
+    doc="Referential-integrity audit over every FK edge of the star "
+    "schema: per edge, total rows and orphan rows (fact keys missing "
+    "from the dimension).  Each edge is one left join + aggregate; "
+    "every dimension side is distinct-projected to its key column "
+    "and broadcast (dims are MBs when facts are TBs), so no fact "
+    "table ever shuffles — the audit costs one scan per fact table "
+    "at any scale.  The kind of data-quality gate a 100 TB ingest "
+    "runs before publishing a snapshot.",
+)
+def agg_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for edge, ft, fk, dt, dk in _FK_EDGES:
+        fact = load_table(spark, sf_dir, ft).select(fk)
+        dim = load_table(spark, sf_dir, dt).select(dk).distinct()
+        joined = fact.join(F.broadcast(dim), fact[fk] == dim[dk], "left")
+        branch = joined.agg(
+            F.lit(edge).alias("edge"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(dim[dk].isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out
+
+
+@register(
+    "agg_weighted_median",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag,
+        l_extendedprice,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+          PARTITION BY l_returnflag
+          ORDER BY l_extendedprice, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum_w,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+          PARTITION BY l_returnflag
+        ) AS tot_w
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS weighted_median
+    FROM ranked WHERE 2 * cum_w >= tot_w
+    GROUP BY l_returnflag
+    """,
+    doc="Exact weighted median of extended price per return flag, "
+    "weighted by quantity: cumulative exact-decimal weight along the "
+    "(price, key) order, first crossing of half the total weight.  "
+    "The 2*cum >= tot compare is decimal-exact — no float boundary "
+    "ambiguity.  Partitioning is per group, so this spelling fits "
+    "when groups are plentiful; for few huge groups the scale path "
+    "is a two-phase bucket histogram (find the crossing bucket from "
+    "O(buckets) partials, then exact-scan just that bucket) — same "
+    "answer, bounded sort.",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber",
+    )
+    wq = F.col("l_quantity").cast("decimal(18,2)")
+    cum = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(wq).over(cum).alias("cum_w"),
+        F.sum(wq).over(tot).alias("tot_w"),
+    )
+    return (
+        ranked.where(F.lit(2) * F.col("cum_w") >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").cast("double").alias("weighted_median"))
+    )

@@ -556,3 +556,89 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(queries, emb, k=3).select(
         "query_id", "cand_id", "approx_cos", "rank"
     )
+
+
+def _duck_recall_sql(k: int = 5, n_planes: int = 4, n_tables: int = 4) -> str:
+    per_table = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, embedding, {t} AS table_id, "
+        f"{_duck_bucket('embedding', n_planes, t)} AS bucket FROM embeddings"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH {_duck_unit_cte()},
+    q AS (SELECT vec_id AS query_id, uv AS qv FROM unitv WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, uv AS cv FROM unitv),
+    exact_topk AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, cand_id
+        ) AS rk FROM (
+          SELECT query_id, cand_id, {_duck_dot('qv', 'cv')} AS cos_sim
+          FROM c, q WHERE cand_id != query_id
+        )
+      ) WHERE rk <= {k}
+    ),
+    b AS (
+      {per_table}
+    ),
+    qb AS (SELECT vec_id AS query_id, table_id, bucket FROM b
+           WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT qb.query_id, cb.vec_id AS cand_id
+      FROM b cb JOIN qb ON cb.table_id = qb.table_id AND cb.bucket = qb.bucket
+      WHERE cb.vec_id != qb.query_id
+    ),
+    ann_topk AS (
+      SELECT query_id, cand_id FROM (
+        SELECT cand.query_id, cand.cand_id, ROW_NUMBER() OVER (
+          PARTITION BY cand.query_id
+          ORDER BY {_duck_dot('qe.uv', 'ce.uv')} DESC, cand.cand_id
+        ) AS rk
+        FROM cand
+        JOIN unitv qe ON qe.vec_id = cand.query_id
+        JOIN unitv ce ON ce.vec_id = cand.cand_id
+      ) WHERE rk <= {k}
+    )
+    SELECT e.query_id, CAST(COUNT(a.cand_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.cand_id) AS DOUBLE) / {k}.0 AS recall_at_{k}
+    FROM exact_topk e
+    LEFT JOIN ann_topk a
+      ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "sim_ann_recall_report",
+    _duck_recall_sql(),
+    doc="ANN quality evaluation: recall@5 of the multi-table LSH "
+    "index against the exact cosine top-5, per query — the metric "
+    "that decides n_tables/n_planes before an index ships.  Runs "
+    "both pipelines (each already scale-shaped: broadcast-bounded "
+    "exact baseline over the sampled query set, banded equi-join "
+    "ANN) and joins their top-k sets; at production scale the exact "
+    "side is computed for a small audit sample of queries exactly "
+    "like this one, so the evaluation never does all-pairs work.",
+)
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(emb["vec_id"] < 10)
+    k = 5
+    exact = cosine_topk(queries, emb, k=k).select("query_id", "cand_id")
+    ann = lsh_bucket_topk(
+        queries, emb, dim=DIM, k=k, n_planes=4, n_tables=4
+    ).select("query_id", F.col("cand_id").alias("ann_cand_id"))
+    joined = exact.join(
+        ann,
+        (exact["query_id"] == ann["query_id"])
+        & (exact["cand_id"] == ann["ann_cand_id"]),
+        "left",
+    ).select(exact["query_id"], ann["ann_cand_id"])
+    return joined.groupBy("query_id").agg(
+        F.count("ann_cand_id").alias("n_hits"),
+        (F.count("ann_cand_id").cast("double") / float(k)).alias(
+            f"recall_at_{k}"
+        ),
+    )

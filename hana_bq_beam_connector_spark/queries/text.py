@@ -458,3 +458,189 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top.join(postings, "term")
+
+
+@register(
+    "text_vocab_mincount",
+    """
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    )
+    GROUP BY term HAVING COUNT(*) >= 10
+    """,
+    doc="Tokenizer-training vocabulary build: corpus term frequencies "
+    "+ document frequencies with a min-count cutoff — the first step "
+    "of every subword-tokenizer training run.  Explode + hash agg on "
+    "the term: partial aggregation collapses each partition to its "
+    "(bounded-vocabulary) distinct terms map-side, so the exchange "
+    "carries O(vocab x partitions) rows, not O(tokens) — at 100 TB "
+    "the token stream never shuffles.",
+)
+def text_vocab_mincount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = spread(d).select(
+        "doc_id",
+        explode_nonempty(F.split(F.lower("text"), r"\s+")).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_total") >= 10)
+    )
+
+
+@register(
+    "text_bpe_pair_merge",
+    """
+    SELECT pair, n, rank FROM (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS rank
+      FROM (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> substr(w, i, 2))) AS pair
+        FROM (
+          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM documents
+        ) WHERE length(w) >= 2
+      )
+      GROUP BY pair
+    ) WHERE rank <= 20
+    """,
+    doc="BPE training inner loop (one merge round): count adjacent "
+    "symbol-pair frequencies across every word occurrence in the "
+    "corpus; the top pair is the next merge.  The pair domain is "
+    "bounded by the symbol alphabet squared, so partial aggregation "
+    "collapses each partition to a tiny pair map before the single "
+    "exchange — corpus-size-independent shuffle, which is what makes "
+    "distributed BPE training rounds viable at 100 TB.  (substring "
+    "per position is O(len) on short words; symbols here are chars — "
+    "later rounds would operate on merged-symbol arrays.)",
+)
+def text_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = spread(d).select(
+        explode_nonempty(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        explode_nonempty(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        counted.select("pair", "n", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 20)
+    )
+
+
+_BM25_TERMS = ("spark", "vector", "window")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+
+
+def _bm25_score(tf_fn) -> str:
+    """Engine-shared BM25 spelling; ``tf_fn(term) -> SQL`` supplies the
+    engine's term-frequency expression.  Identical operation order on
+    both sides (every op is one correctly-rounded IEEE step), so the
+    doubles — and the ranking — hash-match."""
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    terms = []
+    for t in _BM25_TERMS:
+        tf = tf_fn(t)
+        idf = (
+            f"((CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        )
+        denom = (
+            f"({tf} + {_BM25_K1} * ((1.0 - {_BM25_B}) + {_BM25_B} * "
+            f"(CAST(dl AS DOUBLE) / {avgdl})))"
+        )
+        terms.append(f"({idf} * (({tf} * ({_BM25_K1} + 1.0)) / {denom}))")
+    return " + ".join(terms)
+
+
+def _bm25_df_aggs(contains_fn) -> str:
+    return ", ".join(
+        f"CAST(SUM(CASE WHEN {contains_fn(t)} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in _BM25_TERMS
+    )
+
+
+@register(
+    "search_bm25_topk",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    d2 AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM docs
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             {_bm25_df_aggs(lambda t: f"list_contains(toks, '{t}')")}
+      FROM d2
+    ),
+    scored AS (
+      SELECT doc_id,
+        {_bm25_score(lambda t: f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)")}
+          AS bm25
+      FROM d2, stats
+    )
+    SELECT doc_id, bm25, rank FROM (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+    doc="BM25 full-text retrieval: top-20 documents for a fixed "
+    "3-term query.  Corpus stats (N, total length, per-term df) "
+    "reduce to ONE row that broadcasts back over the corpus — the "
+    "scoring pass is a single scan with zero joins on the heavy "
+    "side; the final top-k is the only (tiny) ordered exchange.  The "
+    "idf uses the rational (N - df + 0.5)/(df + 0.5) form — the "
+    "classic log idf is a monotone transform per term but ln() is "
+    "libm-dependent, and cross-engine bit-equality of every score "
+    "matters more here than the textbook spelling.  All arithmetic "
+    "is IEEE ops in char-identical order on both engines.",
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    docs = spread(d).select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("toks", t), 1).otherwise(0)
+            ).cast("long").alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    score = _bm25_score(
+        lambda t: f"CAST(size(filter(toks, x -> x = '{t}')) AS DOUBLE)"
+    )
+    scored = docs.join(F.broadcast(stats)).select(
+        "doc_id", F.expr(score).alias("bm25")
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.select("doc_id", "bm25", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 20)
+    )

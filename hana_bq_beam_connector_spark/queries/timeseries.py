@@ -387,3 +387,120 @@ def ts_hourly_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "user_id", "hour_us", interp.alias("interp_value")
     )
+
+
+@register(
+    "ts_ewma_hourly",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS hour_us,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY event_type, hour_us
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+           list_reduce(list(v ORDER BY hour_us),
+                       (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+    FROM h GROUP BY event_type
+    """,
+    doc="Exponentially-weighted moving average (alpha = 0.5) of the "
+    "hourly value series per event type — the trend-smoothing "
+    "primitive of monitoring pipelines.  Two-stage: exact-decimal "
+    "hourly sums (one partial-aggregated shuffle of O(types x hours) "
+    "rows), then an ordered left fold over each type's own hourly "
+    "series.  alpha = 0.5 halves exactly in binary and the fold "
+    "order is pinned (sort_array / list ORDER BY), so both engines "
+    "run the identical chain of correctly-rounded IEEE ops — the "
+    "EWMA doubles hash-match bit-for-bit.  Per-type series fit "
+    "memory by construction (hours per type, not events).",
+)
+def ts_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select("event_type", "ts", "value")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.col("ts") - F.col("ts") % _HOUR_US).alias("hour_us"),
+    ).agg(sum_dec_as_double("value", "v"))
+    series = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sort_array(F.collect_list(F.struct("hour_us", "v"))).alias("s"),
+    )
+    # Left fold seeded with the first element — same chain as DuckDB's
+    # list_reduce (which folds from the head without an explicit init).
+    ewma = F.expr(
+        "aggregate(slice(transform(s, p -> p.v), 2, size(s) - 1), "
+        "element_at(transform(s, p -> p.v), 1), "
+        "(acc, x) -> 0.5 * x + 0.5 * acc)"
+    )
+    return series.select("event_type", "n_hours", ewma.alias("ewma"))
+
+
+# 2024-01-01 00:00:00 UTC is hour-aligned; hours-since-T0 keeps every
+# x small enough that all regression moments stay exact in BIGINT /
+# DECIMAL (rebasing matters: absolute hour numbers would overflow
+# n*Sxx past int64).
+_T0_HOURS = 1_704_067_200_000_000 // _HOUR_US
+
+
+@register(
+    "ts_linear_trend",
+    f"""
+    WITH pts AS (
+      SELECT event_type,
+             epoch_us(ts) // {_HOUR_US} - {_T0_HOURS} AS x,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             SUM(y) AS sy,
+             SUM(x * y) AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+      CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_hour,
+      (CAST(sy AS DOUBLE)
+         - (CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE) AS intercept
+    FROM m
+    """,
+    doc="Per-type least-squares trend of value over time (slope per "
+    "hour + intercept): all five regression moments accumulate in "
+    "exact integer/decimal arithmetic — x is hours since a fixed "
+    "aligned origin (rebased so n*Sxx fits int64), y goes through "
+    "DECIMAL(18,2) — so the only IEEE ops are the final two "
+    "divisions and one multiply-subtract, in identical order on "
+    "both engines.  One partial-aggregated shuffle of 5 moments per "
+    "type; the moments formulation is the map-side-combinable way "
+    "to regress — never collect the series.",
+)
+def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select("event_type", "ts", "value")
+    pts = ev.select(
+        "event_type",
+        (F.floor(F.col("ts") / _HOUR_US) - _T0_HOURS).alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        slope.alias("slope_per_hour"),
+        intercept.alias("intercept"),
+    )

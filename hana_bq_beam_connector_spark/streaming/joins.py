@@ -25,10 +25,20 @@ def purchase_click_interval_join(
     events: DataFrame,
     gap_minutes: int = 30,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Each purchase joined to every click by the same user within the
     preceding ``gap_minutes``.  Works on a static events DataFrame
-    (batch oracle) or a streaming one (state-store buffered)."""
+    (batch oracle) or a streaming one (state-store buffered).
+
+    ``how='left_outer'`` additionally emits click-less purchases with
+    NULL click columns.  In streaming, an outer row is held in state
+    until the watermark passes its purchase time (only then can Spark
+    prove no matching click will arrive); purchases younger than the
+    final watermark when the stream ends are never emitted — the
+    correct streaming semantics, pinned in
+    tests/test_streaming.py::test_stream_stream_left_outer_join.
+    """
     p = events.where(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
@@ -48,7 +58,7 @@ def purchase_click_interval_join(
         & (F.col("c_time") >= F.col("p_time") - F.expr(f"INTERVAL {gap_minutes} MINUTES"))
         & (F.col("c_time") <= F.col("p_time"))
     )
-    return p.join(c, cond).select(
+    return p.join(c, cond, how).select(
         F.col("p_user").alias("user_id"),
         "purchase_id",
         "click_id",

@@ -280,3 +280,55 @@ def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    from hana_bq_beam_connector_spark.plans.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c"), (4, None), (5, "e")], ["k", "v"]
+    )
+    got = {
+        (r["k"], r["change_type"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(old, new, key="k", compare=["v"]).collect()
+    }
+    assert got == {
+        (1, "removed", "a", None),
+        (3, "changed", None, "c"),   # NULL -> value counts as a change
+        (4, "changed", "d", None),   # value -> NULL too
+        (5, "added", None, "e"),
+    }  # k=2 unchanged: absent
+
+
+def test_apply_cdc_delete_beats_update_and_inserts_apply(spark):
+    from pyspark.sql import functions as F
+
+    from hana_bq_beam_connector_spark.plans.cdc import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, None, "D"),
+            (1, "z", "U"),   # same-key update loses to the delete
+            (2, "B", "U"),
+            (9, "i", "I"),
+        ],
+        ["k", "v", "op"],
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in apply_cdc(base, changes, key="k", op_col="op").collect()
+    }
+    assert got == {(2, "B"), (3, "c"), (9, "i")}
+
+    bad = changes.withColumn("extra", F.lit(1))
+    try:
+        apply_cdc(base, bad, key="k", op_col="op")
+        raise AssertionError("expected ValueError on extra columns")
+    except ValueError:
+        pass

@@ -29,6 +29,9 @@ _ALLOWED = {
     "subquery_above_avg_balance": "scalar aggregate broadcast as literal",
     "agg_having_share_of_total": "global-total scalar (1 row) broadcast",
     "agg_histogram_equiwidth": "global min/max bounds (1 row) broadcast",
+    "search_bm25_topk": "corpus stats (1 row: N/avgdl/df) broadcast",
+    "ts_session_concurrency": "two 1-row aggregates cross-joined",
+    "sim_ann_recall_report": "contains the exact-baseline bounded broadcast",
 }
 _SKIP_EXECUTING = {
     # these run a real streaming query inside fn(); plan checked in

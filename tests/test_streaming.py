@@ -608,3 +608,89 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == ev.count()  # nothing duplicated, nothing lost
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_stream_left_outer_join(spark, stream_dir, tmp_path):
+    """Left-outer stream-stream interval join: matched pairs equal the
+    batch inner join; click-less purchases emit NULL click columns
+    once the watermark provably passes them; no false NULLs ever."""
+    from hana_bq_beam_connector_spark.streaming.joins import (
+        purchase_click_interval_join,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        run_available_now,
+    )
+
+    # Two-file source so a second micro-batch applies the watermark
+    # advanced by the first: a far-future sentinel click (user -1,
+    # joins nothing) pushes the watermark past every real event.
+    src = tmp_path / "outer_src"
+    src.mkdir()
+    shutil.copy(f"{stream_dir}/events.parquet", src / "a_events.parquet")
+    static0 = spark.read.parquet(stream_dir)
+    max_us = static0.select(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    sentinel_us = max_us + 6 * 3_600_000_000
+    spark.createDataFrame(
+        [(10_000_000, sentinel_us, -1, "click", 0.0, "{}")],
+        "event_id long, ts_us long, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.parquet(str(src / "z_sentinel"))
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+    )
+    outer = purchase_click_interval_join(stream, how="left_outer")
+    run_available_now(
+        outer, "ss_outer_t", str(tmp_path / "ckpt_outer"), mode="append"
+    )
+    rows = spark.sql("SELECT * FROM ss_outer_t").collect()
+    got_pairs = {
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in rows
+        if r["click_id"] is not None
+    }
+    got_nulls = {
+        (r["user_id"], r["purchase_id"])
+        for r in rows
+        if r["click_id"] is None
+    }
+
+    static = static0.withColumn("event_time", F.col("ts").cast("timestamp"))
+    batch = purchase_click_interval_join(static, how="left_outer").collect()
+    want_pairs = {
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in batch
+        if r["click_id"] is not None
+    }
+    want_nulls_all = {
+        (r["user_id"], r["purchase_id"])
+        for r in batch
+        if r["click_id"] is None
+    }
+    # purchases provably evictable even without the sentinel's batch:
+    # older than (max event time - watermark delay - join gap - slack)
+    old_cut = max_us - 2 * 3_600_000_000 - 30 * 60_000_000
+    want_nulls_old = {
+        (r["user_id"], r["purchase_id"])
+        for r in batch
+        if r["click_id"] is None
+        and int(r["p_time"].timestamp() * 1_000_000) < old_cut
+    }
+
+    assert got_pairs == want_pairs
+    assert got_nulls <= want_nulls_all          # no false NULL rows
+    assert want_nulls_old <= got_nulls           # watermark-passed emit
+    assert len(got_nulls) > 0
+    assert not {p[:2] for p in got_pairs} & got_nulls
