@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="reference-parity lossy stringify (HanaDBRowToTableRowFn)",
     )
+    p.add_argument(
+        "--plan-backfill",
+        action="store_true",
+        help="don't copy: diff source vs sink day buckets on the "
+        "timestamp column and print the missing [start, end) ranges "
+        "(one per line, numeric domain) — each feeds a normal copy run",
+    )
     p.add_argument("--master", default=None)
     return p
 
@@ -94,6 +101,29 @@ def main(argv: list[str] | None = None) -> int:
         if args.source_parquet
         else None
     )
+    if args.plan_backfill:
+        from hana_bq_beam_connector_spark.plans.backfill import (
+            backfill_ranges,
+        )
+
+        if source is None:
+            raise SystemExit("--plan-backfill needs --source-parquet")
+        sink = None
+        if args.dest_path:
+            try:
+                sink = read_parquet(spark, args.dest_path)
+            except Exception:
+                sink = None  # empty/missing sink -> full backfill
+        ranges = backfill_ranges(
+            source, sink, config.timestamp_column
+        ).collect()
+        for r in ranges:
+            print(
+                f"backfill_range={r['range_start']},{r['range_end']}"
+                f" n_buckets={r['n_buckets']}"
+            )
+        print(f"backfill_ranges={len(ranges)}")
+        return 0
     if args.state:
         if args.cluster_by:
             raise SystemExit(

@@ -258,14 +258,15 @@ def ts_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e AS ts_us, -1 AS delta FROM sessions
     ),
     run AS (
-      SELECT SUM(delta) OVER (
+      SELECT delta, SUM(delta) OVER (
         ORDER BY ts_us, delta DESC
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
       ) AS conc
       FROM pts
     )
     SELECT CAST(MAX(conc) AS BIGINT) AS max_concurrent,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM sessions) AS n_sessions
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions
     FROM run
     """,
     doc="Peak session concurrency (sweep line over session intervals): "
@@ -278,7 +279,10 @@ def ts_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spelling is the semantic definition, the engine's is the plan "
     "that survives 10^9 sessions.  Phase-2's window orders O(days) "
     "rows; ties inside one (ts, delta) group are sum-order-invariant, "
-    "so the max is deterministic.",
+    "so the max is deterministic.  Both ±1 points explode from ONE "
+    "session pass (no self-union rescan) and n_sessions folds into "
+    "the same final aggregate as the peak (count of +1 points), so "
+    "the session frame is computed once and nothing cross-joins.",
 )
 def ts_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_us(spark, sf_dir).select("user_id", "ts", "event_id")
@@ -294,12 +298,25 @@ def ts_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     )
     pts = sessions.select(
-        F.col("s").alias("ts_us"), F.lit(1).alias("delta")
-    ).unionByName(
-        sessions.select(F.col("e").alias("ts_us"), F.lit(-1).alias("delta"))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("ts_us"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("e").alias("ts_us"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("p")
+    ).select("p.ts_us", "p.delta")
+    pts = pts.withColumn(
+        "day_us", F.col("ts_us") - F.col("ts_us") % _DAY_US
     )
-    day = (F.col("ts_us") - F.col("ts_us") % _DAY_US).alias("day_us")
-    pts = pts.withColumn("day_us", day)
+    # Both the in-day window and the day-totals branch read pts:
+    # persist + materialize so the session build runs once, not twice
+    # (same pattern as the dedup self-joins).
+    pts = pts.persist()
+    pts.count()
     w_in = Window.partitionBy("day_us").orderBy(
         F.col("ts_us"), F.col("delta").desc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -312,8 +329,11 @@ def ts_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offset", F.coalesce(F.sum("day_sum").over(w_off), F.lit(0))
     ).select("day_us", "offset")
     conc = within.join(offsets, "day_us").select(
-        (F.col("run_in_day") + F.col("offset")).alias("conc")
+        "delta", (F.col("run_in_day") + F.col("offset")).alias("conc")
     )
-    peak = conc.agg(F.max("conc").cast("long").alias("max_concurrent"))
-    n = sessions.agg(F.count(F.lit(1)).alias("n_sessions"))
-    return peak.crossJoin(n)
+    return conc.agg(
+        F.max("conc").cast("long").alias("max_concurrent"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sessions"),
+    )

@@ -226,3 +226,38 @@ def mm_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(
         queries, feats, id_col="media_id", vec_col="features", k=3
     )
+
+
+@register(
+    "mm_media_dedup_by_hash",
+    """
+    SELECT content_md5, n_copies, canonical_id FROM (
+      SELECT md5(text) AS content_md5,
+             CAST(COUNT(*) AS BIGINT) AS n_copies,
+             MIN(doc_id) AS canonical_id
+      FROM documents GROUP BY md5(text)
+    ) WHERE n_copies > 1
+    """,
+    doc="Exact media dedup by content address: group payloads on "
+    "their MD5, keep the min-id canonical copy per duplicate group — "
+    "byte-identical images/audio collapse before any expensive "
+    "perceptual pass.  The only exchange carries (16-byte digest, "
+    "id) pairs, never payload bytes: digests partial-aggregate "
+    "map-side, so a 100 TB media corpus shuffles ~tens of GB.  The "
+    "canonical-id rule matches the text dedup survivors, so media "
+    "and text pipelines pick the SAME representative.",
+)
+def mm_media_dedup_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(d)
+    return (
+        media.select(
+            F.md5(F.col("payload")).alias("content_md5"), "media_id"
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("canonical_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )

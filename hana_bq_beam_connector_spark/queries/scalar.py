@@ -367,3 +367,48 @@ def scalar_higher_order_funcs(
             "cast(0 as bigint), (acc, x) -> acc + x)"
         ).alias("rev_dot"),
     )
+
+
+@register(
+    "scalar_url_funcs",
+    """
+    SELECT doc_id,
+      regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+      regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+      regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+      CASE WHEN url LIKE 'https://%' THEN 'https' ELSE 'http' END
+        AS scheme
+    FROM (
+      SELECT doc_id,
+        'https://' || source || '.example.com/docs/'
+          || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      FROM documents
+    )
+    """,
+    doc="URL parsing (host/path/query-param/scheme) — the link-"
+    "normalization step of web-corpus curation.  Spelled with "
+    "regexp_extract in BOTH engines (Spark's parse_url exists but "
+    "has no DuckDB twin; the regex spelling is engine-portable and "
+    "equally codegen'd).  Pure projection: zero shuffles at any "
+    "scale.",
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^https?://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", r"[?&]lang=([^&]*)", 1).alias("lang_param"),
+        F.when(F.col("url").startswith("https://"), "https")
+        .otherwise("http")
+        .alias("scheme"),
+    )

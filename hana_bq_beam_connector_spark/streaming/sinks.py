@@ -105,3 +105,67 @@ def streaming_dedup_against_corpus(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_apply_cdc(
+    changes: DataFrame,
+    snapshot_dir: str,
+    key: str,
+    checkpoint: str,
+    op_col: str = "op",
+):
+    """Continuously fold a CDC change stream into a published keyed
+    snapshot — the streaming twin of ``plans/cdc.apply_cdc``.
+
+    Snapshot publishing uses the pointer/ping-pong recipe for sinks
+    without transactions: each micro-batch applies its changes to the
+    snapshot named by ``{snapshot_dir}/CURRENT``, writes the result to
+    an epoch-keyed directory (``v{batch_id}``), then atomically swaps
+    the pointer.  A replayed batch (failure between write and
+    checkpoint commit) rewrites its own epoch directory with identical
+    content and re-points — idempotent, so the published snapshot is
+    exactly-once.  Readers resolve CURRENT once and read an immutable
+    directory; a compaction job can delete epochs older than any
+    running reader.
+
+    At scale the per-batch cost is one co-partitioned anti-join +
+    union of the change batch against the snapshot (bounded by delta
+    size, see plans/cdc.py); with the snapshot bucketed on the key the
+    base side never shuffles.
+    """
+    import os
+
+    from hana_bq_beam_connector_spark.plans.cdc import apply_cdc
+
+    pointer = os.path.join(snapshot_dir, "CURRENT")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base_cols = [c for c in batch_df.columns if c != op_col]
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                base = spark.read.parquet(fh.read().strip())
+        else:
+            base = batch_df.select(*base_cols).limit(0)
+        out = apply_cdc(base, batch_df, key=key, op_col=op_col)
+        epoch_dir = os.path.join(snapshot_dir, f"v{batch_id}")
+        out.write.mode("overwrite").parquet(epoch_dir)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(epoch_dir)
+        os.replace(tmp, pointer)  # atomic pointer swap
+
+    return (
+        changes.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cdc_snapshot(spark, snapshot_dir: str) -> DataFrame:
+    """Resolve the published snapshot pointer and read it."""
+    import os
+
+    with open(os.path.join(snapshot_dir, "CURRENT")) as fh:
+        return spark.read.parquet(fh.read().strip())

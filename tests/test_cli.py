@@ -133,3 +133,80 @@ def test_sql_catalog_views(spark, sf_dir):
     )
     plan = composed._jdf.queryExecution().simpleString()
     assert "PushedFilters" in plan and "LessThan" in plan
+
+
+def test_cli_plan_backfill_finds_sink_gap(spark, tmp_path, capsys):
+    """Copy a window into the sink, then --plan-backfill must report
+    exactly the uncopied day ranges (before + after the window), and
+    re-running after a gap copy must shrink the plan."""
+    from pyspark.sql import functions as F
+
+    from hana_bq_beam_connector_spark.plans.backfill import (
+        DAY_US,
+        backfill_ranges,
+    )
+
+    dest = str(tmp_path / "sink")
+    # copy days [2024-01-05, 2024-01-15) only
+    t5, t15 = 1_704_412_800_000_000, 1_705_276_800_000_000
+    rc = main(
+        [
+            "--table-name", "events",
+            "--timestamp-column", "ts",
+            "--start-time", str(t5),
+            "--end-time", str(t15),
+            "--source-parquet", f"{SF}/events.parquet",
+            "--dest-path", dest,
+            "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(
+        [
+            "--table-name", "events",
+            "--timestamp-column", "ts",
+            "--start-time", "0",
+            "--source-parquet", f"{SF}/events.parquet",
+            "--dest-path", dest,
+            "--plan-backfill",
+            "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("backfill_range=")]
+    assert len(lines) == 2, out  # the days before t5, the days after t15
+    (lo1, hi1), (lo2, hi2) = (
+        tuple(map(int, l.split("=")[1].split(" ")[0].split(","))) for l in lines
+    )
+    assert hi1 == t5 and lo2 == t15
+    assert lo1 < t5 and hi2 > t15
+
+    # the planner is the same operator the registry query exercises
+    src = spark.read.parquet(f"{SF}/events.parquet")
+    snk = spark.read.parquet(dest)
+    got = backfill_ranges(src, snk, "ts").collect()
+    assert [(r["range_start"], r["range_end"]) for r in got] == [
+        (lo1, hi1),
+        (lo2, hi2),
+    ]
+    assert all(r["range_end"] - r["range_start"] >= DAY_US for r in got)
+
+
+def test_cli_plan_backfill_empty_sink_is_full_plan(spark, tmp_path, capsys):
+    rc = main(
+        [
+            "--table-name", "events",
+            "--timestamp-column", "ts",
+            "--start-time", "0",
+            "--source-parquet", f"{SF}/events.parquet",
+            "--dest-path", str(tmp_path / "never_written"),
+            "--plan-backfill",
+            "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "backfill_ranges=1" in out  # events days are contiguous

@@ -30,7 +30,6 @@ _ALLOWED = {
     "agg_having_share_of_total": "global-total scalar (1 row) broadcast",
     "agg_histogram_equiwidth": "global min/max bounds (1 row) broadcast",
     "search_bm25_topk": "corpus stats (1 row: N/avgdl/df) broadcast",
-    "ts_session_concurrency": "two 1-row aggregates cross-joined",
     "sim_ann_recall_report": "contains the exact-baseline bounded broadcast",
 }
 _SKIP_EXECUTING = {
@@ -143,3 +142,41 @@ def test_spread_is_noop_on_wide_input(spark, sf_dir):
     assert (
         spread(narrow).rdd.getNumPartitions() == sc.defaultParallelism
     )
+
+
+def test_fk_audit_broadcasts_every_dim(spark, sf_dir):
+    """agg_fk_integrity: all 7 edges must probe a broadcast dim-key
+    set — a shuffled join here would move the 100 TB fact side."""
+    plan = _executed(spark, sf_dir, "agg_fk_integrity")
+    # AQE's final-plan string reprints stage subtrees, so >= 7, not == 7
+    assert plan.count("BroadcastHashJoin") >= 7, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_vocab_and_pair_counts_partial_aggregate(spark, sf_dir):
+    """Vocabulary / BPE-pair counting must partial-aggregate map-side
+    (partial_count before the exchange) so the token/pair stream
+    never shuffles — the property that makes them corpus-scale."""
+    for name in ("text_vocab_mincount", "text_bpe_pair_merge"):
+        plan = _physical(spark, sf_dir, name)
+        pre_exchange = plan.split("Exchange", 1)[0]
+        assert "partial_count" in plan, name
+        assert "Exchange" in plan, name
+
+
+def test_bm25_scores_in_one_scan_no_joins(spark, sf_dir):
+    """search_bm25_topk: the corpus-side scoring pass must be a single
+    scan with the 1-row stats broadcast — no shuffled join, and only
+    the (tiny) final top-k exchange."""
+    plan = _executed(spark, sf_dir, "search_bm25_topk")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_rule_report_is_single_scan(spark, sf_dir):
+    """curation_rule_report: every rule must evaluate in ONE pass over
+    lineitem (one scan node), with the exchange carrying only the
+    single partial-agg row per partition."""
+    plan = _physical(spark, sf_dir, "curation_rule_report")
+    assert plan.count("FileScan parquet") == 1, plan

@@ -329,3 +329,92 @@ def test_budget_mixture_invariants(spark, rows, budget):
     assert len(kept) == sum(
         1 for g in by_key for r in by_key[g] if r["before"] < budget
     )
+
+
+_kv_frames = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),
+        st.one_of(st.none(), st.text(alphabet="abc", max_size=2)),
+    ),
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old_rows=_kv_frames, new_rows=_kv_frames)
+def test_diff_then_cdc_apply_roundtrips(spark, old_rows, new_rows):
+    """snapshot_diff(old, new) re-encoded as a CDC batch and applied to
+    ``old`` reproduces ``new`` exactly — the algebraic contract tying
+    the two table-maintenance operators together, for arbitrary keyed
+    frames including NULL payloads and empty sides."""
+    from hana_bq_beam_connector_spark.plans.cdc import apply_cdc
+    from hana_bq_beam_connector_spark.plans.diff import snapshot_diff
+
+    # last-wins dedup so each side is a valid keyed snapshot
+    old_map = dict(old_rows)
+    new_map = dict(new_rows)
+    schema = "k int, v string"
+    old = spark.createDataFrame(list(old_map.items()) or [], schema)
+    new = spark.createDataFrame(list(new_map.items()) or [], schema)
+
+    delta = snapshot_diff(old, new, key="k", compare=["v"]).collect()
+    changes_rows = []
+    for r in delta:
+        if r["change_type"] == "added":
+            changes_rows.append((r["k"], r["new_v"], "I"))
+        elif r["change_type"] == "removed":
+            changes_rows.append((r["k"], None, "D"))
+        else:
+            changes_rows.append((r["k"], r["new_v"], "U"))
+    changes = spark.createDataFrame(
+        changes_rows or [], "k int, v string, op string"
+    )
+    applied = {
+        (r["k"]): r["v"]
+        for r in apply_cdc(old, changes, key="k", op_col="op").collect()
+    }
+    assert applied == new_map
+
+
+_bucket_sets = st.sets(st.integers(min_value=0, max_value=60), max_size=40)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(src_days=_bucket_sets, sink_days=_bucket_sets)
+def test_backfill_ranges_cover_exactly_the_missing_buckets(
+    spark, src_days, sink_days
+):
+    """backfill_ranges invariants for arbitrary day sets: the emitted
+    [start, end) ranges are sorted, disjoint, non-adjacent (maximally
+    folded), and their union of buckets is exactly src - sink."""
+    from hana_bq_beam_connector_spark.plans.backfill import backfill_ranges
+
+    bucket = 10  # small numeric-domain bucket for the test
+    src = spark.createDataFrame(
+        [(d * bucket + 3,) for d in src_days] or [], "ts bigint"
+    )
+    sink = spark.createDataFrame(
+        [(d * bucket + 7,) for d in sink_days] or [], "ts bigint"
+    )
+    ranges = backfill_ranges(src, sink, "ts", bucket=bucket).collect()
+
+    missing = {d * bucket for d in src_days - sink_days}
+    covered = set()
+    prev_end = None
+    for r in ranges:
+        lo, hi, n = r["range_start"], r["range_end"], r["n_buckets"]
+        assert lo < hi and (hi - lo) % bucket == 0
+        assert n == (hi - lo) // bucket  # contiguous: every bucket missing
+        if prev_end is not None:
+            assert lo > prev_end  # sorted, disjoint, non-adjacent
+        prev_end = hi
+        covered |= set(range(lo, hi, bucket))
+    assert covered == missing

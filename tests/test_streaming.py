@@ -694,3 +694,50 @@ def test_stream_stream_left_outer_join(spark, stream_dir, tmp_path):
     assert want_nulls_old <= got_nulls           # watermark-passed emit
     assert len(got_nulls) > 0
     assert not {p[:2] for p in got_pairs} & got_nulls
+
+
+def test_stream_apply_cdc_publishes_exact_snapshot(spark, tmp_path):
+    """A CDC change stream folded micro-batch by micro-batch must
+    publish exactly the snapshot that one batch apply of all changes
+    produces (disjoint key sets per file, so file order is
+    irrelevant), surviving the initial empty-snapshot bootstrap."""
+    from hana_bq_beam_connector_spark.plans.cdc import apply_cdc
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        read_cdc_snapshot,
+        stream_apply_cdc,
+    )
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    schema = "k long, v string, op string"
+    batch1 = [(1, "a", "I"), (2, "b", "I"), (3, "c", "I")]
+    batch2 = [(2, "B", "U"), (3, None, "D"), (9, "i", "I")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    snap_dir = str(tmp_path / "snap")
+    q = stream_apply_cdc(
+        changes, snap_dir, key="k", checkpoint=str(tmp_path / "ckpt_cdc")
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["k"], r["v"])
+        for r in read_cdc_snapshot(spark, snap_dir).collect()
+    }
+    base0 = spark.createDataFrame([], "k long, v string")
+    want_df = apply_cdc(
+        apply_cdc(base0, spark.createDataFrame(batch1, schema), "k"),
+        spark.createDataFrame(batch2, schema),
+        "k",
+    )
+    want = {(r["k"], r["v"]) for r in want_df.collect()}
+    assert got == want == {(1, "a"), (2, "B"), (9, "i")}
