@@ -380,3 +380,38 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("bucket_max"),
         )
     )
+
+
+@register(
+    "subquery_lateral_topk",
+    """
+    SELECT n.n_name, top.c_name, top.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) top
+    """,
+    doc="Correlated LATERAL subquery (SQL:1999 lateral derived "
+    "table, Spark 4 + DuckDB): top-2 customers by balance per "
+    "nation, expressed as a per-row dependent subquery.  Catalyst "
+    "decorrelates this into the same window-rank-filter plan the "
+    "DataFrame top-k uses — the test that the engine's SQL surface "
+    "accepts the idiom, not just its DataFrame equivalent.  Ties "
+    "break on name so the emitted pair set is deterministic.",
+)
+def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lv")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lv"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, top.c_name, top.c_acctbal
+        FROM nation_lv n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer_lv c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) top
+        """
+    )

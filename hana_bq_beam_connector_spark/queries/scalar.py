@@ -412,3 +412,48 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("http")
         .alias("scheme"),
     )
+
+
+@register(
+    "scalar_variant_funcs",
+    """
+    SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+      CAST(json_extract_string(
+        '{"u": ' || CAST(user_id AS VARCHAR)
+          || ', "tags": ["' || event_type || '", "x"]}',
+        '$.u') AS BIGINT) AS u,
+      json_extract_string(
+        '{"u": ' || CAST(user_id AS VARCHAR)
+          || ', "tags": ["' || event_type || '", "x"]}',
+        '$.tags[0]') AS tag0
+    FROM events
+    """,
+    doc="Semi-structured VARIANT surface (Spark 4): props parsed once "
+    "with try_parse_json into a VARIANT, fields extracted typed via "
+    "variant_get — including a nested-array path on a constructed "
+    "document.  VARIANT stores a parsed binary form, so N extractions "
+    "cost one parse (get_json_object re-parses the string per call — "
+    "the difference between 1× and N× parse CPU over a 100 TB JSON "
+    "column).  The oracle reads the same paths with DuckDB's JSON "
+    "functions; outputs are plain typed columns, so the hash compare "
+    "is engine-neutral.",
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir)
+    doc = F.concat(
+        F.lit('{"u": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "tags": ["'),
+        F.col("event_type"),
+        F.lit('", "x"]}'),
+    )
+    obj = F.parse_json(doc)
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(try_parse_json(props), '$.k', 'long')").alias(
+            "k_long"
+        ),
+        F.variant_get(obj, "$.u", "long").alias("u"),
+        F.variant_get(obj, "$.tags[0]", "string").alias("tag0"),
+    )

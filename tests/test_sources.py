@@ -377,3 +377,29 @@ def test_json_corrupt_record_modes(spark, tmp_path):
         .json(p)
     )
     assert sorted(r["id"] for r in dropped.collect()) == [1, 2]
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Schema drift across parquet file generations: mergeSchema reads
+    the union schema, old files surface NULL for the new column —
+    row-wise degradation, never a failed job (the reference aborts on
+    any unknown column, HanaToBQ.java:129-132)."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    v2 = spark.createDataFrame(
+        [(3, "c", 30.0)], "id long, v string, score double"
+    )
+    v1.write.parquet(str(tmp_path / "t" / "gen=1"))
+    v2.write.parquet(str(tmp_path / "t" / "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "t")
+    )
+    assert set(merged.columns) >= {"id", "v", "score"}
+    rows = {
+        (r["id"], r["v"], r["score"])
+        for r in merged.select("id", "v", "score").collect()
+    }
+    assert rows == {(1, "a", None), (2, "b", None), (3, "c", 30.0)}
+    # and the new column is filterable with pushdown intact
+    assert merged.where(F.col("score") > 10).count() == 1
