@@ -337,3 +337,66 @@ def ts_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_sessions"),
     )
+
+
+@register(
+    "ts_click_to_purchase_latency",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, event_type, ts_us,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER (
+          PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+        ) AS next_purchase_us
+      FROM ev
+    ),
+    clicks AS (
+      SELECT user_id,
+             ts_us - ts_us % {_DAY_US} AS day_us,
+             next_purchase_us - ts_us AS latency_us
+      FROM flagged WHERE event_type = 'click'
+    )
+    SELECT day_us,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(COUNT(latency_us) AS BIGINT) AS n_converted,
+           CAST(SUM(latency_us) AS BIGINT) AS total_latency_us,
+           CAST(MAX(latency_us) AS BIGINT) AS max_latency_us
+    FROM clicks GROUP BY day_us
+    """,
+    doc="Click→purchase attribution latency: for every click, the "
+    "time to the SAME user's next purchase (strictly later; MIN over "
+    "the following frame of an ordered per-user window — the "
+    "nearest future purchase because time ascends), rolled up per "
+    "click-day: clicks, conversions, total/max latency — the "
+    "conversion-lag report attribution pipelines feed from.  One "
+    "hash exchange on user_id for the window, one tiny day rollup; "
+    "all-integer µs arithmetic, so the report is exact.",
+)
+def ts_click_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    clicks = (
+        ev.withColumn("next_purchase_us", nxt)
+        .where(F.col("event_type") == "click")
+        .select(
+            (F.col("ts") - F.col("ts") % _DAY_US).alias("day_us"),
+            (F.col("next_purchase_us") - F.col("ts")).alias("latency_us"),
+        )
+    )
+    return clicks.groupBy("day_us").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("latency_us").alias("n_converted"),
+        F.sum("latency_us").cast("long").alias("total_latency_us"),
+        F.max("latency_us").cast("long").alias("max_latency_us"),
+    )

@@ -547,3 +547,39 @@ def curation_rule_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("rule", "n_rows", "n_violations")
+
+
+@register(
+    "curation_quarantine_rows",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+      concat_ws(',',
+        {", ".join(f"CASE WHEN NOT ({cond}) THEN '{name}' END" for name, cond in _QUALITY_RULES)}
+      ) AS violated_rules
+    FROM lineitem
+    WHERE NOT ({" AND ".join(f"({cond})" for _, cond in _QUALITY_RULES)})
+    """,
+    doc="Row-level quality routing (the quarantine half of the rules "
+    "engine): rows violating any named rule are emitted with the "
+    "comma-joined list of violated rules (fixed rule order, so the "
+    "label string is deterministic); clean rows continue to the "
+    "sink.  One scan, zero shuffles — both the route predicate and "
+    "the label are codegen'd projections, so quarantining 100 TB "
+    "costs the scan you were already paying.  Pairs with "
+    "curation_rule_report (the aggregate view of the same rule "
+    "set).",
+)
+def curation_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    labels = [
+        F.when(~F.expr(cond), F.lit(name)) for name, cond in _QUALITY_RULES
+    ]
+    any_violation = None
+    for _, cond in _QUALITY_RULES:
+        v = ~F.expr(cond)
+        any_violation = v if any_violation is None else (any_violation | v)
+    return li.where(any_violation).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(",", *labels).alias("violated_rules"),
+    )

@@ -258,3 +258,66 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("l_extendedprice").cast("double").alias("weighted_median"))
     )
+
+
+@register(
+    "agg_pareto_cut_8020",
+    """
+    WITH rev AS (
+      SELECT l_returnflag, l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem GROUP BY l_returnflag, l_partkey
+    ),
+    ranked AS (
+      SELECT l_returnflag, r,
+        SUM(r) OVER (
+          PARTITION BY l_returnflag ORDER BY r DESC, l_partkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum,
+        SUM(r) OVER (PARTITION BY l_returnflag) AS tot
+      FROM rev
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_parts_total,
+           CAST(SUM(CASE WHEN 5 * (cum - r) < 4 * tot THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_parts_80pct,
+           CAST(SUM(r) AS DOUBLE) AS revenue_total
+    FROM ranked GROUP BY l_returnflag
+    """,
+    doc="Revenue concentration (the 80/20 cut): per return flag, how "
+    "many parts cover 80% of revenue — counted as rows whose "
+    "PRECEDING cumulative share is still under 80%, so the crossing "
+    "part is included.  The 5·cum < 4·tot compare is decimal-exact "
+    "(no 0.8 float threshold at the boundary).  Phase 1 reduces the "
+    "fact table to one row per (flag, part) before any window, so "
+    "the per-flag sort input is the part domain, not the table — "
+    "same two-phase discipline as the skyline.",
+)
+def agg_pareto_cut_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_returnflag", "l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    )
+    cum_w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("r").desc(), "l_partkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot_w = Window.partitionBy("l_returnflag")
+    ranked = rev.select(
+        "l_returnflag",
+        "r",
+        F.sum("r").over(cum_w).alias("cum"),
+        F.sum("r").over(tot_w).alias("tot"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_parts_total"),
+        F.sum(
+            F.when(
+                F.lit(5) * (F.col("cum") - F.col("r"))
+                < F.lit(4) * F.col("tot"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_parts_80pct"),
+        F.sum("r").cast("double").alias("revenue_total"),
+    )

@@ -741,3 +741,52 @@ def test_stream_apply_cdc_publishes_exact_snapshot(spark, tmp_path):
     )
     want = {(r["k"], r["v"]) for r in want_df.collect()}
     assert got == want == {(1, "a"), (2, "B"), (9, "i")}
+
+
+def test_stream_merge_aggregate_equals_batch_aggregate(
+    spark, stream_dir, tmp_path
+):
+    """The incrementally-maintained per-key (count, sum) snapshot must
+    equal the from-scratch batch aggregate exactly (decimal-exact
+    sums), across multiple micro-batches."""
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        read_cdc_snapshot,
+        stream_merge_aggregate,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import EVENTS_SCHEMA
+
+    # two source files -> two micro-batches, so the snapshot-merge
+    # path (not just the bootstrap) is exercised
+    src = tmp_path / "mv_src"
+    src.mkdir()
+    shutil.copy(f"{stream_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{stream_dir}/events.parquet", src / "b.parquet")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    snap = str(tmp_path / "agg_snap")
+    q = stream_merge_aggregate(
+        stream,
+        snap,
+        keys=["event_type"],
+        checkpoint=str(tmp_path / "ckpt_mv"),
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["event_type"], r["n"], str(r["total"]))
+        for r in read_cdc_snapshot(spark, snap).collect()
+    }
+    want = {
+        (r["event_type"], r["n"], str(r["total"]))
+        for r in spark.read.parquet(str(src))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
