@@ -321,3 +321,39 @@ def agg_pareto_cut_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_parts_80pct"),
         F.sum("r").cast("double").alias("revenue_total"),
     )
+
+
+@register(
+    "agg_gini_diversity",
+    """
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang,
+      CAST(SUM(n) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) AS BIGINT) AS n_sources,
+      CAST(SUM(n) * SUM(n) - SUM(n * n) AS DOUBLE)
+        / CAST(SUM(n) * SUM(n) AS DOUBLE) AS gini_diversity
+    FROM c GROUP BY lang
+    """,
+    doc="Source-diversity (Gini impurity) per language: 1 - Σp² "
+    "spelled as (N² - Σnᵢ²)/N² — the numerator and denominator stay "
+    "EXACT int64 (no per-source float shares, no libm entropy log), "
+    "so the single final division is bit-identical across engines.  "
+    "The corpus-mixing health metric: 0 = one source dominates, "
+    "→(k-1)/k = evenly mixed over k sources.  Two partial-aggregated "
+    "shuffles of O(lang × source) rows — corpus-size-independent.",
+)
+def agg_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("lang", "source")
+    c = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n")
+    sq = F.sum(F.col("n") * F.col("n"))
+    return c.groupBy("lang").agg(
+        tot.cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+        ((tot * tot - sq).cast("double") / (tot * tot).cast("double")).alias(
+            "gini_diversity"
+        ),
+    )

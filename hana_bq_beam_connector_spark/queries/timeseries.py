@@ -504,3 +504,53 @@ def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_per_hour"),
         intercept.alias("intercept"),
     )
+
+
+@register(
+    "ts_rolling_median_24h",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(ts) % {_HOUR_US} AS hour_us,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY event_type, hour_us
+    )
+    SELECT event_type, hour_us,
+      list_sort(list(v) OVER w)[
+        (len(list(v) OVER w) + 1) // 2
+      ] AS rolling_median
+    FROM h
+    WINDOW w AS (
+      PARTITION BY event_type ORDER BY hour_us
+      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="24-hour rolling median of the hourly value series per type — "
+    "the robust trend line monitoring wants when spikes poison a "
+    "rolling mean.  The frame's values collect, sort, and index to "
+    "the LOWER median (no even-count interpolation: element "
+    "selection involves zero arithmetic, so the doubles pass through "
+    "untouched and both engines agree bit-for-bit).  Frame size is "
+    "constant (24), so per-row cost is O(24 log 24) on an input "
+    "already reduced to hours-per-type — the window sort input is "
+    "O(hours), never O(events).",
+)
+def ts_rolling_median_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select("event_type", "ts", "value")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.col("ts") - F.col("ts") % _HOUR_US).alias("hour_us"),
+    ).agg(sum_dec_as_double("value", "v"))
+    w = Window.partitionBy("event_type").orderBy("hour_us").rowsBetween(
+        -23, Window.currentRow
+    )
+    frame = F.collect_list("v").over(w)
+    med = F.expr(
+        "element_at(array_sort(__frame), "
+        "cast((size(__frame) + 1) / 2 as int))"
+    )
+    return (
+        hourly.withColumn("__frame", frame)
+        .withColumn("rolling_median", med)
+        .select("event_type", "hour_us", "rolling_median")
+    )
