@@ -75,6 +75,16 @@ def build_parser() -> argparse.ArgumentParser:
         "timestamp column and print the missing [start, end) ranges "
         "(one per line, numeric domain) — each feeds a normal copy run",
     )
+    p.add_argument(
+        "--check-schema-drift",
+        action="store_true",
+        help="before appending to an existing sink, diff the source "
+        "schema against the sink's: added columns are reported and "
+        "allowed (mergeSchema-compatible widening); removed or "
+        "type-changed columns abort the run with the precise dotted "
+        "paths — instead of the reference's blanket unknown-type "
+        "abort (HanaToBQ.java:129-132)",
+    )
     p.add_argument("--master", default=None)
     return p
 
@@ -101,6 +111,28 @@ def main(argv: list[str] | None = None) -> int:
         if args.source_parquet
         else None
     )
+    if args.check_schema_drift and args.dest_path and source is not None:
+        from hana_bq_beam_connector_spark.plans.schema_drift import (
+            schema_drift,
+        )
+
+        try:
+            sink_schema = read_parquet(spark, args.dest_path).schema
+        except Exception:
+            sink_schema = None  # no sink yet -> nothing to drift against
+        if sink_schema is not None:
+            drift = schema_drift(sink_schema, source.schema)
+            for path, t in drift.added:
+                print(f"schema_drift_added={path}:{t}")
+            if not drift.is_compatible_widening:
+                for path, t in drift.removed:
+                    print(f"schema_drift_removed={path}:{t}")
+                for path, t_old, t_new in drift.changed:
+                    print(f"schema_drift_changed={path}:{t_old}->{t_new}")
+                raise SystemExit(
+                    "schema drift is not a pure widening; refusing to "
+                    "append (see schema_drift_* lines)"
+                )
     if args.plan_backfill:
         from hana_bq_beam_connector_spark.plans.backfill import (
             backfill_ranges,

@@ -255,3 +255,97 @@ def stream_merge_aggregate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup_self_extending(
+    doc_stream: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    base_path: str,
+    index_dir: str,
+    checkpoint: str,
+    k: int = 3,
+    threshold: float = 0.8,
+):
+    """Continuous self-deduplicating ingestion: each micro-batch is
+    probed against the corpus LSH index PLUS the bands of every
+    previously-accepted batch — so a document that duplicates an
+    earlier *accepted* arrival is rejected even though it never
+    entered the base corpus.  This closes the loop the plain
+    streaming probe leaves open (``streaming_dedup_against_corpus``
+    dedups only against the build-once corpus).
+
+    Index maintenance is idempotent the same way the data is: batch
+    N's accepted shingle sets and band rows land in
+    ``{index_dir}/{sh,bands}/batch=N`` with overwrite, so a replayed
+    batch rewrites its own contribution.  Per-batch cost stays
+    O(batch): the accumulated index is only ever *probed* via the
+    band equi-join (at scale: written bucketed by band_hash, so the
+    probe is a bucket-local join).  Intra-batch near-dups are not
+    resolved here — run the batch pair operator on ingest batches
+    where that matters.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        band_table,
+        corpus_dedup_index,
+        incremental_near_dup_filter,
+        minhash_signature,
+        shingle_hashes,
+    )
+
+    sh_cor, bands_cor = corpus_dedup_index(corpus_df, id_col, text_col, k)
+    sh_dir = os.path.join(index_dir, "sh")
+    bands_dir = os.path.join(index_dir, "bands")
+
+    def _read_accumulated(spark, path):
+        # batch_N subdir names (NOT key=value: partition inference
+        # would add a column and silently break the union) read via
+        # recursiveFileLookup; absent dir = no accepted batches yet.
+        if not os.path.isdir(path):
+            return None
+        return (
+            spark.read.option("recursiveFileLookup", "true").parquet(path)
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sh_idx, bands_idx = sh_cor, bands_cor
+        sh_acc = _read_accumulated(spark, sh_dir)
+        bands_acc = _read_accumulated(spark, bands_dir)
+        if sh_acc is not None and bands_acc is not None:
+            sh_idx = sh_idx.unionByName(sh_acc)
+            bands_idx = bands_idx.unionByName(bands_acc)
+        fresh = incremental_near_dup_filter(
+            batch_df,
+            corpus_df,
+            id_col,
+            text_col,
+            k,
+            threshold,
+            index=(sh_idx, bands_idx),
+        )
+        fresh.write.mode("overwrite").parquet(
+            f"{base_path}/batch={batch_id}"
+        )
+        accepted = spark.read.parquet(f"{base_path}/batch={batch_id}")
+        sh_new = shingle_hashes(
+            accepted.select(id_col, text_col), text_col, k
+        )
+        sh_new.write.mode("overwrite").parquet(
+            f"{sh_dir}/batch_{batch_id}"
+        )
+        band_table(minhash_signature(sh_new), id_col).write.mode(
+            "overwrite"
+        ).parquet(f"{bands_dir}/batch_{batch_id}")
+
+    return (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -210,3 +210,53 @@ def test_cli_plan_backfill_empty_sink_is_full_plan(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "backfill_ranges=1" in out  # events days are contiguous
+
+
+def test_cli_schema_drift_guard(spark, tmp_path, capsys):
+    """--check-schema-drift: a pure column ADD is reported and the
+    append proceeds; a type change aborts with the dotted path."""
+    from pyspark.sql import functions as F
+
+    dest = str(tmp_path / "sink")
+    base_args = [
+        "--table-name", "events",
+        "--timestamp-column", "ts",
+        "--start-time", "0",
+        "--dest-path", dest,
+        "--master", "local[4]",
+    ]
+    # bootstrap the sink with a narrow projection of events
+    narrow = str(tmp_path / "narrow.parquet")
+    spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "ts", "user_id"
+    ).write.parquet(narrow)
+    assert main(base_args + ["--source-parquet", narrow]) == 0
+    capsys.readouterr()
+
+    # source gains a column -> widening: reported, run proceeds
+    wide = str(tmp_path / "wide.parquet")
+    spark.read.parquet(narrow).withColumn(
+        "extra", F.lit(1).cast("long")
+    ).write.parquet(wide)
+    rc = main(
+        base_args + ["--source-parquet", wide, "--check-schema-drift"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "schema_drift_added=extra:bigint" in out
+    assert "rows_copied=" in out
+
+    # source changes a column's type -> abort with the path
+    retyped = str(tmp_path / "retyped.parquet")
+    spark.read.parquet(narrow).withColumn(
+        "user_id", F.col("user_id").cast("string")
+    ).write.parquet(retyped)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="not a pure widening"):
+        main(
+            base_args
+            + ["--source-parquet", retyped, "--check-schema-drift"]
+        )
+    out = capsys.readouterr().out
+    assert "schema_drift_changed=user_id:bigint->string" in out

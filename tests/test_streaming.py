@@ -790,3 +790,53 @@ def test_stream_merge_aggregate_equals_batch_aggregate(
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_self_extending_index(spark, sf_dir, tmp_path):
+    """A document duplicating an earlier ACCEPTED arrival (never in
+    the base corpus) must be rejected by the self-extending index;
+    distinct newcomers keep flowing through."""
+    import time as _time
+
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        streaming_dedup_self_extending,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    novel = "zebra quark lantern mosaic falcon tundra prism " * 4
+    other = "harbor nebula walrus cedar ember glacier orbit " * 4
+    schema = "doc_id long, text string"
+    src = tmp_path / "sd_src"
+    src.mkdir()
+    spark.createDataFrame([(100000, novel)], schema).coalesce(1)\
+        .write.parquet(str(src / "b1"))
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    spark.createDataFrame(
+        [(100001, novel), (100002, other)], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out_dir = str(tmp_path / "sd_out")
+    q = streaming_dedup_self_extending(
+        stream,
+        corpus,
+        "doc_id",
+        "text",
+        out_dir,
+        str(tmp_path / "sd_index"),
+        str(tmp_path / "sd_ckpt"),
+    )
+    q.awaitTermination()
+
+    accepted = {
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    }
+    # 100000 is novel -> accepted; 100001 duplicates the ACCEPTED
+    # 100000 (not the corpus) -> rejected; 100002 is distinct -> in
+    assert accepted == {100000, 100002}

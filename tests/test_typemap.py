@@ -85,3 +85,54 @@ def test_stringify_parity(spark):
     # values stringified; "null"/"NULL" strings dropped to NULL
     # (HanaDBRowToTableRowFn.java:31-35)
     assert out == {("1", "x"), ("2", None), (None, None)}
+
+
+def test_schema_drift_report():
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from hana_bq_beam_connector_spark.plans.schema_drift import schema_drift
+
+    old = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", StringType()),
+            StructField(
+                "meta",
+                StructType([StructField("w", LongType())]),
+            ),
+            StructField("xs", ArrayType(LongType())),
+        ]
+    )
+    new = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", DoubleType()),          # type change
+            StructField(
+                "meta",
+                StructType(
+                    [
+                        StructField("w", LongType()),
+                        StructField("h", LongType()),  # nested add
+                    ]
+                ),
+            ),
+            # xs removed; score added
+            StructField("score", DoubleType()),
+        ]
+    )
+    d = schema_drift(old, new)
+    assert d.added == (("meta.h", "bigint"), ("score", "double"))
+    assert d.removed == (("xs.element", "bigint"),)
+    assert d.changed == (("v", "string", "double"),)
+    assert not d.is_compatible_widening and not d.empty
+
+    add_only = schema_drift(old, StructType(old.fields + [StructField("z", LongType())]))
+    assert add_only.is_compatible_widening and add_only.added == (("z", "bigint"),)
+    assert schema_drift(old, old).empty
