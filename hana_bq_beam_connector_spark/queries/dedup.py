@@ -673,3 +673,31 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("is_canonical"),
     )
+
+
+@register(
+    "dedup_threshold_histogram",
+    f"""
+    WITH {_duck_minhash_ctes(0.0)}
+    SELECT CAST(LEAST(FLOOR(jaccard * 20), 19) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM verified GROUP BY bucket
+    """,
+    doc="Dedup threshold tuning: the Jaccard histogram of ALL LSH "
+    "candidate pairs (threshold 0, 0.05-wide buckets) — the artifact "
+    "that tells you where to set the near-dup cutoff before deleting "
+    "half a corpus.  Same linear candidate generation as the pair "
+    "query (never O(n²)); the bucket floor is evaluated on "
+    "bit-identical doubles, so the histogram matches exactly.  One "
+    "extra tiny shuffle over the pair query (bucket partial "
+    "aggregation).",
+)
+def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, id_col="doc_id", text_col="text", k=3, threshold=0.0
+    )
+    bucket = F.least(F.floor(F.col("jaccard") * 20), F.lit(19)).cast("long")
+    return pairs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -554,3 +554,33 @@ def ts_rolling_median_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rolling_median", med)
         .select("event_type", "hour_us", "rolling_median")
     )
+
+
+@register(
+    "ts_hour_of_day_profile",
+    f"""
+    SELECT event_type,
+      (epoch_us(ts) // {_HOUR_US}) % 24 AS hour_of_day,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        AS mean_value
+    FROM events
+    GROUP BY event_type, hour_of_day
+    """,
+    doc="Hour-of-day seasonality profile (UTC): per (type, hour 0-23) "
+    "event count and exact-decimal mean — the diurnal baseline that "
+    "anomaly detection subtracts before flagging.  One "
+    "partial-aggregated shuffle of at most types×24 groups; the mean "
+    "is one IEEE division of exact operands, so the profile "
+    "hash-matches.",
+)
+def ts_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select("event_type", "ts", "value")
+    hod = (F.floor(F.col("ts") / _HOUR_US) % 24).alias("hour_of_day")
+    return ev.groupBy("event_type", hod).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_value"),
+    )
