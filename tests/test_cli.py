@@ -260,3 +260,51 @@ def test_cli_schema_drift_guard(spark, tmp_path, capsys):
         )
     out = capsys.readouterr().out
     assert "schema_drift_changed=user_id:bigint->string" in out
+
+
+def test_cli_backfill_repair_loop_restores_full_sink(spark, tmp_path, capsys):
+    """The full gap-repair loop: copy a window, plan the backfill,
+    run one copy per reported range, re-plan — the sink must now
+    equal the source row-for-row and the new plan must be empty.
+    This is the operational loop --plan-backfill exists for."""
+    dest = str(tmp_path / "sink")
+    t5, t15 = 1_704_412_800_000_000, 1_705_276_800_000_000
+    common = [
+        "--table-name", "events",
+        "--timestamp-column", "ts",
+        "--source-parquet", f"{SF}/events.parquet",
+        "--dest-path", dest,
+        "--master", "local[4]",
+    ]
+    assert main(common + ["--start-time", str(t5), "--end-time", str(t15)]) == 0
+    capsys.readouterr()
+
+    def plan():
+        rc = main(common + ["--start-time", "0", "--plan-backfill"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        return [
+            tuple(map(int, l.split("=")[1].split(" ")[0].split(",")))
+            for l in out.splitlines()
+            if l.startswith("backfill_range=")
+        ]
+
+    ranges = plan()
+    assert len(ranges) == 2
+    for lo, hi in ranges:
+        assert main(
+            common + ["--start-time", str(lo), "--end-time", str(hi)]
+        ) == 0
+        capsys.readouterr()
+
+    # repaired: sink row-multiset equals the source, plan is empty
+    assert plan() == []
+    src_rows = spark.read.parquet(f"{SF}/events.parquet")
+    sink_rows = spark.read.parquet(dest)
+    assert sink_rows.count() == src_rows.count()
+    assert (
+        src_rows.select("event_id").exceptAll(
+            sink_rows.select("event_id")
+        ).count()
+        == 0
+    )
