@@ -26,6 +26,20 @@ def persist_reused(df: DataFrame) -> DataFrame:
     return out
 
 
+def plan_reset(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Truncate iterative-lineage to a leaf: reliable ``checkpoint``
+    when a dir is given (blocks live on the checkpoint FS, so a lost
+    executor cannot kill a multi-round job — required on a real
+    cluster), ``localCheckpoint`` otherwise (executor-local blocks;
+    correct and measurably cheaper on local[*])."""
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def explode_nonempty(col):
     """``explode`` for array columns the caller guarantees non-empty
     and non-null — spelled as ``explode_outer`` to dodge a Catalyst
@@ -56,7 +70,18 @@ def posexplode_nonempty(col):
     return F.posexplode_outer(col)
 
 
-def spread(df: DataFrame) -> DataFrame:
+# spread()'s partition probe (df.rdd.getNumPartitions) runs the full
+# analyze→optimize→physical-plan pipeline per call; dedup/similarity
+# pipelines call spread() on the SAME fresh table scans dozens of times
+# per session, so the count is memoized by the analyzed plan's
+# semanticHash.  Assumption (fine for a batch engine, documented): the
+# files behind a semantically-identical scan don't change partition
+# count mid-session.  Bounded so a pathological workload can't leak.
+_SPREAD_MEMO: dict[int, int] = {}
+_SPREAD_MEMO_MAX = 1024
+
+
+def spread(df: DataFrame, n_input_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition to full cluster parallelism before
     CPU-heavy per-row work (hashing, vector folds) — but ONLY when the
     input is actually narrow.
@@ -70,9 +95,27 @@ def spread(df: DataFrame) -> DataFrame:
     problem that no longer exists — so a frame already at (or past)
     cluster parallelism passes through untouched, keeping the dedup /
     similarity plans free of the round-robin Exchange (asserted in
-    tests/test_plan_audit.py)."""
+    tests/test_plan_audit.py).
+
+    ``n_input_partitions``: caller hint that skips the probe entirely
+    when the caller already knows the scan width.  Without it, the
+    probe result is memoized per analyzed plan (one physical-planning
+    pass per distinct plan per session instead of per call)."""
     sc = df.sparkSession.sparkContext
     parallelism = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
+    n = n_input_partitions
+    if n is None:
+        try:
+            key = df._jdf.queryExecution().analyzed().semanticHash()
+        except Exception:
+            key = None
+        n = _SPREAD_MEMO.get(key) if key is not None else None
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            if key is not None:
+                if len(_SPREAD_MEMO) >= _SPREAD_MEMO_MAX:
+                    _SPREAD_MEMO.clear()
+                _SPREAD_MEMO[key] = n
+    if n >= parallelism:
         return df
     return df.repartition(parallelism)

@@ -34,6 +34,9 @@ from hana_bq_beam_connector_spark.functions.hashing import (
 from hana_bq_beam_connector_spark.operators._common import (
     persist_reused as _persist,
 )
+from hana_bq_beam_connector_spark.operators._common import (
+    plan_reset as _plan_reset,
+)
 from hana_bq_beam_connector_spark.operators._common import spread
 
 SIMHASH_BITS = 32
@@ -363,6 +366,7 @@ def near_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair list: (node,
     cluster_id) where cluster_id = MIN node id in the component.
@@ -402,10 +406,10 @@ def near_dup_clusters(
     plan.  The rationed checkpoint resets the plan to a leaf, so plan
     size is bounded at 2^5 leaf copies while shallow graphs never pay
     checkpoint materialization (measured 5× cheaper per round than
-    checkpointing every round).  (At cluster scale, swap
-    ``localCheckpoint`` — executor-local blocks — for a reliable
-    ``checkpoint`` dir so a lost executor cannot kill a 10-round
-    job.)  The label frame is (id, id) pairs only — at
+    checkpointing every round).  Pass ``checkpoint_dir`` at cluster
+    scale to use a reliable ``checkpoint`` — executor-local
+    ``localCheckpoint`` blocks die with a lost executor, which would
+    kill a 10-round job.  The label frame is (id, id) pairs only — at
     10^9 nodes ≈ 16 GB cluster-wide, far below the raw corpus.  Only
     nodes with ≥1 edge appear (singletons are trivially their own
     cluster; leaving them out keeps the state proportional to the
@@ -484,7 +488,7 @@ def near_dup_clusters(
         # EVERY round costs ~5× on shallow graphs (uncoalesced
         # partition materialization), so it's rationed.
         if (it + 1) % 5 == 0:
-            new_labels = round_df.localCheckpoint()
+            new_labels = _plan_reset(round_df, checkpoint_dir)
             if prev_persisted is not None:
                 prev_persisted.unpersist()
                 prev_persisted = None
@@ -521,7 +525,7 @@ def near_dup_clusters(
     # EXECUTE through the per-round caches, pathological to reprint /
     # reoptimize downstream, and silently recomputed from scratch if
     # the caches are evicted).  Cheap: reads the final cached round.
-    out = labels.localCheckpoint()
+    out = _plan_reset(labels, checkpoint_dir)
     edges.unpersist()
     pinned.unpersist()
     if prev_persisted is not None:
@@ -585,6 +589,7 @@ def cc_star(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components via alternating LARGE-STAR / SMALL-STAR
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -676,7 +681,7 @@ def cc_star(
         # materialized for the checksum anyway, so checkpointing here
         # is the same job with a truncated plan.  (Cluster-scale:
         # reliable checkpoint dir, same as near_dup_clusters.)
-        new_edges = ss.localCheckpoint(eager=True)
+        new_edges = _plan_reset(ss, checkpoint_dir)
         new_sum = _checksum(new_edges)
         if new_sum == prev_sum:
             # cheap checksum matched — confirm exactly before stopping

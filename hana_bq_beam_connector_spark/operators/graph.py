@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 from hana_bq_beam_connector_spark.operators._common import (
     persist_reused as _persist,
 )
+from hana_bq_beam_connector_spark.operators._common import (
+    plan_reset as _plan_reset,
+)
 
 PR_UNIT = 1_000_000  # PageRank fixed-point scale (micro-units)
 
@@ -40,7 +43,10 @@ def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFram
 
 
 def pagerank_integer(
-    edges: DataFrame, iters: int = 3, damping_pct: int = 85
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact fixed-point PageRank over a symmetric edge list.
 
@@ -56,8 +62,9 @@ def pagerank_integer(
     Scale shape: degree table and ranks are (id, int) pairs; each
     iteration is one equi-join on src + one groupBy dst — two
     bounded-width shuffles per hop, text/payloads never enter.  Ranks
-    persist across iterations (reused by the next join); for long
-    chains swap in checkpointing as near_dup_clusters documents.
+    lineage grows linearly per hop; every 5th hop the plan is reset to
+    a leaf — ``checkpoint_dir`` picks reliable ``checkpoint`` (cluster,
+    survives executor loss) vs ``localCheckpoint`` (default, local[*]).
     Every node of a symmetric edge list has deg ≥ 1 — no dangling-
     mass term needed.
     """
@@ -67,7 +74,7 @@ def pagerank_integer(
         F.col("src").alias("node_id"), F.lit(PR_UNIT).cast("long").alias("pr")
     )
     base = (100 - damping_pct) * PR_UNIT // 100
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             e.join(pr, e["src"] == pr["node_id"])
             .join(deg, "src")
@@ -82,6 +89,8 @@ def pagerank_integer(
                 + F.expr(f"({damping_pct} * sum(c)) div 100")
             ).alias("pr")
         )
+        if (it + 1) % 5 == 0 and it + 1 < iters:
+            pr = _plan_reset(pr, checkpoint_dir)
     return pr
 
 

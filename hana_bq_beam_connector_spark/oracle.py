@@ -18,6 +18,7 @@ from decimal import Decimal
 
 import duckdb
 from pyspark.sql import SparkSession
+from pyspark.sql import types as T
 
 from hana_bq_beam_connector_spark.sources.files import TESTDATA_TABLES
 
@@ -31,6 +32,74 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
+
+
+def duck_type_for(dt: T.DataType) -> str:
+    """The DuckDB type an oracle column MUST declare for a Spark type.
+
+    The driver's hasher is type-sensitive (round 3: a DuckDB windowed-SUM
+    HUGEINT hash-mismatched Spark's BIGINT despite equal values), so the
+    local gate now requires exact type parity — an oracle that widens to
+    HUGEINT/INT128 or narrows to INTEGER is a query bug even when the
+    cell values collide.
+    """
+    if isinstance(dt, T.LongType):
+        return "BIGINT"
+    if isinstance(dt, T.IntegerType):
+        return "INTEGER"
+    if isinstance(dt, T.ShortType):
+        return "SMALLINT"
+    if isinstance(dt, T.ByteType):
+        return "TINYINT"
+    if isinstance(dt, T.DoubleType):
+        return "DOUBLE"
+    if isinstance(dt, T.FloatType):
+        return "FLOAT"
+    if isinstance(dt, T.StringType):
+        return "VARCHAR"
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, T.DateType):
+        return "DATE"
+    if isinstance(dt, T.TimestampNTZType):
+        return "TIMESTAMP"
+    if isinstance(dt, T.TimestampType):
+        return "TIMESTAMP WITH TIME ZONE"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.BinaryType):
+        return "BLOB"
+    if isinstance(dt, T.ArrayType):
+        return f"{duck_type_for(dt.elementType)}[]"
+    if isinstance(dt, T.MapType):
+        return (
+            f"MAP({duck_type_for(dt.keyType)}, "
+            f"{duck_type_for(dt.valueType)})"
+        )
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name} {duck_type_for(f.dataType)}" for f in dt.fields
+        )
+        return f"STRUCT({inner})"
+    raise TypeError(f"no DuckDB mapping for Spark type {dt!r}")
+
+
+def type_mismatches(
+    spark_schema: T.StructType, oracle_rel: "duckdb.DuckDBPyRelation"
+) -> list[str]:
+    """Element-wise (by sorted column name) Spark-vs-oracle type diffs."""
+    spark_types = {f.name: duck_type_for(f.dataType) for f in spark_schema}
+    oracle_types = {
+        c: str(t) for c, t in zip(oracle_rel.columns, oracle_rel.types)
+    }
+    out: list[str] = []
+    for col in sorted(set(spark_types) & set(oracle_types)):
+        if spark_types[col] != oracle_types[col]:
+            out.append(
+                f"type[{col}]: spark={spark_types[col]} "
+                f"oracle={oracle_types[col]}"
+            )
+    return out
 
 
 def _canon(value):
@@ -81,8 +150,9 @@ def compare_query(
         tuple(_canon(row[c]) for c in spark_cols) for row in sdf.collect()
     ]
 
-    rel = con.execute(oracle_sql)
-    oracle_cols_raw = [d[0] for d in rel.description]
+    rel = con.sql(oracle_sql)
+    oracle_cols_raw = list(rel.columns)
+    type_diffs = type_mismatches(sdf.schema, rel)
     oracle_sorted_idx = sorted(
         range(len(oracle_cols_raw)), key=lambda i: oracle_cols_raw[i]
     )
@@ -95,6 +165,7 @@ def compare_query(
     mismatches: list[str] = []
     if spark_cols != oracle_cols:
         mismatches.append(f"columns: spark={spark_cols} oracle={oracle_cols}")
+    mismatches.extend(type_diffs)
     if len(spark_rows) != len(oracle_rows):
         mismatches.append(
             f"rowcount: spark={len(spark_rows)} oracle={len(oracle_rows)}"

@@ -178,11 +178,12 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # One row per (flag, quartile): scalar columns only — the driver's
     # canonicalizer sorts every output column, which array cells break.
-    return agg.select(
+    out = agg.select(
         "l_returnflag",
         F.posexplode("price_quartiles").alias("quartile_idx", "price"),
         "n_items",
     )
+    return out.withColumn("quartile_idx", F.col("quartile_idx").cast("long"))
 
 
 @register(

@@ -64,7 +64,7 @@ _H6_US = 21_600_000_000
              ) AS session_no
       FROM flagged
     )
-    SELECT user_id, session_no,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
            MIN(ts_us) AS session_start_us,
            MAX(ts_us) AS session_end_us,
            MAX(ts_us) - MIN(ts_us) AS duration_us,
@@ -216,9 +216,9 @@ def ts_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h6_us",
         )
         .agg(
-            (
-                F.grouping("day_us") + F.lit(2) * F.grouping("h6_us")
-            ).alias("grain"),
+            (F.grouping("day_us") + F.lit(2) * F.grouping("h6_us"))
+            .cast("long")
+            .alias("grain"),
             F.count(F.lit(1)).alias("n"),
             sum_dec_as_double("value", "sum_value"),
         )

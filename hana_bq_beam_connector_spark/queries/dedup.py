@@ -288,7 +288,8 @@ def _duck_simhash_pairs_sql() -> str:
     return f"""
     WITH sh AS ({_duck_simhash_sql(extra_cols="lang,")})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming_dist
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+             AS hamming_dist
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
      AND a.doc_id % 10 = 0

@@ -219,4 +219,4 @@ def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = counted.orderBy(F.col("n_orders").desc(), "p1", "p2").limit(20)
     w = Window.orderBy(F.col("n_orders").desc(), "p1", "p2")
-    return top.select("p1", "p2", "n_orders", F.row_number().over(w).alias("rank"))
+    return top.select("p1", "p2", "n_orders", F.row_number().over(w).cast("long").alias("rank"))

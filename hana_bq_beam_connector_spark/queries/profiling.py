@@ -97,12 +97,15 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey",
         F.ntile(4)
         .over(Window.orderBy(F.col("last_order").desc(), "custkey"))
+        .cast("long")
         .alias("r_tile"),
         F.ntile(4)
         .over(Window.orderBy(F.col("frequency").desc(), "custkey"))
+        .cast("long")
         .alias("f_tile"),
         F.ntile(4)
         .over(Window.orderBy(F.col("monetary").desc(), "custkey"))
+        .cast("long")
         .alias("m_tile"),
     )
     return tiles.groupBy("r_tile", "f_tile", "m_tile").agg(

@@ -464,7 +464,7 @@ def agg_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
           CASE l_returnflag WHEN 'A' THEN 19459
                             WHEN 'N' THEN 19522
                             WHEN 'R' THEN 19522 END
-      END AS approx_parts,
+      END::BIGINT AS approx_parts,
       COUNT(*) AS n_items
     FROM lineitem GROUP BY l_returnflag
     """,

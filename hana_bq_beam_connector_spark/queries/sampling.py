@@ -107,7 +107,7 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang, n_tokens,
       CAST((cum_tokens - n_tokens) // 1024 AS BIGINT) AS pack_id,
-      cum_tokens
+      CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM c
     """,
     doc="Sequence packing for training (fixed 1024-token budget): "
@@ -198,7 +198,8 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
     m AS (SELECT lang, MIN(n) OVER () AS mn FROM counts)
-    SELECT r.lang, COUNT(*) AS n_sampled, SUM(r.doc_id) AS id_checksum
+    SELECT r.lang, COUNT(*) AS n_sampled,
+           CAST(SUM(r.doc_id) AS BIGINT) AS id_checksum
     FROM ranked r JOIN m ON r.lang = m.lang
     WHERE r.rk <= m.mn
     GROUP BY r.lang

@@ -113,7 +113,7 @@ def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) AS session_id
       FROM ordered
     )
-    SELECT user_id, session_id,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -537,7 +537,7 @@ def text_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy(F.col("n").desc(), "pair")
     return (
-        counted.select("pair", "n", F.row_number().over(w).alias("rank"))
+        counted.select("pair", "n", F.row_number().over(w).cast("long").alias("rank"))
         .where(F.col("rank") <= 20)
     )
 
@@ -641,6 +641,6 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("bm25").desc(), "doc_id")
     return (
-        scored.select("doc_id", "bm25", F.row_number().over(w).alias("rank"))
+        scored.select("doc_id", "bm25", F.row_number().over(w).cast("long").alias("rank"))
         .where(F.col("rank") <= 20)
     )

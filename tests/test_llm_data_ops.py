@@ -232,6 +232,28 @@ def test_near_dup_clusters_transitive(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_near_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the lineage resets to a reliable
+    ``checkpoint``: same answer as the localCheckpoint default, and
+    RDD checkpoint files actually land in the directory (a long chain
+    forces >5 rounds, so at least one in-loop reset fires)."""
+    from hana_bq_beam_connector_spark.operators.dedup import near_dup_clusters
+
+    chain = [(i, i + 1) for i in range(1, 40)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    ckpt = str(tmp_path / "cc_ckpt")
+    out = {
+        r["node"]: r["label"]
+        for r in near_dup_clusters(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert out == {i: 1 for i in range(1, 41)}
+    import glob
+
+    assert glob.glob(f"{ckpt}/**/rdd-*", recursive=True), (
+        "no reliable checkpoint files written under checkpoint_dir"
+    )
+
+
 _MM_GOLDEN_SF0001 = {
     "mm_decode_image_meta": (500, "5056914ad9800bb6e72540e088919bf1"),
     "mm_resize_shapes": (500, "a96fe30288549128a0db56500e7a038f"),

@@ -39,3 +39,35 @@ def test_rows_only_queries_run(spark, sf_dir, spec):
     df = spec.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+# DuckDB types Spark has no equivalent for: if an oracle binds to one of
+# these, the driver's type-sensitive hasher will mismatch even when values
+# agree (round-3 ts_sessionize_gap: windowed SUM widened to HUGEINT).
+# Pure-metadata sweep — binding only, no Spark and no query execution.
+_UNREPRESENTABLE = (
+    "HUGEINT",
+    "UHUGEINT",
+    "UBIGINT",
+    "UINTEGER",
+    "USMALLINT",
+    "UTINYINT",
+    "INTERVAL",
+    "TIME",
+    "BIT",
+    "UUID",
+)
+
+
+def test_no_oracle_binds_unrepresentable_types(con):
+    offenders: list[str] = []
+    for spec in _ORACLE_SPECS:
+        rel = con.sql(spec.oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            base = str(typ).split("(")[0].rstrip("[] ")
+            if base in _UNREPRESENTABLE:
+                offenders.append(f"{spec.name}.{col}: {typ}")
+    assert not offenders, (
+        "oracle columns with no Spark-representable type "
+        f"(cast them in the oracle SQL): {offenders}"
+    )
