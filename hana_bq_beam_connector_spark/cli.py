@@ -89,6 +89,31 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _read_sink_or_none(spark, path: str):
+    """Read an existing sink, returning None ONLY when the path does
+    not exist yet.  Every other failure (corrupt footer, permissions,
+    transient storage error) propagates: a bare except here would
+    silently disable the schema-drift guard and turn a flaky read into
+    a full-backfill plan."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return read_parquet(spark, path)
+    except AnalysisException as e:
+        cond = ""
+        for attr in ("getCondition", "getErrorClass"):
+            getter = getattr(e, attr, None)
+            if getter is not None:
+                try:
+                    cond = getter() or ""
+                    break
+                except Exception:
+                    pass
+        if "PATH_NOT_FOUND" in cond or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     config = PipelineConfig(
@@ -116,10 +141,8 @@ def main(argv: list[str] | None = None) -> int:
             schema_drift,
         )
 
-        try:
-            sink_schema = read_parquet(spark, args.dest_path).schema
-        except Exception:
-            sink_schema = None  # no sink yet -> nothing to drift against
+        sink_df = _read_sink_or_none(spark, args.dest_path)
+        sink_schema = sink_df.schema if sink_df is not None else None
         if sink_schema is not None:
             drift = schema_drift(sink_schema, source.schema)
             for path, t in drift.added:
@@ -142,10 +165,7 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("--plan-backfill needs --source-parquet")
         sink = None
         if args.dest_path:
-            try:
-                sink = read_parquet(spark, args.dest_path)
-            except Exception:
-                sink = None  # empty/missing sink -> full backfill
+            sink = _read_sink_or_none(spark, args.dest_path)
         ranges = backfill_ranges(
             source, sink, config.timestamp_column
         ).collect()

@@ -6,6 +6,10 @@ Semantics: for each key, a ``D`` row removes it, a ``U`` row replaces
 its payload, an ``I`` row adds a new key.  Deletes take precedence
 over updates on the same key within one batch (apply order
 D > U — the conventional compaction rule when a batch carries both).
+A batch may carry at most ONE surviving (U/I) row per key — otherwise
+the output would no longer be a valid keyed snapshot and the next
+apply's anti-join would misbehave; pass ``seq_col`` to resolve
+multi-row keys last-wins, or the default validation raises.
 
 Plan shape: the base anti-joins the touched-key set (one
 co-partitioned shuffle where only the *change batch's keys* move for
@@ -13,13 +17,15 @@ the broadcastable case — Spark broadcasts the small side of the anti
 join automatically under AQE), then unions the surviving change rows.
 No window, no global sort; with the base bucketed on the key the
 exchange on the 100 TB side disappears.  The change batch is O(delta),
-so at scale the whole apply is bounded by delta size, not table size.
+so at scale the whole apply is bounded by delta size, not table size
+(the uniqueness validation is likewise one count over the delta).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def apply_cdc(
@@ -27,15 +33,24 @@ def apply_cdc(
     changes: DataFrame,
     key: str,
     op_col: str = "op",
+    seq_col: str | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Apply a single CDC batch to ``base``.
 
     ``changes`` carries the base's columns plus ``op_col`` in
-    ('D', 'U', 'I').  Returns the post-apply snapshot with the base's
-    schema.
+    ('D', 'U', 'I') and optionally ``seq_col``.  Returns the
+    post-apply snapshot with the base's schema.
+
+    ``seq_col``: monotonic per-key sequence (log offset, LSN); when a
+    batch carries several U/I rows for one key, the highest sequence
+    wins (ties break by op then remaining columns, deterministically).
+    Without it, ``validate=True`` (default) raises on multi-row keys
+    instead of silently emitting a duplicate-key snapshot.
     """
     cols = base.columns
-    extra = [c for c in changes.columns if c not in (*cols, op_col)]
+    allowed = (*cols, op_col) + ((seq_col,) if seq_col else ())
+    extra = [c for c in changes.columns if c not in allowed]
     if extra:
         raise ValueError(f"unexpected change columns: {extra}")
     deletes = changes.where(F.col(op_col) == "D").select(key).distinct()
@@ -43,6 +58,32 @@ def apply_cdc(
     survivors = changes.where(F.col(op_col).isin("U", "I")).join(
         deletes, on=key, how="left_anti"
     )
+    if seq_col is not None:
+        w = Window.partitionBy(key).orderBy(
+            F.col(seq_col).desc(),
+            F.col(op_col),
+            *[F.col(c) for c in cols if c != key],
+        )
+        survivors = (
+            survivors.withColumn("_cdc_rn", F.row_number().over(w))
+            .where(F.col("_cdc_rn") == 1)
+            .drop("_cdc_rn")
+        )
+    elif validate:
+        dup = (
+            survivors.groupBy(key)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "apply_cdc: change batch carries multiple U/I rows for "
+                f"one {key!r} and no seq_col was given — the result "
+                "would not be a valid keyed snapshot.  Pass seq_col "
+                "for last-wins resolution or pre-dedupe the batch."
+            )
     touched = changes.select(key).distinct()
     kept = base.join(touched, on=key, how="left_anti")
     return kept.unionByName(survivors.select(*cols))

@@ -121,10 +121,12 @@ def stream_apply_cdc(
     without transactions: each micro-batch applies its changes to the
     snapshot named by ``{snapshot_dir}/CURRENT``, writes the result to
     an epoch-keyed directory (``v{batch_id}``), then atomically swaps
-    the pointer.  A replayed batch (failure between write and
-    checkpoint commit) rewrites its own epoch directory with identical
-    content and re-points — idempotent, so the published snapshot is
-    exactly-once.  Readers resolve CURRENT once and read an immutable
+    the pointer.  Replays are idempotent on BOTH sides of the swap: a
+    failure before it rewrites the (unreferenced) epoch directory with
+    identical content and re-points; a failure after it is detected at
+    batch start (pointer already names this batch's epoch) and the
+    apply is skipped — so the published snapshot is exactly-once.
+    Readers resolve CURRENT once and read an immutable
     directory; a compaction job can delete epochs older than any
     running reader.
 
@@ -142,13 +144,22 @@ def stream_apply_cdc(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         base_cols = [c for c in batch_df.columns if c != op_col]
+        epoch_dir = os.path.join(snapshot_dir, f"v{batch_id}")
         if os.path.exists(pointer):
             with open(pointer) as fh:
-                base = spark.read.parquet(fh.read().strip())
+                cur_path = fh.read().strip()
+            if cur_path == epoch_dir:
+                # Replay after the pointer swap (failure landed between
+                # os.replace and the checkpoint commit): this batch's
+                # epoch is already published.  Reading it as the base
+                # and overwriting the same path would raise "cannot
+                # overwrite a path that is also being read from" —
+                # skip, the published snapshot is already correct.
+                return
+            base = spark.read.parquet(cur_path)
         else:
             base = batch_df.select(*base_cols).limit(0)
         out = apply_cdc(base, batch_df, key=key, op_col=op_col)
-        epoch_dir = os.path.join(snapshot_dir, f"v{batch_id}")
         out.write.mode("overwrite").parquet(epoch_dir)
         tmp = pointer + ".tmp"
         with open(tmp, "w") as fh:
@@ -202,13 +213,20 @@ def stream_merge_aggregate(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        epoch_dir = os.path.join(snapshot_dir, f"v{batch_id}")
         part = batch_df.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(value_col).cast("decimal(18,2)")).alias("total"),
         )
         if os.path.exists(pointer):
             with open(pointer) as fh:
-                cur = spark.read.parquet(fh.read().strip())
+                cur_path = fh.read().strip()
+            if cur_path == epoch_dir:
+                # Already published by a pre-checkpoint-commit replay
+                # (see stream_apply_cdc): merging again would DOUBLE-
+                # COUNT this batch into the running aggregate.
+                return
+            cur = spark.read.parquet(cur_path)
             merged = (
                 cur.select(
                     *keys,
@@ -242,7 +260,6 @@ def stream_merge_aggregate(
             )
         else:
             merged = part
-        epoch_dir = os.path.join(snapshot_dir, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(epoch_dir)
         tmp = pointer + ".tmp"
         with open(tmp, "w") as fh:
@@ -302,21 +319,34 @@ def streaming_dedup_self_extending(
     sh_dir = os.path.join(index_dir, "sh")
     bands_dir = os.path.join(index_dir, "bands")
 
-    def _read_accumulated(spark, path):
+    def _read_accumulated(spark, path, exclude_batch_id):
         # batch_N subdir names (NOT key=value: partition inference
-        # would add a column and silently break the union) read via
-        # recursiveFileLookup; absent dir = no accepted batches yet.
+        # would add a column and silently break the union); absent
+        # dir = no accepted batches yet.  The CURRENT batch's own
+        # subdir is excluded: on micro-batch replay (failure after the
+        # index write but before the checkpoint commit) the replayed
+        # batch would otherwise probe against its OWN shingles/bands,
+        # self-match every document at Jaccard 1.0, and overwrite its
+        # accepted output with empty — silent loss.
         if not os.path.isdir(path):
             return None
-        return (
-            spark.read.option("recursiveFileLookup", "true").parquet(path)
-        )
+        own = f"batch_{exclude_batch_id}"
+        subdirs = [
+            os.path.join(path, d)
+            for d in sorted(os.listdir(path))
+            if d.startswith("batch_")
+            and d != own
+            and os.path.isdir(os.path.join(path, d))
+        ]
+        if not subdirs:
+            return None
+        return spark.read.parquet(*subdirs)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         sh_idx, bands_idx = sh_cor, bands_cor
-        sh_acc = _read_accumulated(spark, sh_dir)
-        bands_acc = _read_accumulated(spark, bands_dir)
+        sh_acc = _read_accumulated(spark, sh_dir, batch_id)
+        bands_acc = _read_accumulated(spark, bands_dir, batch_id)
         if sh_acc is not None and bands_acc is not None:
             sh_idx = sh_idx.unionByName(sh_acc)
             bands_idx = bands_idx.unionByName(bands_acc)

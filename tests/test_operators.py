@@ -332,3 +332,34 @@ def test_apply_cdc_delete_beats_update_and_inserts_apply(spark):
         raise AssertionError("expected ValueError on extra columns")
     except ValueError:
         pass
+
+
+def test_apply_cdc_multi_row_key_validates_or_resolves_by_seq(spark):
+    """A batch with two U rows for one key is not a valid keyed delta:
+    without a sequence column the apply raises (instead of silently
+    emitting a duplicate-key snapshot); with seq_col the highest
+    sequence wins."""
+    from hana_bq_beam_connector_spark.plans.cdc import apply_cdc
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [
+            (1, "first", "U", 10),
+            (1, "last", "U", 20),   # higher seq — must win
+            (3, "c", "I", 5),
+        ],
+        ["k", "v", "op", "seq"],
+    )
+    try:
+        apply_cdc(base, changes.drop("seq"), key="k", op_col="op")
+        raise AssertionError("expected ValueError on multi-row key")
+    except ValueError as e:
+        assert "seq_col" in str(e)
+
+    got = {
+        (r["k"], r["v"])
+        for r in apply_cdc(
+            base, changes, key="k", op_col="op", seq_col="seq"
+        ).collect()
+    }
+    assert got == {(1, "last"), (2, "b"), (3, "c")}

@@ -160,9 +160,14 @@ def test_vocab_and_pair_counts_partial_aggregate(spark, sf_dir):
     never shuffles — the property that makes them corpus-scale."""
     for name in ("text_vocab_mincount", "text_bpe_pair_merge"):
         plan = _physical(spark, sf_dir, name)
-        pre_exchange = plan.split("Exchange", 1)[0]
-        assert "partial_count" in plan, name
-        assert "Exchange" in plan, name
+        assert "Exchange hashpartitioning" in plan, name
+        # The plan string prints the tree top-down, so "below the
+        # deepest hash exchange" = AFTER its last occurrence in the
+        # text.  A partial_count there proves the map side combines
+        # before the shuffle; without it the raw token/pair stream
+        # would cross the exchange row-by-row.
+        below_deepest = plan.rsplit("Exchange hashpartitioning", 1)[1]
+        assert "partial_count" in below_deepest, name
 
 
 def test_bm25_scores_in_one_scan_no_joins(spark, sf_dir):

@@ -840,3 +840,170 @@ def test_streaming_dedup_self_extending_index(spark, sf_dir, tmp_path):
     # 100000 is novel -> accepted; 100001 duplicates the ACCEPTED
     # 100000 (not the corpus) -> rejected; 100002 is distinct -> in
     assert accepted == {100000, 100002}
+
+
+def _force_replay_of_last_batch(checkpoint: str) -> None:
+    """Simulate a crash between the sink's side effects and the
+    checkpoint commit: delete the newest commit marker, so a restarted
+    query re-runs that micro-batch (its offsets entry still exists)."""
+    commits = os.path.join(checkpoint, "commits")
+    latest = max(int(f) for f in os.listdir(commits) if f.isdigit())
+    os.remove(os.path.join(commits, str(latest)))
+    crc = os.path.join(commits, f".{latest}.crc")  # hadoop checksum twin
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_stream_apply_cdc_replay_after_pointer_swap(spark, tmp_path):
+    """Replay of a batch whose pointer swap already happened must be a
+    no-op, not a crash: before the fix the replayed batch read
+    CURRENT -> v{N} as its base and overwrote the same path, raising
+    'Cannot overwrite a path that is also being read from' and leaving
+    the query in a permanent crash loop."""
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        read_cdc_snapshot,
+        stream_apply_cdc,
+    )
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    schema = "k long, v string, op string"
+    spark.createDataFrame(
+        [(1, "a", "I"), (2, "b", "I")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(2, "B", "U"), (3, "c", "I")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    def _run():
+        changes = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = stream_apply_cdc(
+            changes, snap, key="k", checkpoint=ck
+        )
+        q.awaitTermination()
+
+    snap = str(tmp_path / "snap")
+    ck = str(tmp_path / "ckpt")
+    _run()
+    want = {(1, "a"), (2, "B"), (3, "c")}
+    got = {
+        (r["k"], r["v"]) for r in read_cdc_snapshot(spark, snap).collect()
+    }
+    assert got == want
+
+    _force_replay_of_last_batch(ck)
+    _run()  # must not raise, must not corrupt the published snapshot
+    got = {
+        (r["k"], r["v"]) for r in read_cdc_snapshot(spark, snap).collect()
+    }
+    assert got == want
+
+
+def test_stream_merge_aggregate_replay_no_double_count(
+    spark, stream_dir, tmp_path
+):
+    """Replay after the pointer swap must not merge the batch's
+    partials a second time — the maintained (count, sum) view still
+    equals the from-scratch batch aggregate."""
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        read_cdc_snapshot,
+        stream_merge_aggregate,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import EVENTS_SCHEMA
+
+    src = tmp_path / "mv_src"
+    src.mkdir()
+    shutil.copy(f"{stream_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{stream_dir}/events.parquet", src / "b.parquet")
+    snap = str(tmp_path / "agg_snap")
+    ck = str(tmp_path / "ckpt_mv")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = stream_merge_aggregate(
+            stream, snap, keys=["event_type"], checkpoint=ck
+        )
+        q.awaitTermination()
+
+    _run()
+    _force_replay_of_last_batch(ck)
+    _run()  # replayed batch detects its own epoch published and skips
+
+    got = {
+        (r["event_type"], r["n"], str(r["total"]))
+        for r in read_cdc_snapshot(spark, snap).collect()
+    }
+    want = {
+        (r["event_type"], r["n"], str(r["total"]))
+        for r in spark.read.parquet(str(src))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_self_extending_replay_keeps_accepted(
+    spark, sf_dir, tmp_path
+):
+    """Replay of a batch whose index contribution was already written
+    must NOT probe against its own shingles: before the fix every
+    replayed document self-matched at Jaccard 1.0, the batch output
+    was overwritten empty, and accepted documents silently vanished."""
+    import time as _time
+
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        streaming_dedup_self_extending,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    novel = "quasar bamboo trellis onyx meridian sable cobalt " * 4
+    other = "juniper basalt crescent fathom ledger sprocket " * 4
+    schema = "doc_id long, text string"
+    src = tmp_path / "sdr_src"
+    src.mkdir()
+    spark.createDataFrame([(200000, novel)], schema).coalesce(1)\
+        .write.parquet(str(src / "b1"))
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(200001, novel), (200002, other)], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    out_dir = str(tmp_path / "sdr_out")
+    idx_dir = str(tmp_path / "sdr_index")
+    ck = str(tmp_path / "sdr_ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = streaming_dedup_self_extending(
+            stream, corpus, "doc_id", "text", out_dir, idx_dir, ck
+        )
+        q.awaitTermination()
+
+    _run()
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    } == {200000, 200002}
+
+    _force_replay_of_last_batch(ck)
+    _run()  # batch 1 re-runs with its own index contribution excluded
+    assert {
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    } == {200000, 200002}
