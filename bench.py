@@ -64,6 +64,30 @@ HEADLINE = [
     "graph_copurchase_pairs",     # co-occurrence pair mining
     "etl_cdc_apply",              # tombstone CDC apply (anti-join + union)
     "ts_session_concurrency",     # sweep-line peak concurrency (2-phase)
+    # --- round-4 widening: representatives for every previously
+    # unbenched/thin query module, so a perf regression anywhere in the
+    # registry shows up in the cross-round record.  Existing names above
+    # stay untouched for r02/r03 comparability.
+    "join_market_share",          # TPC-H Q8-style 6-way market share
+    "join_profit_by_nation_year",  # TPC-H Q9-style profit rollup
+    "agg_key_skew_profile",       # key-skew diagnostics over lineitem
+    "udf_grouped_map_demean",     # Arrow grouped-map (applyInPandas)
+    "agg_grouping_sets",          # grouping-sets aggregate ladder
+    "agg_profile_columns",        # whole-table column profiler
+    "agg_rfm_segments",           # RFM behavioral segmentation
+    "sample_hash_stratified",     # deterministic hash-stratified sample
+    "pack_sequences_by_budget",   # token-budget sequence packing
+    "window_running_distinct",    # hardest window: running distinct
+    "window_moving_avg",          # rows-frame moving average
+    "setop_except_all",           # bag-semantics EXCEPT ALL
+    "scalar_higher_order_funcs",  # lambda transform/filter/aggregate
+    "etl_scd2_pit_join",          # SCD2 point-in-time temporal join
+    "etl_merge_upsert",           # keyed merge upsert
+    "join_salted_hot_key",        # salted skew-safe join
+    "join_asof_purchase_click",   # as-of temporal join
+    "ts_rolling_median_24h",      # range-frame rolling median
+    "agg_median_exact",           # exact median (no approx)
+    "mm_media_dedup_by_hash",     # multimodal content-hash dedup
 ]
 
 

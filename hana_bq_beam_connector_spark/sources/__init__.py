@@ -3,6 +3,7 @@ from hana_bq_beam_connector_spark.sources.files import (
     load_tables,
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
 )
 from hana_bq_beam_connector_spark.sources.jdbc import jdbc_scan
@@ -13,5 +14,6 @@ __all__ = [
     "load_tables",
     "read_csv",
     "read_json",
+    "read_orc",
     "read_parquet",
 ]

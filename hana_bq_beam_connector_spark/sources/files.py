@@ -48,6 +48,15 @@ def read_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar lakehouse format Spark ships a
+    native vectorized reader for.  Same pushdown story as parquet:
+    predicates and column pruning reach the ORC stripe reader
+    (``PushedFilters``/``ReadSchema``), so the engine treats the two
+    formats interchangeably."""
+    return spark.read.orc(path)
+
+
 def read_binary_files(
     spark: SparkSession, path: str, *, glob: str | None = None
 ) -> DataFrame:

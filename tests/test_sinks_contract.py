@@ -72,3 +72,42 @@ def test_bigquery_append_fails_with_actionable_error():
     cause = Exception("ClassNotFoundException: bigquery")
     with pytest.raises(RuntimeError, match="spark-bigquery-connector"):
         bigquery_append(_FakeDF({}, fail=cause), "ds", "t")
+
+
+def test_bigquery_append_executed_through_fake_datasource(spark, tmp_path):
+    """Upgrade from recorded-options to an *executed* write: a Python
+    DataSource registered under the name ``bigquery`` receives the real
+    writer chain (mode/options/target) through Spark's DSv2 write path,
+    stages partitions on executors, and commits a load-job-style move —
+    the same stage-then-load shape as the connector's indirect mode
+    (HanaToBQ.java:256-259).  Verifies WRITE_APPEND (two appends union,
+    nothing truncated) and CREATE_IF_NEEDED (table dir created)."""
+    from tests._fake_bq_datasource import (
+        FakeBigQueryDataSource,
+        read_fake_table,
+    )
+
+    spark.dataSource.register(FakeBigQueryDataSource)
+    bucket = str(tmp_path / "gcs")
+
+    df1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "id int, name string"
+    ).repartition(2)
+    bigquery_append(df1, "dest_ds", "events_copy", temp_bucket=bucket)
+    got = read_fake_table(bucket, "dest_ds", "events_copy")
+    assert sorted((r["id"], r["name"]) for r in got) == [
+        (1, "alpha"),
+        (2, "beta"),
+        (3, "gamma"),
+    ]
+
+    # Second append: WRITE_APPEND semantics — prior rows survive.
+    df2 = spark.createDataFrame([(4, "delta")], "id int, name string")
+    bigquery_append(df2, "dest_ds", "events_copy", temp_bucket=bucket)
+    got = read_fake_table(bucket, "dest_ds", "events_copy")
+    assert len(got) == 4 and {r["id"] for r in got} == {1, 2, 3, 4}
+
+    # Staging area is drained by the commit (the "load job" consumed it).
+    import os
+
+    assert os.listdir(os.path.join(bucket, "stage")) == []

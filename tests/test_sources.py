@@ -10,6 +10,7 @@ from hana_bq_beam_connector_spark.sources.files import (
     load_table,
     read_csv,
     read_json,
+    read_orc,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -113,7 +114,7 @@ def test_orc_round_trip(spark, tmp_path):
     nation = load_table(spark, SF, "nation")
     path = str(tmp_path / "nation_orc")
     nation.write.orc(path)
-    back = spark.read.orc(path)
+    back = read_orc(spark, path)
     assert back.columns == nation.columns
     assert _rows(back) == _rows(nation)
 
