@@ -88,6 +88,12 @@ HEADLINE = [
     "ts_rolling_median_24h",      # range-frame rolling median
     "agg_median_exact",           # exact median (no approx)
     "mm_media_dedup_by_hash",     # multimodal content-hash dedup
+    # round-4 additions: the new §2c groups
+    "privacy_generalization_ladder",  # one-pass rollup anonymity ladder
+    "er_entity_clusters",         # blocked fuzzy linkage + closure
+    "ts_position_attribution",    # U-shaped multi-touch attribution
+    "curation_model_score_by_source",  # classifier-score calibration
+    "dedup_lsh_recall_report",    # LSH banding recall audit
 ]
 
 

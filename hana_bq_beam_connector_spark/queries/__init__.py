@@ -93,9 +93,11 @@ def _load_all() -> None:
         behavior,
         curation,
         dedup,
+        entity,
         etl,
         graph,
         multimodal,
+        privacy,
         profiling,
         relational,
         sampling,

@@ -416,3 +416,42 @@ def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) top
         """
     )
+
+
+@register(
+    "agg_histogram_equidepth",
+    """
+    WITH b AS (
+      SELECT o_totalprice,
+             CAST(NTILE(16) OVER (ORDER BY o_totalprice, o_orderkey)
+                  AS BIGINT) AS bucket
+      FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(o_totalprice) AS lo_price,
+           MAX(o_totalprice) AS hi_price
+    FROM b GROUP BY bucket
+    """,
+    doc="Equi-DEPTH histogram (the optimizer-statistics twin of the "
+    "equi-width one): NTILE(16) over the price order assigns "
+    "near-equal row counts per bucket, then each bucket reports its "
+    "exact [lo, hi] value band.  Ties break on o_orderkey so bucket "
+    "assignment is deterministic.  min/max pass raw doubles through "
+    "untouched (no arithmetic), so the hashes match bit-for-bit.  "
+    "Scale note: a global NTILE is a single-partition sort — fine for "
+    "stats sampling, and the scale path (approx quantile boundaries "
+    "+ range join) is what plans/chunking.py already implements for "
+    "the copy pipeline.",
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = o.select(
+        "o_totalprice",
+        F.ntile(16).over(w).cast("bigint").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").alias("lo_price"),
+        F.max("o_totalprice").alias("hi_price"),
+    )

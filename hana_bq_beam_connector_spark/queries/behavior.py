@@ -400,3 +400,236 @@ def ts_click_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("latency_us").cast("long").alias("total_latency_us"),
         F.max("latency_us").cast("long").alias("max_latency_us"),
     )
+
+
+_COVER_US = 5 * _MIN_US  # each event covers [ts, ts + 5 min)
+
+
+@register(
+    "ts_interval_union_coverage",
+    f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+    ),
+    iv AS (
+      SELECT user_id, ts_us, ts_us + {_COVER_US} AS end_us, event_id
+      FROM ev
+    ),
+    flagged AS (
+      SELECT user_id, ts_us, end_us, event_id,
+             CASE WHEN MAX(end_us) OVER w IS NULL
+                       OR ts_us > MAX(end_us) OVER w
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    numbered AS (
+      SELECT user_id, ts_us, end_us,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island_id
+      FROM flagged
+    ),
+    islands AS (
+      SELECT user_id, island_id,
+             MAX(end_us) - MIN(ts_us) AS covered
+      FROM numbered GROUP BY user_id, island_id
+    )
+    SELECT user_id, COUNT(*) AS n_islands,
+           CAST(SUM(covered) AS BIGINT) AS covered_us
+    FROM islands GROUP BY user_id
+    """,
+    doc="Interval-union coverage (sweep line): each event covers a "
+    "5-minute interval; overlapping/adjacent intervals merge into "
+    "islands (new island when ts exceeds the running MAX of prior "
+    "interval ends), and each user reports island count + total "
+    "covered microseconds.  The running-max formulation is the "
+    "O(n log n) per-user sweep — never a self-join over interval "
+    "pairs, which is O(n^2) and the classic scale trap for overlap "
+    "queries.  One user_id exchange; islands reduce before the final "
+    "per-user rollup.",
+)
+def ts_interval_union_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = events_us(spark, sf_dir).select("user_id", "ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        "ts",
+        (F.col("ts") + _COVER_US).alias("end_us"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_end = F.max("end_us").over(w_prev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("ts") > prev_max_end), 1
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn(
+        "island_id", F.sum("new_island").over(w_run)
+    )
+    islands = numbered.groupBy("user_id", "island_id").agg(
+        (F.max("end_us") - F.min("ts")).alias("covered")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("covered").alias("covered_us"),
+    )
+
+
+@register(
+    "ts_event_transitions",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      FROM events
+    ),
+    seq AS (
+      SELECT event_type AS next_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+             ) AS prev_type
+      FROM ev
+    ),
+    cnt AS (
+      SELECT prev_type, next_type, COUNT(*) AS n_pairs
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n_pairs,
+           CAST(n_pairs AS DOUBLE)
+             / CAST(CAST(SUM(n_pairs) OVER (PARTITION BY prev_type)
+                         AS BIGINT) AS DOUBLE) AS prob
+    FROM cnt
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: LAG pairs each event with its predecessor, pair "
+    "counts aggregate exactly, and the transition probability is one "
+    "IEEE division of exact integers (count / row-sum via a window "
+    "over the 25-cell matrix).  The expensive part — sequencing — is "
+    "one user_id exchange; the matrix itself is alphabet^2 rows.",
+)
+def ts_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    cnt = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w_row = Window.partitionBy("prev_type")
+    return cnt.withColumn(
+        "prob",
+        F.col("n_pairs").cast("double")
+        / F.sum("n_pairs").over(w_row).cast("double"),
+    )
+
+
+@register(
+    "ts_position_attribution",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, ts_us, event_id, event_type,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS seg_id
+      FROM ev
+    ),
+    touch AS (
+      SELECT user_id, seg_id, event_type, ts_us, event_id
+      FROM seg WHERE seg_id >= 1 AND event_type <> 'purchase'
+    ),
+    pos AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, seg_id
+                                ORDER BY ts_us, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, seg_id) AS n_touch
+      FROM touch
+    ),
+    credit AS (
+      SELECT event_type,
+             CASE WHEN n_touch = 1 THEN 1000000
+                  WHEN n_touch = 2 THEN 500000
+                  WHEN rn = 1 OR rn = n_touch THEN 400000
+                  ELSE 200000 // (n_touch - 2) END AS credit_ppm
+      FROM pos
+    )
+    SELECT event_type, COUNT(*) AS n_touches,
+           CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm_total
+    FROM credit GROUP BY event_type
+    """,
+    doc="Position-based (U-shaped) multi-touch attribution: each "
+    "purchase closes a segment of preceding touches (segments keyed "
+    "by the count of purchases still to come — one descending-frame "
+    "window, no self-join); within a segment the first and last touch "
+    "earn 40% each and middles split the remaining 20%.  Credit is "
+    "integer parts-per-million (floor division, remainder dropped by "
+    "design) so the rollup is exact whatever the partial-agg order.  "
+    "Two windows over one user_id exchange + one alphabet-sized "
+    "rollup.",
+)
+def ts_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_follow = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    seg = ev.withColumn(
+        "seg_id",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w_follow),
+    )
+    touch = seg.where(
+        (F.col("seg_id") >= 1) & (F.col("event_type") != "purchase")
+    )
+    w_seg = Window.partitionBy("user_id", "seg_id").orderBy(
+        "ts", "event_id"
+    )
+    w_all = Window.partitionBy("user_id", "seg_id")
+    pos = touch.select(
+        "event_type",
+        F.row_number().over(w_seg).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_touch"),
+    )
+    credit = pos.withColumn(
+        "credit_ppm",
+        F.when(F.col("n_touch") == 1, F.lit(1000000))
+        .when(F.col("n_touch") == 2, F.lit(500000))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("n_touch")),
+            F.lit(400000),
+        )
+        .otherwise(F.expr("200000 div (n_touch - 2)")),
+    )
+    return credit.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("credit_ppm").cast("bigint").alias("credit_ppm_total"),
+    )

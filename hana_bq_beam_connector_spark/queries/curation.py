@@ -583,3 +583,104 @@ def curation_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.concat_ws(",", *labels).alias("violated_rules"),
     )
+
+
+# Deterministic stand-in for a learned quality classifier: an integer
+# linear model over exact lexical features (no floats, no exp — the
+# raw logit score is the output, so both engines agree bit-for-bit).
+# The Spark-side shape IS the model-inference-at-scale shape: a
+# codegen'd projection over one scan; swapping in a real model means
+# swapping the projection for an Arrow-batched pandas UDF, nothing
+# else moves.
+_W_UNIQ, _W_REP, _W_STOP, _SCORE_CUT = 100, 150, 500, 0
+
+_DUCK_MODEL_CTE = f"""f AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             len(list_filter(string_split(text, ' '),
+                             x -> x = 'the' OR x = 'a')) AS n_stop
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             {_W_UNIQ} * n_uniq - {_W_REP} * (n_words - n_uniq)
+               + {_W_STOP} * n_stop AS score
+      FROM f
+    )"""
+
+
+def _model_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("bigint")
+    n_uniq = F.size(F.array_distinct(words)).cast("bigint")
+    n_stop = F.size(
+        F.filter(words, lambda x: (x == "the") | (x == "a"))
+    ).cast("bigint")
+    score = (
+        F.lit(_W_UNIQ) * n_uniq
+        - F.lit(_W_REP) * (n_words - n_uniq)
+        + F.lit(_W_STOP) * n_stop
+    )
+    return d.select("doc_id", "source", score.alias("score"))
+
+
+@register(
+    "curation_model_score",
+    f"""
+    WITH {_DUCK_MODEL_CTE}
+    SELECT doc_id, score, score >= {_SCORE_CUT} AS accept
+    FROM scored
+    """,
+    doc="Per-document classifier scoring: an integer linear model over "
+    "exact lexical features (distinct tokens reward, repetition "
+    "penalty, stopword evidence) emits a logit-like score and an "
+    "accept decision.  The deterministic stand-in for running a "
+    "learned quality classifier over the corpus — same one-scan "
+    "codegen'd-projection plan; a real model would swap the "
+    "projection for an Arrow-batched pandas UDF stage.",
+)
+def curation_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _model_scored(spark, sf_dir)
+    return scored.select(
+        "doc_id",
+        "score",
+        (F.col("score") >= _SCORE_CUT).alias("accept"),
+    )
+
+
+@register(
+    "curation_model_score_by_source",
+    f"""
+    WITH {_DUCK_MODEL_CTE}
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN score >= {_SCORE_CUT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_accept,
+           CAST(CAST(SUM(CASE WHEN score >= {_SCORE_CUT} THEN 1 ELSE 0 END)
+                     AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS accept_share,
+           MIN(score) AS min_score,
+           MAX(score) AS max_score
+    FROM scored GROUP BY source
+    """,
+    doc="Classifier-score calibration report per source: document "
+    "counts, accept counts/share (one IEEE division of exact "
+    "integers), and the score envelope — the dashboard that catches "
+    "a source whose distribution drifted.  Same single scan as the "
+    "per-doc query, reduced map-side to one row per source.",
+)
+def curation_model_score_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = _model_scored(spark, sf_dir)
+    accept1 = F.when(F.col("score") >= _SCORE_CUT, 1).otherwise(0)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(accept1).alias("n_accept"),
+        (F.sum(accept1).cast("double") / F.count(F.lit(1)).cast("double")
+         ).alias("accept_share"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )

@@ -20,9 +20,11 @@ from hana_bq_beam_connector_spark.functions.hashing import (
 )
 from hana_bq_beam_connector_spark.operators.dedup import (
     hamming,
+    jaccard,
     keep_first_by_key,
     minhash_near_dup_pairs,
     near_dup_clusters,
+    shingle_hashes,
     simhash,
 )
 from hana_bq_beam_connector_spark.queries import register
@@ -701,4 +703,121 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.least(F.floor(F.col("jaccard") * 20), F.lit(19)).cast("long")
     return pairs.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@register(
+    "dedup_lsh_recall_report",
+    f"""
+    WITH {_duck_minhash_ctes()},
+    dl AS (SELECT doc_id, lang FROM documents),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM xs a
+      JOIN xs b ON a.doc_id < b.doc_id
+      JOIN dl la ON la.doc_id = a.doc_id
+      JOIN dl lb ON lb.doc_id = b.doc_id AND la.lang = lb.lang
+      WHERE a.doc_id % 10 = 0
+        AND CAST(len(list_intersect(a.hashes, b.hashes)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.hashes, b.hashes)))
+                 AS DOUBLE) >= 0.8
+    ),
+    lsh AS (
+      SELECT v.id_a, v.id_b
+      FROM verified v
+      JOIN dl la ON la.doc_id = v.id_a
+      JOIN dl lb ON lb.doc_id = v.id_b AND la.lang = lb.lang
+      WHERE v.id_a % 10 = 0
+    ),
+    merged AS (
+      SELECT CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth,
+             CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh
+      FROM truth t
+      FULL OUTER JOIN lsh l ON t.id_a = l.id_a AND t.id_b = l.id_b
+    )
+    SELECT CAST(SUM(in_truth) AS BIGINT) AS n_truth,
+           CAST(SUM(in_lsh) AS BIGINT) AS n_lsh,
+           CAST(SUM(in_truth * in_lsh) AS BIGINT) AS n_hit,
+           CASE WHEN SUM(in_truth) = 0 THEN NULL
+                ELSE CAST(CAST(SUM(in_truth * in_lsh) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(SUM(in_truth) AS BIGINT) AS DOUBLE)
+           END AS recall
+    FROM merged
+    """,
+    doc="MinHash-LSH recall audit (the dedup twin of "
+    "sim_ann_recall_report): ground truth is exact shingle-set "
+    "Jaccard >= 0.8 on a deterministic 10% left-sample blocked by "
+    "lang (brute force stays bounded: sample x same-lang block, "
+    "never all-pairs); candidates are the production LSH pipeline "
+    "restricted to the same universe.  Full-outer merge -> one-row "
+    "report (truth/candidate/hit counts + recall as one IEEE "
+    "division).  This measures exactly what banding loses — with "
+    "16 hashes / 4 bands, expected recall at j=0.8 is ~0.93; a "
+    "regression here means the banding parameters drifted.",
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hashed = shingle_hashes(
+        d.select("doc_id", "lang", "text"), "text", 3
+    ).select("doc_id", "lang", "shingle_hashes")
+
+    a = hashed.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("shingle_hashes").alias("sh_a"),
+    )
+    b = hashed.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("shingle_hashes").alias("sh_b"),
+    )
+    truth = (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .where(jaccard("sh_a", "sh_b") >= 0.8)
+        .select("id_a", "id_b")
+    )
+
+    dl = d.select("doc_id", "lang")
+    pairs = minhash_near_dup_pairs(
+        d, id_col="doc_id", text_col="text", k=3, threshold=0.8
+    )
+    lsh = (
+        pairs.where(F.col("id_a") % 10 == 0)
+        .join(
+            dl.select(
+                F.col("doc_id").alias("id_a"), F.col("lang").alias("la")
+            ),
+            "id_a",
+        )
+        .join(
+            dl.select(
+                F.col("doc_id").alias("id_b"), F.col("lang").alias("lb")
+            ),
+            "id_b",
+        )
+        .where(F.col("la") == F.col("lb"))
+        .select("id_a", "id_b")
+    )
+
+    merged = truth.withColumn("in_truth", F.lit(1)).join(
+        lsh.withColumn("in_lsh", F.lit(1)),
+        ["id_a", "id_b"],
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("in_truth"), F.lit(0)).alias("in_truth"),
+        F.coalesce(F.col("in_lsh"), F.lit(0)).alias("in_lsh"),
+    )
+    n_truth = F.sum("in_truth").cast("bigint")
+    n_hit = F.sum(F.col("in_truth") * F.col("in_lsh")).cast("bigint")
+    return merged.agg(
+        n_truth.alias("n_truth"),
+        F.sum("in_lsh").cast("bigint").alias("n_lsh"),
+        n_hit.alias("n_hit"),
+        F.when(n_truth == 0, F.lit(None).cast("double"))
+        .otherwise(n_hit.cast("double") / n_truth.cast("double"))
+        .alias("recall"),
     )
