@@ -94,6 +94,8 @@ HEADLINE = [
     "ts_position_attribution",    # U-shaped multi-touch attribution
     "curation_model_score_by_source",  # classifier-score calibration
     "dedup_lsh_recall_report",    # LSH banding recall audit
+    "etl_copy_reconciliation",    # per-chunk copy-validation fingerprints
+    "dedup_cluster_survivor_policy",  # quality-aware cluster survivors
 ]
 
 

@@ -455,3 +455,65 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo_price"),
         F.max("o_totalprice").alias("hi_price"),
     )
+
+
+@register(
+    "agg_percentiles_exact_nearest_rank",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           MIN(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p25,
+           MIN(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p50,
+           MIN(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p75,
+           MIN(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p95
+    FROM r GROUP BY o_orderpriority
+    """,
+    doc="Exact percentiles by the nearest-rank convention (value at "
+    "row ceil(p*n) — no interpolation, so the output is a real data "
+    "value passed through untouched and the hash matches "
+    "bit-for-bit).  One ranked window pass + one aggregate emits the "
+    "whole p25/p50/p75/p95 band per group; the ceil products are "
+    "single IEEE multiplies of identical operands in both engines.  "
+    "Complements agg_median_exact (interpolated) and "
+    "agg_approx_percentiles (sketched): convention-exact bands for "
+    "SLA-style reporting.",
+)
+def agg_percentiles_exact_nearest_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+
+    def at(p: float, alias: str):
+        idx = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        return F.min(
+            F.when(F.col("rn") == idx, F.col("o_totalprice"))
+        ).alias(alias)
+
+    return r.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        at(0.25, "p25"),
+        at(0.50, "p50"),
+        at(0.75, "p75"),
+        at(0.95, "p95"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hana_bq_beam_connector_spark.functions.hashing import (
     band_exprs,
@@ -821,3 +822,102 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(n_hit.cast("double") / n_truth.cast("double"))
         .alias("recall"),
     )
+
+
+@register(
+    "dedup_cluster_survivor_policy",
+    None,  # oracle attached below (needs the curation model CTE)
+    doc="Quality-aware survivorship: near-dup clusters keep the "
+    "HIGHEST-quality member (classifier score from "
+    "curation_model_score), not the arbitrary min-id — the policy "
+    "real corpus dedup ships, where the best-written duplicate "
+    "survives.  Composition of three existing stages (MinHash-LSH "
+    "pairs -> min-label clusters -> broadcast-scored window rank), "
+    "each already scale-audited; the survivor window partitions on "
+    "cluster_id over member-granularity rows.  Ties break on doc_id "
+    "so the choice is deterministic.",
+)
+def dedup_cluster_survivor_policy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hana_bq_beam_connector_spark.queries.curation import _model_scored
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, id_col="doc_id", text_col="text", k=3, threshold=0.8
+    )
+    labels = near_dup_clusters(pairs, id_a="id_a", id_b="id_b")
+    scored = _model_scored(spark, sf_dir).select("doc_id", "score")
+    members = labels.join(
+        scored, labels.node == scored.doc_id, "inner"
+    ).select(
+        F.col("label").alias("cluster_id"),
+        F.col("node").alias("member_id"),
+        "score",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("member_id").asc()
+    )
+    w_all = Window.partitionBy("cluster_id")
+    ranked = members.select(
+        "cluster_id",
+        "member_id",
+        "score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_members"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("member_id").alias("survivor_doc_id"),
+        F.col("score").alias("survivor_score"),
+        "n_members",
+    )
+
+
+def _attach_survivor_oracle() -> None:
+    """The survivor oracle splices the curation model CTE into the
+    MinHash recursive-CTE chain; attached post-definition to keep the
+    cross-module import out of module top-level."""
+    from hana_bq_beam_connector_spark.queries import _REGISTRY, QuerySpec
+    from hana_bq_beam_connector_spark.queries.curation import (
+        _DUCK_MODEL_CTE,
+    )
+
+    sql = f"""
+    WITH RECURSIVE {_duck_minhash_ctes()},
+    {_DUCK_MODEL_CTE},
+    e2 AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e2),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e2.dst, walk.label FROM walk JOIN e2 ON e2.src = walk.node
+    ),
+    members AS (
+      SELECT w.node AS member_id, MIN(w.label) AS cluster_id, s.score
+      FROM walk w JOIN scored s ON s.doc_id = w.node
+      GROUP BY w.node, s.score
+    ),
+    ranked AS (
+      SELECT cluster_id, member_id, score,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY score DESC, member_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM members
+    )
+    SELECT cluster_id, member_id AS survivor_doc_id,
+           score AS survivor_score,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """
+    spec = _REGISTRY["dedup_cluster_survivor_policy"]
+    _REGISTRY["dedup_cluster_survivor_policy"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=sql, doc=spec.doc
+    )
+
+
+_attach_survivor_oracle()

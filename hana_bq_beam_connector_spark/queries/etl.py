@@ -404,3 +404,43 @@ def etl_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("day_us") + day_us).alias("range_end_us"),
         F.count(F.lit(1)).alias("n_days"),
     ).drop("island")
+
+
+@register(
+    "etl_copy_reconciliation",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS chunk_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS chunk_month,
+           COUNT(*) AS n_rows,
+           BIT_XOR(o_orderkey) AS key_xor,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_sum
+    FROM orders
+    GROUP BY chunk_year, chunk_month
+    """,
+    doc="Copy-validation fingerprints, the missing half of the "
+    "reference's pipeline: after a chunked HANA->BigQuery copy "
+    "(HanaToBQ.java:247-259) nothing verifies the sink matches the "
+    "source.  This emits per-chunk (month) fingerprints — row count, "
+    "order-insensitive XOR and sum of the key, exact-decimal measure "
+    "sum — computed identically on either side of a copy; a full-outer "
+    "join of the two fingerprint tables pinpoints the exact chunks to "
+    "re-copy (feeding the backfill planner).  All aggregates are "
+    "partial-agg friendly (map-side combined) and order-insensitive "
+    "by construction, so the fingerprint is layout-independent: ONE "
+    "shuffle of ~per-month partials regardless of table size.",
+)
+def etl_copy_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("chunk_year"),
+        F.month("o_orderdate").cast("bigint").alias("chunk_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(o_orderkey)").alias("key_xor"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("price_sum"),
+    )
