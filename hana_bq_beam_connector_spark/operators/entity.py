@@ -1,0 +1,112 @@
+"""Entity-resolution operators (SURVEY §2c entity resolution [X]).
+
+The key structural fact of blocked record linkage: candidate edges
+exist only WITHIN a block, so connected components can never span
+blocks — transitive closure is a per-block-local problem, not a
+global-graph one.  When blocks are small (bounded by attribute
+vocabulary, not by row count), the right plan is ONE shuffle on the
+block key and an exact union-find inside each Arrow batch, instead of
+an O(log diameter)-round iterative join algorithm whose per-round job
+overhead dominates at any scale.
+
+The iterative operator (`operators/dedup.py near_dup_clusters`)
+remains the fallback for graphs whose edges DO cross grouping keys
+(MinHash bands, embedding buckets — a doc can land in many bands).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Exact edit distance — same definition as Spark's and DuckDB's
+    ``levenshtein`` (unit-cost insert/delete/substitute), so the
+    Python-side verify is bit-compatible with the SQL-side one."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[lb]
+
+
+def blocked_fuzzy_components(
+    nodes: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    name_col: str,
+    max_edit: int,
+) -> DataFrame:
+    """(node, label) components of the within-block fuzzy-match graph.
+
+    ``nodes`` must be one row per distinct (block, name) — typically
+    the output of a vocabulary contraction (groupBy block+name with
+    min-id as the node id).  Inside each block an exact union-find
+    links names at Levenshtein <= ``max_edit``; only nodes with at
+    least one edge are emitted (matching the iterative operator's
+    contract: singletons are trivially their own cluster and stay
+    out of the state).  Labels are the component-minimum node id.
+
+    Scale: one hash shuffle on the block key; per-block work is
+    O(b² · len²) with b bounded by the name VOCABULARY inside a block
+    — independent of row count.  A pathological block (b in the
+    millions) would need the iterative fallback; callers choose
+    blocking keys precisely so that doesn't happen.
+    """
+    out_schema = "node bigint, label bigint"
+
+    def resolve(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        ids = pdf[id_col].tolist()
+        names = pdf[name_col].tolist()
+        n = len(ids)
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        has_edge = [False] * n
+        for i in range(n):
+            for j in range(i + 1, n):
+                if _levenshtein(names[i], names[j]) <= max_edit:
+                    has_edge[i] = has_edge[j] = True
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[rj] = ri
+        if not any(has_edge):
+            return
+        roots: dict[int, int] = {}
+        for i in range(n):
+            if has_edge[i]:
+                r = find(i)
+                roots[r] = min(roots.get(r, ids[i]), ids[i])
+        yield pd.DataFrame(
+            {
+                "node": [ids[i] for i in range(n) if has_edge[i]],
+                "label": [roots[find(i)] for i in range(n) if has_edge[i]],
+            }
+        )
+
+    def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = list(resolve(pdf))
+        if not frames:
+            return pd.DataFrame({"node": [], "label": []}).astype("int64")
+        return frames[0]
+
+    return nodes.groupBy(*block_cols).applyInPandas(wrapped, out_schema)

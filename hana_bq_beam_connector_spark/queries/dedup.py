@@ -757,10 +757,23 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regression here means the banding parameters drifted.",
 )
 def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators._common import (
+        persist_reused,
+    )
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    hashed = shingle_hashes(
-        d.select("doc_id", "lang", "text"), "text", 3
-    ).select("doc_id", "lang", "shingle_hashes")
+    # ONE shingle pass feeds both the exact-truth brute force and the
+    # LSH pipeline (signatures + both verify sides) — without the
+    # shared persist the shingle stage executes twice.
+    hashed = persist_reused(
+        shingle_hashes(d.select("doc_id", "lang", "text"), "text", 3).select(
+            "doc_id", "lang", "shingle_hashes"
+        )
+    )
 
     a = hashed.where(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("id_a"),
@@ -783,8 +796,21 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     dl = d.select("doc_id", "lang")
-    pairs = minhash_near_dup_pairs(
-        d, id_col="doc_id", text_col="text", k=3, threshold=0.8
+    sig = minhash_signature(hashed)
+    cands = lsh_candidate_pairs(sig, "doc_id")
+    sets_a = hashed.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingle_hashes").alias("sh_a"),
+    )
+    sets_b = hashed.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingle_hashes").alias("sh_b"),
+    )
+    pairs = (
+        cands.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .where(jaccard("sh_a", "sh_b") >= 0.8)
+        .select("id_a", "id_b")
     )
     lsh = (
         pairs.where(F.col("id_a") % 10 == 0)
