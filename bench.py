@@ -96,6 +96,9 @@ HEADLINE = [
     "dedup_lsh_recall_report",    # LSH banding recall audit
     "etl_copy_reconciliation",    # per-chunk copy-validation fingerprints
     "dedup_cluster_survivor_policy",  # quality-aware cluster survivors
+    "ts_top_event_paths",         # 3-step sequence mining
+    "agg_benford_first_digit",    # money-column digit-law profile
+    "curation_epoch_plan",        # data-constrained epoch planner
 ]
 
 

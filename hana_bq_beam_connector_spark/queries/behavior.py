@@ -633,3 +633,63 @@ def ts_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_touches"),
         F.sum("credit_ppm").cast("bigint").alias("credit_ppm_total"),
     )
+
+
+@register(
+    "ts_top_event_paths",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      FROM events
+    ),
+    seq AS (
+      SELECT event_type AS step3,
+             LAG(event_type, 1) OVER w AS step2,
+             LAG(event_type, 2) OVER w AS step1
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    paths AS (
+      SELECT step1, step2, step3, COUNT(*) AS n_paths
+      FROM seq WHERE step1 IS NOT NULL
+      GROUP BY step1, step2, step3
+    ),
+    ranked AS (
+      SELECT step1, step2, step3, n_paths,
+             ROW_NUMBER() OVER (ORDER BY n_paths DESC,
+                                step1, step2, step3) AS rn
+      FROM paths
+    )
+    SELECT step1, step2, step3, n_paths
+    FROM ranked WHERE rn <= 10
+    """,
+    doc="Top event paths (3-step sequence mining): two LAGs over the "
+    "per-user order turn each event into the path ending at it, paths "
+    "aggregate exactly (alphabet^3-bounded matrix), and the global "
+    "top-10 ranks with full lexicographic tie-breaks so the cut is "
+    "deterministic.  The user_id window exchange is the only "
+    "row-volume shuffle; ranking happens on <=125 aggregate rows.",
+)
+def ts_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("step1"),
+        F.lag("event_type", 1).over(w).alias("step2"),
+        F.col("event_type").alias("step3"),
+    )
+    paths = (
+        seq.where(F.col("step1").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    w_rank = Window.orderBy(
+        F.col("n_paths").desc(), "step1", "step2", "step3"
+    )
+    return (
+        paths.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )

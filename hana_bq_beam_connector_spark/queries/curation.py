@@ -684,3 +684,79 @@ def curation_model_score_by_source(
         F.min("score").alias("min_score"),
         F.max("score").alias("max_score"),
     )
+
+
+# Epoch/repetition planner knobs: train on half the corpus-equivalent
+# character budget, split equally across sources, repeating any
+# undersized source at most _MAX_EPOCHS times (data-constrained
+# regime: repetition beyond a few epochs stops buying quality).
+_MAX_EPOCHS = 4
+
+
+@register(
+    "curation_epoch_plan",
+    f"""
+    WITH per_src AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars
+      FROM documents GROUP BY source
+    ),
+    totals AS (
+      SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             COUNT(DISTINCT source) AS n_sources
+      FROM documents
+    )
+    SELECT p.source, p.src_chars,
+           (t.total_chars // 2) // t.n_sources AS share_chars,
+           LEAST((((t.total_chars // 2) // t.n_sources)
+                  + p.src_chars - 1) // p.src_chars,
+                 {_MAX_EPOCHS}) AS epochs,
+           LEAST((t.total_chars // 2) // t.n_sources,
+                 p.src_chars * LEAST((((t.total_chars // 2)
+                                       // t.n_sources)
+                                      + p.src_chars - 1) // p.src_chars,
+                                     {_MAX_EPOCHS})) AS planned_chars,
+           ((t.total_chars // 2) // t.n_sources)
+             - LEAST((t.total_chars // 2) // t.n_sources,
+                     p.src_chars * LEAST((((t.total_chars // 2)
+                                           // t.n_sources)
+                                          + p.src_chars - 1)
+                                         // p.src_chars,
+                                         {_MAX_EPOCHS})) AS deficit_chars
+    FROM per_src p CROSS JOIN totals t
+    """,
+    doc="Epoch/repetition plan for a data-constrained training run: "
+    "each source gets an equal share of the half-corpus character "
+    "budget; undersized sources repeat (ceil of share/size, integer "
+    "arithmetic) capped at 4 epochs, and the unfillable remainder "
+    "surfaces as an explicit deficit instead of silent "
+    "under-delivery.  One aggregate per source + a 1-row totals "
+    "broadcast — the planning table is source-cardinality-sized at "
+    "any corpus scale.",
+)
+def curation_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("src_chars")
+    )
+    totals = d.agg(
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    j = per_src.crossJoin(F.broadcast(totals))
+    share = F.expr("(total_chars div 2) div n_sources")
+    epochs = F.least(
+        F.expr(
+            "(((total_chars div 2) div n_sources) + src_chars - 1) "
+            "div src_chars"
+        ),
+        F.lit(_MAX_EPOCHS).cast("bigint"),
+    )
+    planned = F.least(share, F.col("src_chars") * epochs)
+    return j.select(
+        "source",
+        "src_chars",
+        share.alias("share_chars"),
+        epochs.alias("epochs"),
+        planned.alias("planned_chars"),
+        (share - planned).alias("deficit_chars"),
+    )

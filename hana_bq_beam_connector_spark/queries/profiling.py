@@ -360,3 +360,43 @@ def agg_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_diversity"
         ),
     )
+
+
+@register(
+    "agg_benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                               * 100 AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT digit, COUNT(*) AS n_rows,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+    FROM d GROUP BY digit
+    """,
+    doc="Benford first-significant-digit profile of the money column — "
+    "the classic fabricated-data / unit-mixup smoke test: a natural "
+    "multi-magnitude amount column leans on small leading digits, a "
+    "capped or synthetic one goes flat.  The digit is extracted "
+    "through exact arithmetic (decimal cents -> bigint -> string "
+    "head), never log10 or double formatting, so both engines agree "
+    "bit-for-bit; shares are one IEEE division over the 9-row "
+    "aggregate.",
+)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    cents = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .cast("string")
+    )
+    d = o.select(F.substring(cents, 1, 1).cast("bigint").alias("digit"))
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy()
+    return counts.withColumn(
+        "share",
+        F.col("n_rows").cast("double")
+        / F.sum("n_rows").over(w).cast("double"),
+    )

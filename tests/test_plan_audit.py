@@ -31,6 +31,7 @@ _ALLOWED = {
     "agg_histogram_equiwidth": "global min/max bounds (1 row) broadcast",
     "search_bm25_topk": "corpus stats (1 row: N/avgdl/df) broadcast",
     "sim_ann_recall_report": "contains the exact-baseline bounded broadcast",
+    "curation_epoch_plan": "corpus totals (1 row) broadcast to the plan",
 }
 _SKIP_EXECUTING = {
     # these run a real streaming query inside fn(); plan checked in
