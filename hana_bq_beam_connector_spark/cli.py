@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import argparse
 
+from pyspark.sql import functions as F
+
 from hana_bq_beam_connector_spark.config import (
     DEFAULT_CHUNK_SIZE,
     DEFAULT_JDBC_DRIVER,
@@ -74,6 +76,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="don't copy: diff source vs sink day buckets on the "
         "timestamp column and print the missing [start, end) ranges "
         "(one per line, numeric domain) — each feeds a normal copy run",
+    )
+    p.add_argument(
+        "--reconcile",
+        action="store_true",
+        help="don't copy: fingerprint source and sink per day bucket "
+        "(row count + order-insensitive key XOR/sum) and print every "
+        "bucket that is missing, extra, or corrupted — equal counts "
+        "with different fingerprints catch substituted rows.  Each "
+        "reported bucket is a [start, end) window re-runnable through "
+        "a normal copy run.  Needs --key-column.",
+    )
+    p.add_argument(
+        "--key-column",
+        help="integral key column for --reconcile fingerprints",
     )
     p.add_argument(
         "--check-schema-drift",
@@ -156,6 +172,40 @@ def main(argv: list[str] | None = None) -> int:
                     "schema drift is not a pure widening; refusing to "
                     "append (see schema_drift_* lines)"
                 )
+    if args.reconcile:
+        from hana_bq_beam_connector_spark.plans.reconcile import (
+            reconcile_chunks,
+        )
+
+        if source is None or not args.dest_path:
+            raise SystemExit(
+                "--reconcile needs --source-parquet and --dest-path"
+            )
+        if not args.key_column:
+            raise SystemExit("--reconcile needs --key-column")
+        sink = _read_sink_or_none(spark, args.dest_path)
+        if sink is None:
+            raise SystemExit(
+                f"--reconcile: sink {args.dest_path} does not exist "
+                "(run --plan-backfill for a full-copy plan instead)"
+            )
+        verdicts = (
+            reconcile_chunks(
+                source, sink, config.timestamp_column, args.key_column
+            )
+            .where(F.col("status") != "ok")
+            .orderBy("bucket_lo")
+            .collect()
+        )
+        for r in verdicts:
+            print(
+                f"reconcile_chunk={r['bucket_lo']}"
+                f" status={r['status']}"
+                f" src_rows={r['src_rows']}"
+                f" sink_rows={r['sink_rows']}"
+            )
+        print(f"reconcile_mismatches={len(verdicts)}")
+        return 0
     if args.plan_backfill:
         from hana_bq_beam_connector_spark.plans.backfill import (
             backfill_ranges,

@@ -308,3 +308,73 @@ def test_cli_backfill_repair_loop_restores_full_sink(spark, tmp_path, capsys):
         ).count()
         == 0
     )
+
+
+def test_cli_reconcile_finds_missing_and_corrupted_chunks(
+    spark, tmp_path, capsys
+):
+    """Build a sink that is the source minus one day plus one
+    corrupted day (same row count, different keys) — --reconcile must
+    report exactly those two buckets with the right statuses, and the
+    clean remainder as ok."""
+    from pyspark.sql import functions as F
+
+    from hana_bq_beam_connector_spark.colutil import resolve_column
+    from hana_bq_beam_connector_spark.plans.reconcile import (
+        DAY_US,
+        reconcile_chunks,
+    )
+    from hana_bq_beam_connector_spark.tsdomain import ts_numeric
+
+    src_path = f"{SF}/events.parquet"
+    source = spark.read.parquet(src_path)
+    name, dtype = resolve_column(source, "ts")
+    day = ts_numeric(name, dtype) - ts_numeric(name, dtype) % DAY_US
+    days = [
+        r["d"]
+        for r in source.select(day.alias("d")).distinct().orderBy("d").collect()
+    ]
+    assert len(days) >= 3
+    d_missing, d_corrupt = days[0], days[1]
+
+    tagged = source.withColumn("__day", day)
+    kept = tagged.where(
+        (F.col("__day") != d_missing) & (F.col("__day") != d_corrupt)
+    )
+    corrupted = tagged.where(F.col("__day") == d_corrupt).withColumn(
+        "event_id", F.col("event_id") + 1_000_000
+    )
+    dest = str(tmp_path / "sink")
+    kept.unionByName(corrupted).drop("__day").write.parquet(dest)
+
+    rc = main(
+        [
+            "--table-name", "events",
+            "--timestamp-column", "ts",
+            "--start-time", "0",
+            "--source-parquet", src_path,
+            "--dest-path", dest,
+            "--reconcile",
+            "--key-column", "event_id",
+            "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("reconcile_chunk=")]
+    assert f"reconcile_mismatches={len(lines)}" in out
+    got = {}
+    for l in lines:
+        fields = dict(kv.split("=") for kv in l.split(" "))
+        got[int(fields["reconcile_chunk"])] = fields["status"]
+    assert got == {d_missing: "missing_in_sink", d_corrupt: "mismatch"}
+
+    # Operator-level: every other bucket is ok, and equal row counts
+    # alone would NOT have caught the corruption.
+    verdicts = reconcile_chunks(
+        source, spark.read.parquet(dest), "ts", "event_id"
+    )
+    n_ok = verdicts.where("status = 'ok'").count()
+    assert n_ok == len(days) - 2
+    row = verdicts.where(F.col("bucket_lo") == d_corrupt).collect()[0]
+    assert row["src_rows"] == row["sink_rows"]
