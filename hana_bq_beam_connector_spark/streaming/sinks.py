@@ -379,3 +379,95 @@ def streaming_dedup_self_extending(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_maintain_fingerprints(
+    events: DataFrame,
+    snapshot_dir: str,
+    ts_col: str,
+    key_col: str,
+    checkpoint: str,
+    bucket: int = 86_400_000_000,
+):
+    """Incrementally-maintained copy-validation fingerprints — the
+    streaming twin of ``plans/reconcile.chunk_fingerprints``.
+
+    At 100 TB you don't re-checksum the corpus per verification run;
+    you fold each arriving micro-batch's per-bucket partials (count,
+    key XOR, key sum — all mergeable: counts/sums add, XORs xor) into
+    a published fingerprint snapshot.  ``reconcile_chunks`` can then
+    diff this snapshot against the sink's at any moment without
+    touching source history.  Publishing uses the same
+    epoch-dir/pointer swap as ``stream_apply_cdc`` (idempotent on
+    replay: an already-published epoch is detected and skipped, since
+    re-XORing a batch would silently CANCEL its keys out of the
+    fingerprint — the worst kind of wrong, a corruption the verify
+    tool itself introduced).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hana_bq_beam_connector_spark.plans.reconcile import (
+        chunk_fingerprints,
+    )
+
+    pointer = os.path.join(snapshot_dir, "CURRENT")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch_dir = os.path.join(snapshot_dir, f"v{batch_id}")
+        part = chunk_fingerprints(batch_df, ts_col, key_col, bucket)
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                cur_path = fh.read().strip()
+            if cur_path == epoch_dir:
+                return  # replayed after publish: merging again would
+                # xor the batch back OUT of the fingerprint
+            cur = spark.read.parquet(cur_path)
+            merged = (
+                cur.select(
+                    "bucket_lo",
+                    F.col("n_rows").alias("n_old"),
+                    F.col("key_xor").alias("x_old"),
+                    F.col("key_sum").alias("s_old"),
+                )
+                .join(
+                    part.select(
+                        "bucket_lo",
+                        F.col("n_rows").alias("n_new"),
+                        F.col("key_xor").alias("x_new"),
+                        F.col("key_sum").alias("s_new"),
+                    ),
+                    on="bucket_lo",
+                    how="full_outer",
+                )
+                .select(
+                    "bucket_lo",
+                    (
+                        F.coalesce(F.col("n_old"), F.lit(0))
+                        + F.coalesce(F.col("n_new"), F.lit(0))
+                    ).alias("n_rows"),
+                    F.expr(
+                        "coalesce(x_old, 0L) ^ coalesce(x_new, 0L)"
+                    ).alias("key_xor"),
+                    (
+                        F.coalesce(F.col("s_old"), F.lit(0))
+                        + F.coalesce(F.col("s_new"), F.lit(0))
+                    ).cast("bigint").alias("key_sum"),
+                )
+            )
+        else:
+            merged = part
+        merged.write.mode("overwrite").parquet(epoch_dir)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(epoch_dir)
+        os.replace(tmp, pointer)
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1007,3 +1007,106 @@ def test_streaming_dedup_self_extending_replay_keeps_accepted(
     assert {
         r["doc_id"] for r in spark.read.parquet(out_dir).collect()
     } == {200000, 200002}
+
+
+def test_stream_maintain_fingerprints_equals_batch(
+    spark, stream_dir, tmp_path
+):
+    """The incrementally-maintained fingerprint snapshot must equal
+    the from-scratch batch fingerprints over everything that has
+    arrived (counts/sums add, XORs xor), across micro-batches."""
+    from hana_bq_beam_connector_spark.plans.reconcile import (
+        chunk_fingerprints,
+    )
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        read_cdc_snapshot,
+        stream_maintain_fingerprints,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import EVENTS_SCHEMA
+
+    src = tmp_path / "fp_src"
+    src.mkdir()
+    shutil.copy(f"{stream_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{stream_dir}/events.parquet", src / "b.parquet")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    snap = str(tmp_path / "fp_snap")
+    q = stream_maintain_fingerprints(
+        stream,
+        snap,
+        ts_col="ts",
+        key_col="event_id",
+        checkpoint=str(tmp_path / "ckpt_fp"),
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["bucket_lo"], r["n_rows"], r["key_xor"], r["key_sum"])
+        for r in read_cdc_snapshot(spark, snap).collect()
+    }
+    want = {
+        (r["bucket_lo"], r["n_rows"], r["key_xor"], r["key_sum"])
+        for r in chunk_fingerprints(
+            spark.read.parquet(str(src)), "ts", "event_id"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # Doubled data: every key appears twice, so each bucket's XOR must
+    # have cancelled to zero while counts doubled — the property that
+    # makes replay-after-publish dangerous and worth guarding.
+    assert all(x == 0 for (_, _, x, _) in got)
+
+
+def test_stream_maintain_fingerprints_replay_no_xor_cancel(
+    spark, stream_dir, tmp_path
+):
+    """Replay of an already-published batch must be skipped: re-XORing
+    it would cancel its keys OUT of the fingerprint (same mechanism as
+    double-count, but self-inverting so extra dangerous)."""
+    from hana_bq_beam_connector_spark.plans.reconcile import (
+        chunk_fingerprints,
+    )
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        read_cdc_snapshot,
+        stream_maintain_fingerprints,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import EVENTS_SCHEMA
+
+    src = tmp_path / "fpr_src"
+    src.mkdir()
+    shutil.copy(f"{stream_dir}/events.parquet", src / "a.parquet")
+    snap = str(tmp_path / "fpr_snap")
+    ckpt = str(tmp_path / "ckpt_fpr")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = stream_maintain_fingerprints(
+            stream, snap, ts_col="ts", key_col="event_id", checkpoint=ckpt
+        )
+        q.awaitTermination()
+
+    _run()
+    _force_replay_of_last_batch(ckpt)
+    _run()  # replayed batch: publish already happened -> must skip
+
+    got = {
+        (r["bucket_lo"], r["n_rows"], r["key_xor"], r["key_sum"])
+        for r in read_cdc_snapshot(spark, snap).collect()
+    }
+    want = {
+        (r["bucket_lo"], r["n_rows"], r["key_xor"], r["key_sum"])
+        for r in chunk_fingerprints(
+            spark.read.parquet(str(src)), "ts", "event_id"
+        ).collect()
+    }
+    assert got == want
+    # Single copy of the data: XORs must NOT be all zero (that would
+    # be the cancelled-out signature of a double merge).
+    assert any(x != 0 for (_, _, x, _) in got)
