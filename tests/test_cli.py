@@ -378,3 +378,53 @@ def test_cli_reconcile_finds_missing_and_corrupted_chunks(
     assert n_ok == len(days) - 2
     row = verdicts.where(F.col("bucket_lo") == d_corrupt).collect()[0]
     assert row["src_rows"] == row["sink_rows"]
+
+
+def test_cli_reconcile_repair_loop(spark, tmp_path, capsys):
+    """reconcile -> windowed re-copy -> reconcile must converge to
+    zero mismatches: the verify half and the copy half speak the same
+    [start, end) window language."""
+    from pyspark.sql import functions as F
+
+    from hana_bq_beam_connector_spark.colutil import resolve_column
+    from hana_bq_beam_connector_spark.plans.reconcile import DAY_US
+    from hana_bq_beam_connector_spark.tsdomain import ts_numeric
+
+    src_path = f"{SF}/events.parquet"
+    source = spark.read.parquet(src_path)
+    name, dtype = resolve_column(source, "ts")
+    day = ts_numeric(name, dtype) - ts_numeric(name, dtype) % DAY_US
+    days = sorted(
+        r["d"] for r in source.select(day.alias("d")).distinct().collect()
+    )
+    d_hole = days[len(days) // 2]
+
+    dest = str(tmp_path / "sink")
+    source.withColumn("__day", day).where(
+        F.col("__day") != d_hole
+    ).drop("__day").write.parquet(dest)
+
+    base = [
+        "--table-name", "events",
+        "--timestamp-column", "ts",
+        "--source-parquet", src_path,
+        "--dest-path", dest,
+        "--master", "local[4]",
+    ]
+    rc = main(base + ["--start-time", "0", "--reconcile",
+                      "--key-column", "event_id"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"reconcile_chunk={d_hole} status=missing_in_sink" in out
+    assert "reconcile_mismatches=1" in out
+
+    # Repair: a normal windowed copy over exactly the reported bucket.
+    rc = main(base + ["--start-time", str(d_hole),
+                      "--end-time", str(d_hole + DAY_US)])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(base + ["--start-time", "0", "--reconcile",
+                      "--key-column", "event_id"])
+    assert rc == 0
+    assert "reconcile_mismatches=0" in capsys.readouterr().out
