@@ -50,6 +50,7 @@ def blocked_fuzzy_components(
     id_col: str,
     name_col: str,
     max_edit: int,
+    max_block_nodes: int = 100_000,
 ) -> DataFrame:
     """(node, label) components of the within-block fuzzy-match graph.
 
@@ -63,9 +64,13 @@ def blocked_fuzzy_components(
 
     Scale: one hash shuffle on the block key; per-block work is
     O(b² · len²) with b bounded by the name VOCABULARY inside a block
-    — independent of row count.  A pathological block (b in the
-    millions) would need the iterative fallback; callers choose
-    blocking keys precisely so that doesn't happen.
+    — independent of row count.  ``max_block_nodes`` is the honesty
+    guard: a pathological block (a blocking key that stopped
+    discriminating) would otherwise sit in one task doing quadratic
+    work for hours — the operator RAISES with the offending block size
+    instead, telling the caller to refine the blocking key or fall
+    back to the iterative operator.  Silent quadratic death is the
+    failure mode; a named error is the mitigation.
     """
     out_schema = "node bigint, label bigint"
 
@@ -73,6 +78,14 @@ def blocked_fuzzy_components(
         ids = pdf[id_col].tolist()
         names = pdf[name_col].tolist()
         n = len(ids)
+        if n > max_block_nodes:
+            raise ValueError(
+                f"blocked_fuzzy_components: block of {n} nodes exceeds "
+                f"max_block_nodes={max_block_nodes} — the blocking key "
+                "has stopped discriminating (O(b^2) verify would melt "
+                "this task); refine block_cols or use the iterative "
+                "near_dup_clusters fallback"
+            )
         parent = list(range(n))
 
         def find(x: int) -> int:

@@ -136,3 +136,21 @@ def test_equivalence_with_iterative_operator(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_giant_block_raises_instead_of_quadratic_death(spark):
+    """A blocking key that stopped discriminating must fail loudly
+    with the block size, not sit in one task doing O(b^2) work."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    rows = [("k", i, f"n{i}") for i in range(12)]
+    with pytest.raises(PythonException, match="max_block_nodes=10"):
+        blocked_fuzzy_components(
+            _nodes(spark, rows),
+            block_cols=["block"],
+            id_col="node_id",
+            name_col="name",
+            max_edit=1,
+            max_block_nodes=10,
+        ).collect()
