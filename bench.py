@@ -99,6 +99,8 @@ HEADLINE = [
     "ts_top_event_paths",         # 3-step sequence mining
     "agg_benford_first_digit",    # money-column digit-law profile
     "curation_epoch_plan",        # data-constrained epoch planner
+    "join_small_qty_avg_fraction",  # TPC-H Q17 decorrelated threshold
+    "agg_sales_opportunity",      # TPC-H Q22 rich-but-inactive rollup
 ]
 
 

@@ -853,3 +853,138 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov.alias("cov_pop_qty_disc"),
         corr.alias("corr_qty_disc"),
     )
+
+
+@register(
+    "join_small_qty_avg_fraction",
+    """
+    WITH target AS (
+      SELECT p_partkey FROM part
+      WHERE p_brand = 'Brand#1' AND p_size < 25
+    ),
+    li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN target ON l_partkey = p_partkey
+    ),
+    thresh AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                         AS DOUBLE) / COUNT(*)) AS qty_lim
+      FROM li GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small_lines
+    FROM li JOIN thresh USING (l_partkey)
+    WHERE l_quantity < qty_lim
+    """,
+    doc="Small-quantity-order revenue (TPC-H Q17 shape): for a "
+    "brand/size slice of parts, revenue from lineitems below 20% of "
+    "that part's average quantity, scaled to a yearly figure.  The "
+    "correlated AVG decorrelates into a per-part aggregate joined "
+    "back — the filtered slice is scanned once and both the "
+    "threshold build and the probe reuse it; the threshold table is "
+    "parts-sized (broadcasts).  Exact-decimal mean, one IEEE "
+    "multiply for the 0.2 fraction, one division for the yearly "
+    "scale — hash-identical across engines.",
+)
+def join_small_qty_avg_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    target = p.where(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 25)
+    ).select("p_partkey")
+    sel = li.join(
+        target, li["l_partkey"] == target["p_partkey"]
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresh = sel.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_lim")
+    )
+    small = sel.join(thresh, "l_partkey").where(
+        F.col("l_quantity") < F.col("qty_lim")
+    )
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / 7.0
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    )
+
+
+@register(
+    "agg_sales_opportunity",
+    """
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ),
+    avgbal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS a
+      FROM pool WHERE c_acctbal > 0
+    ),
+    activity AS (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+      GROUP BY o_custkey
+    ),
+    eligible AS (
+      SELECT p.c_nationkey, p.c_acctbal
+      FROM pool p CROSS JOIN avgbal
+      LEFT JOIN activity a ON a.o_custkey = p.c_custkey
+      WHERE p.c_acctbal > avgbal.a
+        AND COALESCE(a.n_orders, 0) <= 5
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM eligible GROUP BY c_nationkey
+    """,
+    doc="Sales-opportunity report (TPC-H Q22 shape, adapted to this "
+    "schema: nation pool instead of phone prefixes, and 'at most 5 "
+    "orders' instead of none — every synthetic customer has orders): "
+    "rich-but-inactive customers per country.  The global average "
+    "balance is a 1-row broadcast; the activity counts reduce orders "
+    "to customer granularity before the left join; the final rollup "
+    "is nation-sized.",
+)
+def agg_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pool = c.where(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    avgbal = pool.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("a")
+    )
+    activity = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    eligible = (
+        pool.crossJoin(F.broadcast(avgbal))
+        .join(activity, pool["c_custkey"] == activity["o_custkey"], "left")
+        .where(
+            (F.col("c_acctbal") > F.col("a"))
+            & (F.coalesce(F.col("n_orders"), F.lit(0)) <= 5)
+        )
+    )
+    return eligible.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("totacctbal"),
+    )

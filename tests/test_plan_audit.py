@@ -32,6 +32,7 @@ _ALLOWED = {
     "search_bm25_topk": "corpus stats (1 row: N/avgdl/df) broadcast",
     "sim_ann_recall_report": "contains the exact-baseline bounded broadcast",
     "curation_epoch_plan": "corpus totals (1 row) broadcast to the plan",
+    "agg_sales_opportunity": "global avg balance (1 row) broadcast",
 }
 _SKIP_EXECUTING = {
     # these run a real streaming query inside fn(); plan checked in
