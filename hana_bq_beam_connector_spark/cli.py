@@ -125,8 +125,14 @@ def _read_sink_or_none(spark, path: str):
                     break
                 except Exception:
                     pass
-        if "PATH_NOT_FOUND" in cond or "PATH_NOT_FOUND" in str(e):
-            return None
+        # Missing path and existing-but-empty dir (pre-created by
+        # deployment tooling, or a run that died before writing a
+        # file) both mean "no sink yet" -> full backfill / no drift
+        # base.  Everything else (corrupt footer, permissions,
+        # transient storage) still propagates.
+        for benign in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            if benign in cond or benign in str(e):
+                return None
         raise
 
 

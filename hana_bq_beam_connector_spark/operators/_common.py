@@ -26,6 +26,16 @@ def persist_reused(df: DataFrame) -> DataFrame:
     return out
 
 
+# Last dir THIS module asked each SparkContext to checkpoint under.
+# getCheckpointDir() can't serve as the guard: Spark returns the
+# qualified UUID-suffixed subdirectory it created (file:/dir/<uuid>),
+# which never string-equals the requested dir — comparing against it
+# re-invoked setCheckpointDir every call, scattering each reset into a
+# fresh UUID subdir and clobbering any dir the embedding application
+# had set between rounds.
+_CHECKPOINT_DIR_SET: dict[int, str] = {}
+
+
 def plan_reset(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     """Truncate iterative-lineage to a leaf: reliable ``checkpoint``
     when a dir is given (blocks live on the checkpoint FS, so a lost
@@ -34,8 +44,9 @@ def plan_reset(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     correct and measurably cheaper on local[*])."""
     if checkpoint_dir is not None:
         sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() != checkpoint_dir:
+        if _CHECKPOINT_DIR_SET.get(id(sc)) != checkpoint_dir:
             sc.setCheckpointDir(checkpoint_dir)
+            _CHECKPOINT_DIR_SET[id(sc)] = checkpoint_dir
         return df.checkpoint()
     return df.localCheckpoint()
 

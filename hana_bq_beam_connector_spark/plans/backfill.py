@@ -31,8 +31,11 @@ DAY_US = 86_400_000_000
 def _buckets(df: DataFrame, ts_col: str, bucket: int) -> DataFrame:
     name, dtype = resolve_column(df, ts_col)
     num = ts_numeric(name, dtype)
+    # pmod, not %: Spark's % truncates toward zero, which would fold
+    # every pre-epoch value in (-bucket, 0) into bucket 0 — a repair
+    # window that then never covers the rows it was planned for.
     return df.select(
-        (num - num % F.lit(bucket)).alias("bucket_lo")
+        (num - F.pmod(num, F.lit(bucket))).alias("bucket_lo")
     ).distinct()
 
 

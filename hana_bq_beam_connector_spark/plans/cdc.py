@@ -42,34 +42,47 @@ def apply_cdc(
     ('D', 'U', 'I') and optionally ``seq_col``.  Returns the
     post-apply snapshot with the base's schema.
 
-    ``seq_col``: monotonic per-key sequence (log offset, LSN); when a
-    batch carries several U/I rows for one key, the highest sequence
-    wins (ties break by op then remaining columns, deterministically).
-    Without it, ``validate=True`` (default) raises on multi-row keys
-    instead of silently emitting a duplicate-key snapshot.
+    ``seq_col``: monotonic per-key sequence (log offset, LSN); the
+    batch resolves TRUE last-wins per key across ALL ops — a D at a
+    lower sequence than a later I/U does NOT delete the key (the log's
+    final operation decides its fate; a delete-then-reinsert batch
+    keeps the reinsert).  Ties on equal sequence break by op
+    precedence U > I > D, deterministically and without ordering by
+    payload columns (so unorderable payload types like maps stay
+    supported).  Without ``seq_col``, D beats U/I within the batch
+    (the conventional compaction rule) and ``validate=True`` (default)
+    raises on multi-U/I keys instead of silently emitting a
+    duplicate-key snapshot — an eager driver-side check costing one
+    extra aggregation over the DELTA (never the base); streaming
+    callers that cannot afford it pass a seq_col or validate=False.
     """
     cols = base.columns
     allowed = (*cols, op_col) + ((seq_col,) if seq_col else ())
     extra = [c for c in changes.columns if c not in allowed]
     if extra:
         raise ValueError(f"unexpected change columns: {extra}")
+    if seq_col is not None:
+        # Last-op-wins: one row per key survives the window (op
+        # precedence 'U' > 'I' > 'D' on seq ties via string descent);
+        # its op then routes the key to delete or upsert.
+        w = Window.partitionBy(key).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
+        latest = (
+            changes.withColumn("_cdc_rn", F.row_number().over(w))
+            .where(F.col("_cdc_rn") == 1)
+            .drop("_cdc_rn")
+        )
+        survivors = latest.where(F.col(op_col).isin("U", "I"))
+        touched = changes.select(key).distinct()
+        kept = base.join(touched, on=key, how="left_anti")
+        return kept.unionByName(survivors.select(*cols))
     deletes = changes.where(F.col(op_col) == "D").select(key).distinct()
     # D wins over U on the same key: drop updates whose key is deleted.
     survivors = changes.where(F.col(op_col).isin("U", "I")).join(
         deletes, on=key, how="left_anti"
     )
-    if seq_col is not None:
-        w = Window.partitionBy(key).orderBy(
-            F.col(seq_col).desc(),
-            F.col(op_col),
-            *[F.col(c) for c in cols if c != key],
-        )
-        survivors = (
-            survivors.withColumn("_cdc_rn", F.row_number().over(w))
-            .where(F.col("_cdc_rn") == 1)
-            .drop("_cdc_rn")
-        )
-    elif validate:
+    if validate:
         dup = (
             survivors.groupBy(key)
             .count()

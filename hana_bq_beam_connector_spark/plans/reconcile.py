@@ -33,15 +33,28 @@ def chunk_fingerprints(
 ) -> DataFrame:
     """(bucket_lo, n_rows, key_xor, key_sum) per time bucket.
 
-    ``key_col`` must be integral (the XOR/sum fingerprint domain);
-    the timestamp column may be integral, timestamp_ntz/ltz or date —
-    the tsdomain mapping normalizes all of them."""
+    ``key_col`` must be integral (the XOR/sum fingerprint domain) —
+    enforced, not coerced: a silent cast would truncate doubles
+    (substituted 5.6 -> 5.4 rows fingerprint identically: a false
+    'ok' from the very tool meant to catch substitution) or NULL out
+    strings (every bucket reports 'mismatch').  The timestamp column
+    may be integral, timestamp_ntz/ltz or date — the tsdomain mapping
+    normalizes all of them; bucketing floors (pmod), so pre-epoch
+    values land in their own negative buckets instead of folding into
+    bucket 0."""
     name, dtype = resolve_column(df, ts_col)
     num = ts_numeric(name, dtype)
-    kname, _ = resolve_column(df, key_col)
+    kname, ktype = resolve_column(df, key_col)
+    if ktype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"chunk_fingerprints: key_col {key_col!r} is {ktype}; the "
+            "XOR/sum fingerprint needs an integral key (doubles would "
+            "truncate — corruption could fingerprint as 'ok'; strings "
+            "would cast to NULL — everything reports 'mismatch')"
+        )
     return (
         df.select(
-            (num - num % F.lit(bucket)).alias("bucket_lo"),
+            (num - F.pmod(num, F.lit(bucket))).alias("bucket_lo"),
             F.col(kname).cast("bigint").alias("__k"),
         )
         .groupBy("bucket_lo")

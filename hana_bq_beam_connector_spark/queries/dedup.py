@@ -795,38 +795,29 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
 
-    dl = d.select("doc_id", "lang")
     sig = minhash_signature(hashed)
     cands = lsh_candidate_pairs(sig, "doc_id")
+    # The verify rejoin needs the shingle sets anyway; carrying lang on
+    # the same rows gives the same-lang restriction for free instead
+    # of two extra joins against the documents table.
     sets_a = hashed.select(
         F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("la"),
         F.col("shingle_hashes").alias("sh_a"),
     )
     sets_b = hashed.select(
         F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lb"),
         F.col("shingle_hashes").alias("sh_b"),
     )
-    pairs = (
-        cands.join(sets_a, "id_a")
-        .join(sets_b, "id_b")
-        .where(jaccard("sh_a", "sh_b") >= 0.8)
-        .select("id_a", "id_b")
-    )
     lsh = (
-        pairs.where(F.col("id_a") % 10 == 0)
-        .join(
-            dl.select(
-                F.col("doc_id").alias("id_a"), F.col("lang").alias("la")
-            ),
-            "id_a",
+        cands.where(F.col("id_a") % 10 == 0)
+        .join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .where(
+            (F.col("la") == F.col("lb"))
+            & (jaccard("sh_a", "sh_b") >= 0.8)
         )
-        .join(
-            dl.select(
-                F.col("doc_id").alias("id_b"), F.col("lang").alias("lb")
-            ),
-            "id_b",
-        )
-        .where(F.col("la") == F.col("lb"))
         .select("id_a", "id_b")
     )
 

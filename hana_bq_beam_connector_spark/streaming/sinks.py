@@ -18,7 +18,33 @@ Two production patterns the window/stateful modules don't cover:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+
+def _current_epoch(pointer: str) -> str | None:
+    """Path the snapshot pointer names, or None before first publish."""
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as fh:
+        return fh.read().strip()
+
+
+def _publish_epoch(df: DataFrame, epoch_dir: str, pointer: str) -> None:
+    """The pointer-swap publish shared by every snapshot sink: write
+    the epoch directory, then atomically repoint CURRENT.  Callers
+    must first check ``_current_epoch(pointer) == epoch_dir`` and skip
+    the batch (replay after the swap) — re-applying it would
+    double-count a merge, xor-cancel a fingerprint, or crash the CDC
+    apply on read-write path overlap.  Centralized so a protocol fix
+    (fsync, path normalization, epoch GC) lands once, not three
+    times."""
+    df.write.mode("overwrite").parquet(epoch_dir)
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(epoch_dir)
+    os.replace(tmp, pointer)
 
 
 def dedup_within_watermark(
@@ -113,6 +139,8 @@ def stream_apply_cdc(
     key: str,
     checkpoint: str,
     op_col: str = "op",
+    seq_col: str | None = None,
+    validate: bool = True,
 ):
     """Continuously fold a CDC change stream into a published keyed
     snapshot — the streaming twin of ``plans/cdc.apply_cdc``.
@@ -134,37 +162,46 @@ def stream_apply_cdc(
     union of the change batch against the snapshot (bounded by delta
     size, see plans/cdc.py); with the snapshot bucketed on the key the
     base side never shuffles.
-    """
-    import os
 
+    A CDC log routinely carries several changes for one key inside one
+    micro-batch (maxFilesPerTrigger coalesces files) — pass ``seq_col``
+    so apply_cdc resolves them last-wins instead of raising, which in
+    a stream would otherwise be a permanent crash loop (the failed
+    batch replays and raises again); ``validate=False`` opts out of
+    the guard entirely for pre-deduped feeds.
+    """
     from hana_bq_beam_connector_spark.plans.cdc import apply_cdc
 
     pointer = os.path.join(snapshot_dir, "CURRENT")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        base_cols = [c for c in batch_df.columns if c != op_col]
+        drop = {op_col} | ({seq_col} if seq_col else set())
+        base_cols = [c for c in batch_df.columns if c not in drop]
         epoch_dir = os.path.join(snapshot_dir, f"v{batch_id}")
-        if os.path.exists(pointer):
-            with open(pointer) as fh:
-                cur_path = fh.read().strip()
-            if cur_path == epoch_dir:
-                # Replay after the pointer swap (failure landed between
-                # os.replace and the checkpoint commit): this batch's
-                # epoch is already published.  Reading it as the base
-                # and overwriting the same path would raise "cannot
-                # overwrite a path that is also being read from" —
-                # skip, the published snapshot is already correct.
-                return
-            base = spark.read.parquet(cur_path)
-        else:
-            base = batch_df.select(*base_cols).limit(0)
-        out = apply_cdc(base, batch_df, key=key, op_col=op_col)
-        out.write.mode("overwrite").parquet(epoch_dir)
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(epoch_dir)
-        os.replace(tmp, pointer)  # atomic pointer swap
+        cur_path = _current_epoch(pointer)
+        if cur_path == epoch_dir:
+            # Replay after the pointer swap (failure landed between
+            # os.replace and the checkpoint commit): this batch's
+            # epoch is already published.  Reading it as the base
+            # and overwriting the same path would raise "cannot
+            # overwrite a path that is also being read from" —
+            # skip, the published snapshot is already correct.
+            return
+        base = (
+            spark.read.parquet(cur_path)
+            if cur_path is not None
+            else batch_df.select(*base_cols).limit(0)
+        )
+        out = apply_cdc(
+            base,
+            batch_df,
+            key=key,
+            op_col=op_col,
+            seq_col=seq_col,
+            validate=validate,
+        )
+        _publish_epoch(out, epoch_dir, pointer)
 
     return (
         changes.writeStream.foreachBatch(write_batch)
@@ -205,8 +242,6 @@ def stream_merge_aggregate(
     bucket the snapshot on the key so the merge join never shuffles
     the big side.
     """
-    import os
-
     from pyspark.sql import functions as F
 
     pointer = os.path.join(snapshot_dir, "CURRENT")
@@ -218,14 +253,13 @@ def stream_merge_aggregate(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(value_col).cast("decimal(18,2)")).alias("total"),
         )
-        if os.path.exists(pointer):
-            with open(pointer) as fh:
-                cur_path = fh.read().strip()
-            if cur_path == epoch_dir:
-                # Already published by a pre-checkpoint-commit replay
-                # (see stream_apply_cdc): merging again would DOUBLE-
-                # COUNT this batch into the running aggregate.
-                return
+        cur_path = _current_epoch(pointer)
+        if cur_path == epoch_dir:
+            # Already published by a pre-checkpoint-commit replay
+            # (see stream_apply_cdc): merging again would DOUBLE-
+            # COUNT this batch into the running aggregate.
+            return
+        if cur_path is not None:
             cur = spark.read.parquet(cur_path)
             merged = (
                 cur.select(
@@ -260,11 +294,7 @@ def stream_merge_aggregate(
             )
         else:
             merged = part
-        merged.write.mode("overwrite").parquet(epoch_dir)
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(epoch_dir)
-        os.replace(tmp, pointer)
+        _publish_epoch(merged, epoch_dir, pointer)
 
     return (
         events.writeStream.foreachBatch(write_batch)
@@ -404,8 +434,6 @@ def stream_maintain_fingerprints(
     fingerprint — the worst kind of wrong, a corruption the verify
     tool itself introduced).
     """
-    import os
-
     from pyspark.sql import functions as F
 
     from hana_bq_beam_connector_spark.plans.reconcile import (
@@ -418,12 +446,11 @@ def stream_maintain_fingerprints(
         spark = batch_df.sparkSession
         epoch_dir = os.path.join(snapshot_dir, f"v{batch_id}")
         part = chunk_fingerprints(batch_df, ts_col, key_col, bucket)
-        if os.path.exists(pointer):
-            with open(pointer) as fh:
-                cur_path = fh.read().strip()
-            if cur_path == epoch_dir:
-                return  # replayed after publish: merging again would
-                # xor the batch back OUT of the fingerprint
+        cur_path = _current_epoch(pointer)
+        if cur_path == epoch_dir:
+            return  # replayed after publish: merging again would
+            # xor the batch back OUT of the fingerprint
+        if cur_path is not None:
             cur = spark.read.parquet(cur_path)
             merged = (
                 cur.select(
@@ -459,11 +486,7 @@ def stream_maintain_fingerprints(
             )
         else:
             merged = part
-        merged.write.mode("overwrite").parquet(epoch_dir)
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(epoch_dir)
-        os.replace(tmp, pointer)
+        _publish_epoch(merged, epoch_dir, pointer)
 
     return (
         events.writeStream.foreachBatch(write_batch)

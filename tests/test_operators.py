@@ -363,3 +363,83 @@ def test_apply_cdc_multi_row_key_validates_or_resolves_by_seq(spark):
         ).collect()
     }
     assert got == {(1, "last"), (2, "b"), (3, "c")}
+
+
+def test_apply_cdc_seq_delete_then_reinsert_keeps_key(spark):
+    """With seq_col, the log's LAST operation decides a key's fate: a
+    delete at a lower sequence must not beat a later reinsert (true
+    last-wins, not D-always-wins)."""
+    from hana_bq_beam_connector_spark.plans.cdc import apply_cdc
+
+    base = spark.createDataFrame([(1, "a")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [
+            (1, None, "D", 10),
+            (1, "reborn", "I", 20),   # later reinsert wins
+            (2, "x", "I", 5),
+            (2, None, "D", 6),        # later delete wins
+        ],
+        ["k", "v", "op", "seq"],
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in apply_cdc(
+            base, changes, key="k", op_col="op", seq_col="seq"
+        ).collect()
+    }
+    assert got == {(1, "reborn")}
+
+
+def test_apply_cdc_seq_supports_unorderable_payloads(spark):
+    """The seq tie-break orders by (seq, op) only, so map-typed
+    payload columns — unorderable in a window — stay supported."""
+    from pyspark.sql import functions as F
+
+    from hana_bq_beam_connector_spark.plans.cdc import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, {"a": 1})], "k bigint, payload map<string,int>"
+    )
+    changes = spark.createDataFrame(
+        [(1, {"b": 2}, "U", 10), (1, {"c": 3}, "U", 20)],
+        "k bigint, payload map<string,int>, op string, seq bigint",
+    )
+    got = apply_cdc(
+        base, changes, key="k", op_col="op", seq_col="seq"
+    ).select("k", F.map_keys("payload").alias("mk")).collect()
+    assert [(r["k"], r["mk"]) for r in got] == [(1, ["c"])]
+
+
+def test_chunk_fingerprints_rejects_non_integral_key(spark):
+    """Doubles truncate (corruption fingerprints as ok) and strings
+    NULL out (everything mismatches) — both must raise, not coerce."""
+    import pytest
+
+    from hana_bq_beam_connector_spark.plans.reconcile import (
+        chunk_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1_700_000_000_000_000, 1.5, "u1")], "ts bigint, v double, s string"
+    )
+    for bad in ("v", "s"):
+        with pytest.raises(ValueError, match="integral key"):
+            chunk_fingerprints(df, "ts", bad)
+
+
+def test_chunk_fingerprints_floors_negative_timestamps(spark):
+    """Pre-epoch values must land in their own negative bucket, not
+    fold into bucket 0 (Spark's % truncates toward zero; pmod
+    floors)."""
+    from hana_bq_beam_connector_spark.plans.reconcile import (
+        chunk_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(-100, 1), (100, 2)], "ts bigint, k bigint"
+    )
+    got = {
+        r["bucket_lo"]: r["n_rows"]
+        for r in chunk_fingerprints(df, "ts", "k", bucket=1000).collect()
+    }
+    assert got == {-1000: 1, 0: 1}
