@@ -108,3 +108,38 @@ def reconcile_chunks(
     return j.select(
         "bucket_lo", status.alias("status"), "src_rows", "sink_rows"
     )
+
+
+def merge_fingerprints(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two fingerprint tables: counts and sums add, XORs xor.
+
+    The algebra that makes fingerprints incrementally maintainable:
+    ``chunk_fingerprints(A ∪ B) == merge(chunk_fingerprints(A),
+    chunk_fingerprints(B))`` for disjoint row sets (property-tested).
+    Buckets present on one side pass through; the streaming sink
+    (``streaming/sinks.stream_maintain_fingerprints``) folds each
+    micro-batch in with exactly this merge."""
+    an = a.select(
+        "bucket_lo",
+        F.col("n_rows").alias("n_a"),
+        F.col("key_xor").alias("x_a"),
+        F.col("key_sum").alias("s_a"),
+    )
+    bn = b.select(
+        "bucket_lo",
+        F.col("n_rows").alias("n_b"),
+        F.col("key_xor").alias("x_b"),
+        F.col("key_sum").alias("s_b"),
+    )
+    return an.join(bn, "bucket_lo", "full_outer").select(
+        "bucket_lo",
+        (
+            F.coalesce(F.col("n_a"), F.lit(0))
+            + F.coalesce(F.col("n_b"), F.lit(0))
+        ).alias("n_rows"),
+        F.expr("coalesce(x_a, 0L) ^ coalesce(x_b, 0L)").alias("key_xor"),
+        (
+            F.coalesce(F.col("s_a"), F.lit(0))
+            + F.coalesce(F.col("s_b"), F.lit(0))
+        ).cast("bigint").alias("key_sum"),
+    )

@@ -434,10 +434,9 @@ def stream_maintain_fingerprints(
     fingerprint — the worst kind of wrong, a corruption the verify
     tool itself introduced).
     """
-    from pyspark.sql import functions as F
-
     from hana_bq_beam_connector_spark.plans.reconcile import (
         chunk_fingerprints,
+        merge_fingerprints,
     )
 
     pointer = os.path.join(snapshot_dir, "CURRENT")
@@ -451,38 +450,8 @@ def stream_maintain_fingerprints(
             return  # replayed after publish: merging again would
             # xor the batch back OUT of the fingerprint
         if cur_path is not None:
-            cur = spark.read.parquet(cur_path)
-            merged = (
-                cur.select(
-                    "bucket_lo",
-                    F.col("n_rows").alias("n_old"),
-                    F.col("key_xor").alias("x_old"),
-                    F.col("key_sum").alias("s_old"),
-                )
-                .join(
-                    part.select(
-                        "bucket_lo",
-                        F.col("n_rows").alias("n_new"),
-                        F.col("key_xor").alias("x_new"),
-                        F.col("key_sum").alias("s_new"),
-                    ),
-                    on="bucket_lo",
-                    how="full_outer",
-                )
-                .select(
-                    "bucket_lo",
-                    (
-                        F.coalesce(F.col("n_old"), F.lit(0))
-                        + F.coalesce(F.col("n_new"), F.lit(0))
-                    ).alias("n_rows"),
-                    F.expr(
-                        "coalesce(x_old, 0L) ^ coalesce(x_new, 0L)"
-                    ).alias("key_xor"),
-                    (
-                        F.coalesce(F.col("s_old"), F.lit(0))
-                        + F.coalesce(F.col("s_new"), F.lit(0))
-                    ).cast("bigint").alias("key_sum"),
-                )
+            merged = merge_fingerprints(
+                spark.read.parquet(cur_path), part
             )
         else:
             merged = part

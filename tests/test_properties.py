@@ -418,3 +418,56 @@ def test_backfill_ranges_cover_exactly_the_missing_buckets(
         prev_end = hi
         covered |= set(range(lo, hi, bucket))
     assert covered == missing
+
+
+_fp_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-(10**6), max_value=10**6),  # ts
+        st.integers(min_value=-(2**40), max_value=2**40),  # key
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_fp_rows, split=st.integers(min_value=0, max_value=119),
+       bucket=st.sampled_from([1, 7, 1000]))
+def test_fingerprint_merge_is_the_whole(spark, rows, split, bucket):
+    """chunk_fingerprints(A ∪ B) == merge(fp(A), fp(B)) for ANY split
+    of the rows and bucket size — the algebra that lets the streaming
+    sink maintain fingerprints without re-reading history.  Negative
+    timestamps included (floor bucketing)."""
+    from hana_bq_beam_connector_spark.plans.reconcile import (
+        chunk_fingerprints,
+        merge_fingerprints,
+    )
+
+    split = min(split, len(rows))
+    schema = "ts bigint, k bigint"
+    whole = spark.createDataFrame(rows, schema)
+    a = spark.createDataFrame(rows[:split] or [(0, 0)], schema).where(
+        F.lit(split > 0)
+    )
+    b = spark.createDataFrame(rows[split:] or [(0, 0)], schema).where(
+        F.lit(split < len(rows))
+    )
+
+    def canon(df):
+        return {
+            (r["bucket_lo"], r["n_rows"], r["key_xor"], r["key_sum"])
+            for r in df.collect()
+        }
+
+    want = canon(chunk_fingerprints(whole, "ts", "k", bucket))
+    got = canon(
+        merge_fingerprints(
+            chunk_fingerprints(a, "ts", "k", bucket),
+            chunk_fingerprints(b, "ts", "k", bucket),
+        )
+    )
+    assert got == want
