@@ -106,11 +106,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _read_sink_or_none(spark, path: str):
-    """Read an existing sink, returning None ONLY when the path does
-    not exist yet.  Every other failure (corrupt footer, permissions,
-    transient storage error) propagates: a bare except here would
-    silently disable the schema-drift guard and turn a flaky read into
-    a full-backfill plan."""
+    """Read an existing sink, returning None only when there is no
+    sink data yet — the path is missing, or the directory exists but
+    holds no readable files (pre-created by deployment tooling, or a
+    run that died before its first write).  Every other failure
+    (corrupt footer, permissions, transient storage error) propagates:
+    a bare except here would silently disable the schema-drift guard
+    and turn a flaky read into a full-backfill plan."""
     from pyspark.errors import AnalysisException
 
     try:

@@ -26,27 +26,25 @@ def persist_reused(df: DataFrame) -> DataFrame:
     return out
 
 
-# Last dir THIS module asked each SparkContext to checkpoint under.
-# getCheckpointDir() can't serve as the guard: Spark returns the
-# qualified UUID-suffixed subdirectory it created (file:/dir/<uuid>),
-# which never string-equals the requested dir — comparing against it
-# re-invoked setCheckpointDir every call, scattering each reset into a
-# fresh UUID subdir and clobbering any dir the embedding application
-# had set between rounds.
-_CHECKPOINT_DIR_SET: dict[int, str] = {}
-
-
 def plan_reset(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     """Truncate iterative-lineage to a leaf: reliable ``checkpoint``
     when a dir is given (blocks live on the checkpoint FS, so a lost
     executor cannot kill a multi-round job — required on a real
     cluster), ``localCheckpoint`` otherwise (executor-local blocks;
-    correct and measurably cheaper on local[*])."""
+    correct and measurably cheaper on local[*]).
+
+    The last dir THIS helper set is stashed on the SparkContext object
+    itself (lifecycle-tied: a new context starts clean, so no stale
+    id()-reuse hazard).  getCheckpointDir() can't serve as the guard:
+    Spark returns the qualified UUID-suffixed subdirectory it created
+    (file:/dir/<uuid>), which never string-equals the requested dir —
+    comparing against it re-invoked setCheckpointDir every call,
+    scattering each reset into a fresh UUID subdir."""
     if checkpoint_dir is not None:
         sc = df.sparkSession.sparkContext
-        if _CHECKPOINT_DIR_SET.get(id(sc)) != checkpoint_dir:
+        if getattr(sc, "_graft_checkpoint_dir", None) != checkpoint_dir:
             sc.setCheckpointDir(checkpoint_dir)
-            _CHECKPOINT_DIR_SET[id(sc)] = checkpoint_dir
+            sc._graft_checkpoint_dir = checkpoint_dir
         return df.checkpoint()
     return df.localCheckpoint()
 

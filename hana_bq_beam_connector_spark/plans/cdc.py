@@ -49,7 +49,9 @@ def apply_cdc(
     keeps the reinsert).  Ties on equal sequence break by op
     precedence U > I > D, deterministically and without ordering by
     payload columns (so unorderable payload types like maps stay
-    supported).  Without ``seq_col``, D beats U/I within the batch
+    supported); rows tying on (key, seq, op) have no deterministic
+    winner, so ``validate=True`` (default) raises on them — one
+    delta-bounded check, never touching the base.  Without ``seq_col``, D beats U/I within the batch
     (the conventional compaction rule) and ``validate=True`` (default)
     raises on multi-U/I keys instead of silently emitting a
     duplicate-key snapshot — an eager driver-side check costing one
@@ -65,6 +67,31 @@ def apply_cdc(
         # Last-op-wins: one row per key survives the window (op
         # precedence 'U' > 'I' > 'D' on seq ties via string descent);
         # its op then routes the key to delete or upsert.
+        if validate:
+            # Two rows tying on (key, seq, op) with different payloads
+            # make the winner arbitrary — the snapshot would not be
+            # reproducible across replays.  Same eager delta-bounded
+            # check as the no-seq branch: detect a non-unique maximum.
+            w_top = Window.partitionBy(key)
+            top_key = F.struct(F.col(seq_col), F.col(op_col))
+            amb = (
+                changes.withColumn("_cdc_top", F.max(top_key).over(w_top))
+                .where(top_key == F.col("_cdc_top"))
+                .groupBy(key)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if amb:
+                raise ValueError(
+                    "apply_cdc: change batch carries rows tying on "
+                    f"({key!r}, {seq_col!r}, {op_col!r}) — the winner "
+                    "would be arbitrary and the snapshot not "
+                    "reproducible on replay.  Use a finer sequence "
+                    "(LSN, not second-granularity timestamps) or "
+                    "pre-dedupe the batch."
+                )
         w = Window.partitionBy(key).orderBy(
             F.col(seq_col).desc(), F.col(op_col).desc()
         )

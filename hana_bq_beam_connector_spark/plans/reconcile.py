@@ -22,8 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import re
+
 from hana_bq_beam_connector_spark.colutil import resolve_column
-from hana_bq_beam_connector_spark.tsdomain import ts_numeric
+from hana_bq_beam_connector_spark.tsdomain import INTEGRAL_TYPES, ts_numeric
 
 DAY_US = 86_400_000_000
 
@@ -33,24 +35,29 @@ def chunk_fingerprints(
 ) -> DataFrame:
     """(bucket_lo, n_rows, key_xor, key_sum) per time bucket.
 
-    ``key_col`` must be integral (the XOR/sum fingerprint domain) —
-    enforced, not coerced: a silent cast would truncate doubles
-    (substituted 5.6 -> 5.4 rows fingerprint identically: a false
-    'ok' from the very tool meant to catch substitution) or NULL out
-    strings (every bucket reports 'mismatch').  The timestamp column
-    may be integral, timestamp_ntz/ltz or date — the tsdomain mapping
-    normalizes all of them; bucketing floors (pmod), so pre-epoch
-    values land in their own negative buckets instead of folding into
-    bucket 0."""
+    ``key_col`` must be exact-integer-valued: a Spark integral type or
+    a scale-0 decimal (HANA DECIMAL(p, 0) surrogate keys map to
+    DecimalType via typemap.py; the bigint cast of a scale-0 decimal
+    is lossless, and under ANSI an overflowing value fails loudly).
+    Fractional and string keys are rejected, not coerced — a double
+    key truncates silently under non-ANSI sessions (substituted
+    5.6 -> 5.4 rows would fingerprint as 'ok', a false negative inside
+    the corruption detector), and neither has a meaningful XOR domain.
+    The timestamp column may be integral, timestamp_ntz/ltz or date —
+    the tsdomain mapping normalizes all of them; bucketing floors
+    (pmod), so pre-epoch values land in their own negative buckets
+    instead of folding into bucket 0."""
     name, dtype = resolve_column(df, ts_col)
     num = ts_numeric(name, dtype)
     kname, ktype = resolve_column(df, key_col)
-    if ktype not in ("tinyint", "smallint", "int", "bigint"):
+    if ktype not in INTEGRAL_TYPES and not re.fullmatch(
+        r"decimal\(\d+,0\)", ktype
+    ):
         raise ValueError(
             f"chunk_fingerprints: key_col {key_col!r} is {ktype}; the "
-            "XOR/sum fingerprint needs an integral key (doubles would "
-            "truncate — corruption could fingerprint as 'ok'; strings "
-            "would cast to NULL — everything reports 'mismatch')"
+            "XOR/sum fingerprint needs an exact-integer key (integral "
+            "or scale-0 decimal) — fractional keys would truncate and "
+            "strings have no XOR domain"
         )
     return (
         df.select(

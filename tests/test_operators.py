@@ -423,8 +423,15 @@ def test_chunk_fingerprints_rejects_non_integral_key(spark):
         [(1_700_000_000_000_000, 1.5, "u1")], "ts bigint, v double, s string"
     )
     for bad in ("v", "s"):
-        with pytest.raises(ValueError, match="integral key"):
+        with pytest.raises(ValueError, match="exact-integer key"):
             chunk_fingerprints(df, "ts", bad)
+    # Scale-0 decimals (HANA DECIMAL(p,0) surrogate keys) are exact
+    # integers — accepted, and the fingerprint is lossless.
+    from pyspark.sql import functions as F
+
+    dec = df.select("ts", F.col("ts").cast("decimal(19,0)").alias("dk"))
+    got = chunk_fingerprints(dec, "ts", "dk").collect()
+    assert len(got) == 1 and got[0]["key_sum"] == 1_700_000_000_000_000
 
 
 def test_chunk_fingerprints_floors_negative_timestamps(spark):
@@ -443,3 +450,37 @@ def test_chunk_fingerprints_floors_negative_timestamps(spark):
         for r in chunk_fingerprints(df, "ts", "k", bucket=1000).collect()
     }
     assert got == {-1000: 1, 0: 1}
+
+
+def test_apply_cdc_seq_tie_raises_unless_validate_off(spark):
+    """Rows tying on (key, seq, op) have no deterministic winner — the
+    default validation refuses them; validate=False lets a caller who
+    knows the payloads are identical proceed."""
+    import pytest
+
+    from hana_bq_beam_connector_spark.plans.cdc import apply_cdc
+
+    base = spark.createDataFrame([(9, "z")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [(1, "a", "U", 10), (1, "b", "U", 10)],  # same key, seq, op
+        ["k", "v", "op", "seq"],
+    )
+    with pytest.raises(ValueError, match="tying"):
+        apply_cdc(base, changes, key="k", op_col="op", seq_col="seq")
+    got = apply_cdc(
+        base, changes, key="k", op_col="op", seq_col="seq", validate=False
+    )
+    assert got.count() == 2  # base row + one arbitrary winner
+
+    # A (seq) tie across DIFFERENT ops still resolves by precedence.
+    mixed = spark.createDataFrame(
+        [(1, None, "D", 10), (1, "u", "U", 10)],
+        ["k", "v", "op", "seq"],
+    )
+    rows = {
+        (r["k"], r["v"])
+        for r in apply_cdc(
+            base, mixed, key="k", op_col="op", seq_col="seq"
+        ).collect()
+    }
+    assert rows == {(9, "z"), (1, "u")}  # U beats D on the tie
