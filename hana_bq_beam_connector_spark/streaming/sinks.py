@@ -213,10 +213,46 @@ def stream_apply_cdc(
 
 def read_cdc_snapshot(spark, snapshot_dir: str) -> DataFrame:
     """Resolve the published snapshot pointer and read it."""
-    import os
-
     with open(os.path.join(snapshot_dir, "CURRENT")) as fh:
         return spark.read.parquet(fh.read().strip())
+
+
+def gc_snapshot_epochs(snapshot_dir: str, keep: int = 2) -> list[str]:
+    """Delete superseded epoch directories, keeping the published one
+    plus the ``keep`` newest others (grace for in-flight readers that
+    resolved CURRENT just before a swap).
+
+    Every pointer-swap sink (CDC snapshot, merged aggregate,
+    fingerprint table) accretes one ``v{batch_id}`` directory per
+    micro-batch forever without this; the published epoch is never
+    deleted regardless of age, so a crashed/lagging stream cannot GC
+    itself into data loss.  Returns the removed paths.  Run it from a
+    maintenance schedule, not the hot path — it lists O(epochs)
+    directories."""
+    import shutil
+
+    cur = _current_epoch(os.path.join(snapshot_dir, "CURRENT"))
+    epochs = sorted(
+        (
+            e
+            for e in os.listdir(snapshot_dir)
+            if e.startswith("v") and e[1:].isdigit()
+        ),
+        key=lambda e: int(e[1:]),
+        reverse=True,
+    )
+    removed: list[str] = []
+    spared = 0
+    for e in epochs:
+        path = os.path.join(snapshot_dir, e)
+        if cur is not None and os.path.abspath(path) == os.path.abspath(cur):
+            continue  # the published epoch is immortal
+        if spared < keep:
+            spared += 1
+            continue
+        shutil.rmtree(path)
+        removed.append(path)
+    return removed
 
 
 def stream_merge_aggregate(
@@ -409,6 +445,62 @@ def streaming_dedup_self_extending(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_dedup_index(spark, index_dir: str) -> dict:
+    """Fold the self-extending index's per-batch contributions into
+    one compacted directory per component (sh/, bands/).
+
+    The streaming sink accretes ``batch_N`` subdirs forever; every
+    micro-batch then unions O(batches) parquet roots just to probe.
+    Compaction merges all existing contributions (including earlier
+    compactions) into ``batch_compacted_{max_id}`` — still matched by
+    the sink's ``batch_*`` listing, never colliding with a numeric
+    replay exclusion — then deletes the sources.
+
+    Run it BETWEEN stream runs (availableNow jobs), over committed
+    batches only: a compacted dir containing a batch that later
+    replays would defeat the replay self-match exclusion.  Crash
+    safety: the merged dir is written to a temp path and renamed
+    before sources are deleted; a crash in between leaves duplicate
+    index rows, which are semantically harmless to the probe (any
+    candidate match rejects a duplicate regardless of multiplicity)
+    and disappear at the next compaction.  Returns per-component
+    source counts."""
+    import shutil
+
+    stats: dict[str, int] = {}
+    for comp in ("sh", "bands"):
+        root = os.path.join(index_dir, comp)
+        if not os.path.isdir(root):
+            stats[comp] = 0
+            continue
+        sources = [
+            d
+            for d in sorted(os.listdir(root))
+            if d.startswith("batch_")
+            and os.path.isdir(os.path.join(root, d))
+        ]
+        numeric = [
+            int(d.split("_")[1])
+            for d in sources
+            if d.split("_")[1].isdigit()
+        ]
+        stats[comp] = len(sources)
+        if len(sources) <= 1 or not numeric:
+            continue  # nothing to fold
+        max_id = max(numeric)
+        dest = os.path.join(root, f"batch_compacted_{max_id}")
+        tmp = dest + ".inprogress"
+        spark.read.parquet(
+            *[os.path.join(root, d) for d in sources]
+        ).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)  # idempotent re-run
+        os.rename(tmp, dest)
+        for d in sources:
+            shutil.rmtree(os.path.join(root, d))
+    return stats
 
 
 def stream_maintain_fingerprints(

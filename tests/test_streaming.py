@@ -1110,3 +1110,123 @@ def test_stream_maintain_fingerprints_replay_no_xor_cancel(
     # Single copy of the data: XORs must NOT be all zero (that would
     # be the cancelled-out signature of a double merge).
     assert any(x != 0 for (_, _, x, _) in got)
+
+
+def test_gc_snapshot_epochs_keeps_published_and_grace(
+    spark, stream_dir, tmp_path
+):
+    """After several published batches, GC must delete the oldest
+    superseded epochs, keep the published epoch plus the grace window,
+    and leave the snapshot readable and unchanged."""
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        gc_snapshot_epochs,
+        read_cdc_snapshot,
+        stream_merge_aggregate,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import EVENTS_SCHEMA
+
+    src = tmp_path / "gc_src"
+    src.mkdir()
+    for tag in "abcd":  # four files -> four micro-batches/epochs
+        shutil.copy(f"{stream_dir}/events.parquet", src / f"{tag}.parquet")
+    snap = str(tmp_path / "gc_snap")
+    q = stream_merge_aggregate(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src)),
+        snap,
+        keys=["event_type"],
+        checkpoint=str(tmp_path / "ckpt_gc"),
+    )
+    q.awaitTermination()
+
+    before = {
+        (r["event_type"], r["n"], str(r["total"]))
+        for r in read_cdc_snapshot(spark, snap).collect()
+    }
+    epochs = lambda: sorted(  # noqa: E731
+        e for e in os.listdir(snap) if e.startswith("v")
+    )
+    assert len(epochs()) == 4
+    removed = gc_snapshot_epochs(snap, keep=1)
+    # published (v3) survives + 1 grace (v2); v0, v1 removed
+    assert len(removed) == 2
+    assert epochs() == ["v2", "v3"]
+    after = {
+        (r["event_type"], r["n"], str(r["total"]))
+        for r in read_cdc_snapshot(spark, snap).collect()
+    }
+    assert after == before
+    # Idempotent: nothing more to remove at the same grace.
+    assert gc_snapshot_epochs(snap, keep=1) == []
+
+
+def test_compact_dedup_index_preserves_rejections(spark, sf_dir, tmp_path):
+    """Compacting the self-extending index between stream runs must
+    not change its behavior: a later arrival duplicating a
+    pre-compaction ACCEPTED doc is still rejected, and a distinct one
+    still flows through."""
+    import time as _time
+
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        compact_dedup_index,
+        streaming_dedup_self_extending,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    novel = "zenith quill marble osprey fjord tulip cinder " * 4
+    late_dup = novel
+    fresh = "bastion willow grotto saffron isthmus raven dune " * 4
+    schema = "doc_id long, text string"
+    src = tmp_path / "ci_src"
+    src.mkdir()
+    out_dir = str(tmp_path / "ci_out")
+    index_dir = str(tmp_path / "ci_index")
+    ckpt = str(tmp_path / "ci_ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = streaming_dedup_self_extending(
+            stream, corpus, "doc_id", "text", out_dir, index_dir, ckpt
+        )
+        q.awaitTermination()
+
+    # Run 1: two batches, both accepted (distinct novel docs).
+    spark.createDataFrame([(200000, novel)], schema).coalesce(1)\
+        .write.parquet(str(src / "c1"))
+    _time.sleep(1.1)
+    spark.createDataFrame([(200001, fresh)], schema).coalesce(1)\
+        .write.parquet(str(src / "c2"))
+    _run()
+
+    stats = compact_dedup_index(spark, index_dir)
+    assert stats == {"sh": 2, "bands": 2}
+    # Folded to exactly one contribution per component.
+    for comp in ("sh", "bands"):
+        subdirs = [
+            d
+            for d in os.listdir(os.path.join(index_dir, comp))
+            if d.startswith("batch_")
+        ]
+        assert subdirs == ["batch_compacted_1"]
+
+    # Run 2: a dup of the pre-compaction accepted doc + a newcomer.
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(200002, late_dup), (200003, "glimmer vortex " * 10)], schema
+    ).coalesce(1).write.parquet(str(src / "c3"))
+    _run()
+
+    accepted = {
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    }
+    assert accepted == {200000, 200001, 200003}
+    # Idempotent second compaction folds the new batch in too.
+    stats2 = compact_dedup_index(spark, index_dir)
+    assert stats2 == {"sh": 2, "bands": 2}
