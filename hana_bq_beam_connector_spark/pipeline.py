@@ -77,6 +77,7 @@ def run_copy_pipeline(
         from hana_bq_beam_connector_spark.colutil import resolve_column
 
         _, ts_dtype = resolve_column(df, config.timestamp_column)
+        _assert_jdbc_tz_consistent(spark, ts_dtype)
         df = jdbc_scan(spark, config, intervals, ts_dtype=ts_dtype)
         result = df
     else:
@@ -86,15 +87,56 @@ def run_copy_pipeline(
     return result, intervals
 
 
+def _assert_jdbc_tz_consistent(spark: SparkSession, ts_dtype: str) -> None:
+    """Fail fast when chunk predicates on an LTZ timestamp column
+    would be interpreted in a different timezone than they were
+    planned in.
+
+    Interval bounds are epoch-µs instants computed under the SESSION
+    timezone, rendered as naive ``{ts '...'}`` wall-clock strings —
+    which the JDBC driver and the remote database interpret in the
+    JVM default timezone.  If the two differ, every chunk window
+    silently shifts by the offset and boundary rows are dropped or
+    double-scanned.  NTZ and date columns are naive on both sides and
+    unaffected."""
+    if ts_dtype != "timestamp":  # only LTZ semantics are tz-sensitive
+        return
+    jvm_tz = (
+        spark.sparkContext._jvm.java.util.TimeZone.getDefault().getID()
+    )
+    sess_tz = spark.conf.get("spark.sql.session.timeZone")
+    utc_names = {"UTC", "Etc/UTC", "GMT", "Z", "+00:00"}
+    if jvm_tz == sess_tz or (jvm_tz in utc_names and sess_tz in utc_names):
+        return
+    raise RuntimeError(
+        f"JDBC chunked scan over an LTZ timestamp column: the JVM "
+        f"default timezone ({jvm_tz!r}) differs from the Spark session "
+        f"timezone ({sess_tz!r}) — chunk-predicate wall-clock literals "
+        "would be interpreted with a different offset than they were "
+        "planned with, silently shifting every scan window.  Align "
+        "them (e.g. -Duser.timezone=UTC and "
+        "spark.sql.session.timeZone=UTC) or store the column as "
+        "TIMESTAMP_NTZ."
+    )
+
+
 def run_and_append(
     spark: SparkSession,
     config: PipelineConfig,
     source_df: DataFrame | None = None,
 ) -> int:
-    """Execute the copy into the configured sink; returns rows written."""
+    """Execute the copy into the configured sink; returns rows written.
+
+    The row count rides the write itself via an ``Observation`` — one
+    source pass, and the number reported is exactly what the sink
+    received (a separate pre-count would re-scan the source and could
+    disagree with the write under concurrent source inserts)."""
+    from pyspark.sql import Observation
+
     result, _ = run_copy_pipeline(spark, config, source_df)
     if config.dest_path is None:
         raise ValueError("dest_path (or a BigQuery dataset) is required")
-    n = result.count()
-    parquet_append(result, config.dest_path)
-    return n
+    obs = Observation()
+    observed = result.observe(obs, F.count(F.lit(1)).alias("n"))
+    parquet_append(observed, config.dest_path)
+    return int(obs.get["n"])

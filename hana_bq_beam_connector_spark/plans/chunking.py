@@ -46,14 +46,40 @@ class Interval:
         """SQL predicate string for spark.read.jdbc(predicates=...).
 
         With a time-typed ``dtype`` the µs-domain bounds render as
-        JDBC timestamp-escape literals ``{ts '...'}`` — the one form
-        every JDBC driver (HANA, Derby, Postgres, ...) translates to
-        its native literal, unlike ANSI ``TIMESTAMP '...'`` which
-        Derby rejects.  Typed binds, quirk #3 fixed — the reference
-        binds strings against numeric columns (HanaToDBRow.java:
-        107-109).  An infinite upper bound simply omits the upper cut.
-        Numeric columns keep numeric literals.
+        JDBC timestamp-escape literals ``{ts '...'}`` (date columns:
+        ``{d '...'}`` with day-ceiling bounds, exact because date
+        values are day-aligned) — the one form every JDBC driver
+        (HANA, Derby, Postgres, ...) translates to its native literal,
+        unlike ANSI ``TIMESTAMP '...'`` which Derby rejects.  Typed
+        binds, quirk #3 fixed — the reference binds strings against
+        numeric columns (HanaToDBRow.java:107-109).  An infinite upper
+        bound simply omits the upper cut on EVERY branch (a MAX-value
+        sentinel would strictly-exclude rows at the sentinel — the
+        reference's hardcoded-2000000000 quirk reborn).  Numeric
+        columns keep numeric literals; integer-valued bounds render as
+        integer literals so a DOUBLE literal never meets a BIGINT
+        column.
         """
+        if dtype == "date":
+            from hana_bq_beam_connector_spark.tsdomain import (
+                _epoch_us_datetime,
+            )
+
+            day_us = 86_400_000_000
+
+            def d_lit(v: float) -> str:
+                # day-ceiling: date d (day-aligned) satisfies
+                # d_us >= lo  <=>  d >= ceil_day(lo), and
+                # d_us <  hi  <=>  d <  ceil_day(hi)
+                us = int(math.ceil(v / day_us) * day_us)
+                return (
+                    f"{{d '{_epoch_us_datetime(us).strftime('%Y-%m-%d')}'}}"
+                )
+
+            pred = f"{column} >= {d_lit(self.lo)}"
+            if not math.isinf(self.hi):
+                pred += f" AND {column} < {d_lit(self.hi)}"
+            return pred
         if dtype is not None and dtype.startswith("timestamp"):
             from hana_bq_beam_connector_spark.tsdomain import (
                 _epoch_us_datetime,
@@ -69,8 +95,14 @@ class Interval:
             if not math.isinf(self.hi):
                 pred += f" AND {column} < {ts_lit(self.hi)}"
             return pred
-        hi = "9223372036854775807" if math.isinf(self.hi) else repr(self.hi)
-        return f"{column} >= {self.lo!r} AND {column} < {hi}"
+
+        def num_lit(v: float) -> str:
+            return repr(int(v)) if float(v).is_integer() else repr(v)
+
+        pred = f"{column} >= {num_lit(self.lo)}"
+        if not math.isinf(self.hi):
+            pred += f" AND {column} < {num_lit(self.hi)}"
+        return pred
 
 
 def _numeric_ts(df: DataFrame, column: str) -> DataFrame:
@@ -106,19 +138,43 @@ def equi_depth_intervals(
     """
     if chunk_rows <= 0:
         raise ValueError(f"chunk_rows must be positive, got {chunk_rows}")
+    from hana_bq_beam_connector_spark.colutil import resolve_column
+    from hana_bq_beam_connector_spark.tsdomain import INTEGRAL_TYPES
+
+    _, dtype = resolve_column(df, column)
+    # Integer-valued domains (native integrals, epoch-µs time columns)
+    # get integer split points: approxQuantile's doubles lose exactness
+    # above 2^53, but FLOORED splits keep every boundary an exact
+    # integer literal — consecutive intervals still share boundaries,
+    # so the partition-union property holds regardless of where the
+    # (approximate anyway) split lands.
+    int_domain = (
+        dtype in INTEGRAL_TYPES
+        or dtype.startswith("timestamp")
+        or dtype == "date"
+    )
     windowed = _numeric_ts(df, column).where(
         (F.col("__ts") >= start) & (F.col("__ts") < end)
     )
-    n = windowed.count()
-    if n == 0:
-        return [Interval(start, end)]
-    n_chunks = max(1, math.ceil(n / chunk_rows))
-    if n_chunks == 1:
-        return [Interval(start, end)]
-    probs = [i / n_chunks for i in range(1, n_chunks)]
-    splits = windowed.approxQuantile("__ts", probs, relative_error)
+    # Two planning actions (count + quantile sketch) read this frame;
+    # without persist each is a full source scan — over JDBC that is
+    # the whole table through one connection, twice.
+    windowed.persist()
+    try:
+        n = windowed.count()
+        if n == 0:
+            return [Interval(start, end)]
+        n_chunks = max(1, math.ceil(n / chunk_rows))
+        if n_chunks == 1:
+            return [Interval(start, end)]
+        probs = [i / n_chunks for i in range(1, n_chunks)]
+        splits = windowed.approxQuantile("__ts", probs, relative_error)
+    finally:
+        windowed.unpersist()
     bounds: list[float] = [start]
     for s in splits:
+        if int_domain:
+            s = float(math.floor(s))
         # Quantiles can repeat under heavy skew; keep bounds strictly
         # increasing so every interval is non-empty by construction.
         if s > bounds[-1]:

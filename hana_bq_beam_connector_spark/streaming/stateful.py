@@ -25,7 +25,7 @@ over the cluster — viable where a collected set would not be.
 from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
-from typing import TYPE_CHECKING, Any
+from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -37,10 +37,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-if TYPE_CHECKING:  # pragma: no cover
-    pass
-
-_KEY_OUT = StructType([StructField("user_id", LongType())])
 _FLAG_STATE = StructType([StructField("seen", LongType())])
 
 _TOTALS_OUT = StructType(
@@ -58,18 +54,6 @@ _TOTALS_STATE = StructType(
 )
 
 
-def _first_sight(
-    key: tuple[Any, ...],
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    for _ in pdfs:  # drain; row contents are irrelevant to dedup
-        pass
-    if not state.exists:
-        state.update((1,))
-        yield pd.DataFrame({"user_id": [key[0]]})
-
-
 def stateful_distinct_keys(
     events: DataFrame, key_col: str = "user_id"
 ) -> DataFrame:
@@ -77,13 +61,34 @@ def stateful_distinct_keys(
 
     Equivalent to ``SELECT DISTINCT key`` maintained incrementally
     forever — the streaming counterpart of operators/dedup.py's
-    exact_dedup, with per-key state instead of a global shuffle."""
+    exact_dedup, with per-key state instead of a global shuffle.  The
+    output schema mirrors the actual key column (name AND type), so
+    any groupable key works, not just a long ``user_id``.  Unbounded
+    key domains need eviction to cap the state store — pair with an
+    upstream watermark + ``dedup_within_watermark`` when the key
+    population grows without bound."""
+    key_field = events.schema[key_col]
+    out_schema = StructType(
+        [StructField(key_field.name, key_field.dataType)]
+    )
+
+    def first_sight(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        for _ in pdfs:  # drain; row contents are irrelevant to dedup
+            pass
+        if not state.exists:
+            state.update((1,))
+            yield pd.DataFrame({key_field.name: [key[0]]})
+
     return (
         events.select(key_col)
         .groupBy(key_col)
         .applyInPandasWithState(
-            _first_sight,
-            outputStructType=_KEY_OUT,
+            first_sight,
+            outputStructType=out_schema,
             stateStructType=_FLAG_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -92,8 +92,14 @@ def test_all_equal_timestamps(spark):
 def test_predicates_render(events):
     intervals = [Interval(0.0, 10.5), Interval(10.5, float("inf"))]
     preds = intervals_to_jdbc_predicates(intervals, "ts")
-    assert preds[0] == "ts >= 0.0 AND ts < 10.5"
-    assert "9223372036854775807" in preds[1]
+    # Integer-valued bounds render as integer literals (a DOUBLE
+    # literal against a BIGINT column is a remote-DB type hazard);
+    # fractional bounds keep their exact repr.
+    assert preds[0] == "ts >= 0 AND ts < 10.5"
+    # An infinite upper bound OMITS the cut — a MAX-value sentinel
+    # would strictly-exclude rows at the sentinel (the reference's
+    # hardcoded-2000000000 quirk reborn).
+    assert preds[1] == "ts >= 10.5"
 
 
 def test_chunk_rows_validation(events):

@@ -1230,3 +1230,30 @@ def test_compact_dedup_index_preserves_rejections(spark, sf_dir, tmp_path):
     # Idempotent second compaction folds the new batch in too.
     stats2 = compact_dedup_index(spark, index_dir)
     assert stats2 == {"sh": 2, "bands": 2}
+
+
+def test_stateful_distinct_keys_string_key(spark, events, stream_dir, tmp_path):
+    """The output schema must mirror the key column's name AND type —
+    a string event_type key used to crash against the hard-coded
+    (user_id, long) schema."""
+    from hana_bq_beam_connector_spark.streaming.stateful import (
+        stateful_distinct_keys,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import events_stream
+
+    stream = events_stream(spark, stream_dir)
+    run_available_now(
+        stateful_distinct_keys(stream, key_col="event_type"),
+        "distinct_types_t",
+        str(tmp_path / "ckpt_sk"),
+        mode="append",
+    )
+    got = {
+        r["event_type"]
+        for r in spark.sql("SELECT event_type FROM distinct_types_t").collect()
+    }
+    want = {
+        r["event_type"]
+        for r in events.select("event_type").distinct().collect()
+    }
+    assert got == want and len(got) == 5
