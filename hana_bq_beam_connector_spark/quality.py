@@ -34,7 +34,7 @@ class QualityViolation(RuntimeError):
 def observe_quality(
     df: DataFrame,
     checks: dict[str, Column] | None = None,
-    name: str = "quality",
+    name: str | None = None,
 ) -> tuple[DataFrame, Observation]:
     """Attach row-count + caller metrics to ``df``'s next action.
 
@@ -42,6 +42,11 @@ def observe_quality(
     an aggregate expression (Spark enforces this); they evaluate
     during the action that consumes the returned frame — reading
     ``observation.get`` before any action blocks, after it is O(1).
+
+    ``name`` defaults to auto-unique: two audited frames composed
+    into ONE query (audit the source, transform, audit the output)
+    would otherwise both register the same observed-metric name and
+    fail analysis at the action.
     """
     metrics: dict[str, Column] = {"rows": F.count(F.lit(1))}
     if checks:
@@ -49,15 +54,22 @@ def observe_quality(
         if overlap:
             raise ValueError(f"reserved metric names: {sorted(overlap)}")
         metrics.update(checks)
-    obs = Observation(name)
+    obs = Observation(name) if name is not None else Observation()
     audited = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
     return audited, obs
 
 
 def null_rate_checks(df: DataFrame, cols: list[str]) -> dict[str, Column]:
-    """Per-column null counters (join with ``rows`` for the rate)."""
+    """Per-column null counters (join with ``rows`` for the rate).
+
+    Coalesced to 0: a SUM over zero rows is SQL NULL, which would make
+    an EMPTY batch (a legitimate no-op window) observe ``None`` and
+    spuriously fail an ``expected = 0`` expectation."""
     return {
-        f"nulls_{c}": F.sum(F.col(c).isNull().cast("long")) for c in cols
+        f"nulls_{c}": F.coalesce(
+            F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+        )
+        for c in cols
     }
 
 

@@ -13,8 +13,9 @@ Spark's bucketing rides the session catalog (``saveAsTable``); plain
 
 from __future__ import annotations
 
+import os
 import shutil
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -26,7 +27,15 @@ def _drop_stale(spark: SparkSession, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
     if warehouse.scheme in ("", "file"):
-        shutil.rmtree(f"{warehouse.path}/{table.lower()}", ignore_errors=True)
+        # unquote: the conf value is a URI (%20 for spaces); qualified
+        # names live under <warehouse>/<db>.db/<tbl>, unqualified under
+        # the default database's directory root.
+        root = unquote(warehouse.path)
+        parts = table.lower().split(".")
+        rel = (
+            f"{parts[0]}.db/{parts[1]}" if len(parts) == 2 else parts[0]
+        )
+        shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
 
 
 def write_bucketed(

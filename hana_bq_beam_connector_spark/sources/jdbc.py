@@ -47,9 +47,12 @@ def jdbc_scan(
       Spark's stock mode, fine for near-uniform keys.
 
     ``ts_dtype`` is the timestamp column's Spark dtype, used to render
-    interval predicates as typed literals (TIMESTAMP columns get ANSI
-    ``TIMESTAMP '...'`` bounds).  When omitted it is resolved with a
-    driver-side metadata read (``ResultSetMetaData``, no row transfer).
+    interval predicates as typed literals (timestamp columns get JDBC
+    escape literals ``{ts '...'}`` — the one form every driver
+    translates; Derby rejects ANSI ``TIMESTAMP '...'`` — and date
+    columns get ``{d '...'}``; see plans/chunking.Interval).  When
+    omitted it is resolved with a driver-side metadata read
+    (``ResultSetMetaData``, no row transfer).
     """
     if config.connection_string is None:
         raise ValueError("connection_string is required for jdbc_scan")
@@ -74,12 +77,22 @@ def jdbc_scan(
             properties=config.jdbc_properties,
         )
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "uniform-stride mode needs lower_bound AND upper_bound "
+                f"for partition_column {partition_column!r} (got "
+                f"{lower_bound!r}, {upper_bound!r}); use intervals= for "
+                "plan-driven chunking without explicit bounds"
+            )
+        # Pass bounds through untouched: Spark's stride mode accepts
+        # numeric AND date/timestamp-string bounds; an int() cast here
+        # would reject the latter.
         return reader.jdbc(
             url=config.connection_string,
             table=config.table_name,
             column=partition_column,
-            lowerBound=int(lower_bound),
-            upperBound=int(upper_bound),
+            lowerBound=lower_bound,
+            upperBound=upper_bound,
             numPartitions=num_partitions or 32,
             properties=config.jdbc_properties,
         )

@@ -52,6 +52,13 @@ HANA_TO_BQ: dict[str, str] = {
     "DATE": "DATE",
     "TIME": "TIME",
     "DATETIME": "DATETIME",
+    # HANA's ACTUAL timestamp catalog types — the reference's map has
+    # only the nonexistent "DATETIME" (HanaToBQ.java:59-81), so every
+    # table with a timestamp column aborts (SURVEY quirk: the pipeline
+    # chunks on exactly such a column).  Both are wall-clock values →
+    # TIMESTAMP_NTZ.
+    "TIMESTAMP": "DATETIME",
+    "SECONDDATE": "DATETIME",
     "BOOLEAN": "BOOLEAN",
     "TINYINT": "INTEGER",
     "SMALLINT": "INTEGER",
@@ -68,9 +75,17 @@ class UnknownHanaTypeError(ValueError):
 
 
 def hana_to_spark_type(
-    hana_type: str, *, decimal_as_double: bool = False
+    hana_type: str,
+    *,
+    decimal_as_double: bool = False,
+    precision: int | None = None,
+    scale: int | None = None,
 ) -> DataType:
-    """Map one HANA catalog type name to the Spark type we ingest as."""
+    """Map one HANA catalog type name to the Spark type we ingest as.
+
+    ``precision``/``scale`` carry the catalog's LENGTH/SCALE for
+    DECIMAL columns; without them the non-lossy (38, 18) fallback
+    applies."""
     name = hana_type.upper()
     if name not in HANA_TO_BQ:
         raise UnknownHanaTypeError(
@@ -78,7 +93,12 @@ def hana_to_spark_type(
             "(reference aborts here too, HanaToBQ.java:129-132)"
         )
     if name in ("DECIMAL", "SMALLDECIMAL") and not decimal_as_double:
-        return DecimalType(38, 18)  # non-lossy default; ref uses FLOAT
+        if precision is not None:
+            # Catalog-exact mapping: a DECIMAL(38,0) surrogate key
+            # under a blanket (38,18) would keep only 20 integer
+            # digits and corrupt keys silently.
+            return DecimalType(precision, scale or 0)
+        return DecimalType(38, 18)  # fallback; ref uses FLOAT
     if name in ("BLOB", "VARBINARY"):
         return BinaryType()  # non-lossy; ref stringifies BLOB
     bq = HANA_TO_BQ[name]
@@ -96,11 +116,15 @@ def hana_to_spark_type(
 
 @dataclass(frozen=True)
 class CatalogColumn:
-    """One row of HANA's TABLE_COLUMNS catalog (name, type, position)."""
+    """One row of HANA's TABLE_COLUMNS catalog (name, type, position,
+    and for DECIMAL columns the catalog LENGTH/SCALE — without them
+    the mapping falls back to DecimalType(38, 18))."""
 
     column_name: str
     data_type_name: str
     position: int
+    precision: int | None = None
+    scale: int | None = None
 
 
 def catalog_to_schema(
@@ -115,7 +139,10 @@ def catalog_to_schema(
             StructField(
                 c.column_name,
                 hana_to_spark_type(
-                    c.data_type_name, decimal_as_double=decimal_as_double
+                    c.data_type_name,
+                    decimal_as_double=decimal_as_double,
+                    precision=c.precision,
+                    scale=c.scale,
                 ),
                 nullable=True,
             )

@@ -214,3 +214,32 @@ def test_overwrite_partitions_replaces_only_incoming_days(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
         != "dynamic"
     )
+
+
+def test_quality_checks_empty_batch_and_composed_observations(spark, tmp_path):
+    """An empty window must observe 0 nulls (not SQL NULL -> spurious
+    violation), and two audited frames composed into one query must
+    not collide on observation names."""
+    from hana_bq_beam_connector_spark.quality import (
+        assert_expectations,
+        null_rate_checks,
+        observe_quality,
+    )
+
+    empty = spark.range(0).selectExpr("id AS user_id")
+    audited, obs = observe_quality(
+        empty, null_rate_checks(empty, ["user_id"])
+    )
+    audited.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["rows"] == 0 and m["nulls_user_id"] == 0
+    assert_expectations(m, {"nulls_user_id": 0})  # must not raise
+
+    # Composition: audit the source AND the transformed output in the
+    # same action — auto-unique names keep both observations legal.
+    src = spark.range(10).selectExpr("id AS user_id")
+    a1, o1 = observe_quality(src, null_rate_checks(src, ["user_id"]))
+    out = a1.where("user_id >= 5")
+    a2, o2 = observe_quality(out, null_rate_checks(out, ["user_id"]))
+    a2.write.format("noop").mode("overwrite").save()
+    assert o1.get["rows"] == 10 and o2.get["rows"] == 5

@@ -54,8 +54,31 @@ def test_type_map_exhaustive(hana, expected):
 
 
 def test_type_map_covers_all_21_reference_entries():
-    # HanaToBQ.java:59-81 has exactly 21 entries.
-    assert len(HANA_TO_BQ) == 21
+    # HanaToBQ.java:59-81 has exactly 21 entries, plus the engine's
+    # two fixes for HANA's REAL timestamp catalog types (TIMESTAMP,
+    # SECONDDATE) — the reference maps only the nonexistent
+    # "DATETIME", so any table with a timestamp column aborts there.
+    assert len(HANA_TO_BQ) == 23
+    assert {"TIMESTAMP", "SECONDDATE"} <= set(HANA_TO_BQ)
+
+
+def test_hana_timestamp_types_map_to_ntz(spark):
+    from pyspark.sql.types import TimestampNTZType
+
+    assert hana_to_spark_type("TIMESTAMP") == TimestampNTZType()
+    assert hana_to_spark_type("SECONDDATE") == TimestampNTZType()
+
+
+def test_decimal_catalog_precision_respected():
+    from pyspark.sql.types import DecimalType
+
+    assert hana_to_spark_type(
+        "DECIMAL", precision=38, scale=0
+    ) == DecimalType(38, 0)
+    assert hana_to_spark_type("DECIMAL") == DecimalType(38, 18)
+    cols = [CatalogColumn("id", "DECIMAL", 1, precision=19, scale=0)]
+    schema = catalog_to_schema(cols)
+    assert schema.fields[0].dataType == DecimalType(19, 0)
 
 
 def test_decimal_parity_mode():
