@@ -101,6 +101,7 @@ HEADLINE = [
     "curation_epoch_plan",        # data-constrained epoch planner
     "join_small_qty_avg_fraction",  # TPC-H Q17 decorrelated threshold
     "agg_sales_opportunity",      # TPC-H Q22 rich-but-inactive rollup
+    "etl_reconcile_verdicts",     # per-bucket copy-verdict classifier
 ]
 
 

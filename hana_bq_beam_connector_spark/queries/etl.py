@@ -444,3 +444,53 @@ def etl_copy_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price_sum"),
     )
+
+
+@register(
+    "etl_reconcile_verdicts",
+    """
+    WITH src AS (
+      SELECT (epoch_us(o_orderdate)
+              - ((epoch_us(o_orderdate) % 86400000000) + 86400000000)
+                % 86400000000) AS bucket_lo,
+             COUNT(*) AS src_rows,
+             BIT_XOR(o_orderkey) AS src_xor,
+             CAST(SUM(o_orderkey) AS BIGINT) AS src_sum
+      FROM orders GROUP BY bucket_lo
+    ),
+    snk AS (
+      SELECT (epoch_us(o_orderdate)
+              - ((epoch_us(o_orderdate) % 86400000000) + 86400000000)
+                % 86400000000) AS bucket_lo,
+             COUNT(*) AS sink_rows,
+             BIT_XOR(o_orderkey) AS sink_xor,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sink_sum
+      FROM orders WHERE o_orderkey % 50 <> 0 GROUP BY bucket_lo
+    )
+    SELECT COALESCE(src.bucket_lo, snk.bucket_lo) AS bucket_lo,
+           CASE WHEN snk.sink_rows IS NULL THEN 'missing_in_sink'
+                WHEN src.src_rows IS NULL THEN 'extra_in_sink'
+                WHEN src.src_rows = snk.sink_rows
+                     AND src.src_xor = snk.sink_xor
+                     AND src.src_sum = snk.sink_sum THEN 'ok'
+                ELSE 'mismatch' END AS status,
+           src.src_rows, snk.sink_rows
+    FROM src FULL OUTER JOIN snk ON src.bucket_lo = snk.bucket_lo
+    """,
+    doc="Copy-reconciliation verdicts under the oracle gate: the sink "
+    "simulates a lossy copy (every 50th key dropped), and "
+    "plans/reconcile.reconcile_chunks must classify every day bucket "
+    "as ok / mismatch / missing exactly as the SQL replay does — "
+    "this puts the CLI --reconcile operator itself (fingerprint "
+    "aggregates, floor bucketing, full-outer verdict logic) under "
+    "the driver's value-hash check, not just unit tests.  Two "
+    "map-side-combined fingerprint aggregates + an O(buckets) join.",
+)
+def etl_reconcile_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.plans.reconcile import (
+        reconcile_chunks,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    sink = o.where(F.col("o_orderkey") % 50 != 0)
+    return reconcile_chunks(o, sink, "o_orderdate", "o_orderkey")
