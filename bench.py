@@ -102,6 +102,8 @@ HEADLINE = [
     "join_small_qty_avg_fraction",  # TPC-H Q17 decorrelated threshold
     "agg_sales_opportunity",      # TPC-H Q22 rich-but-inactive rollup
     "etl_reconcile_verdicts",     # per-bucket copy-verdict classifier
+    # round-5 additions
+    "etl_reconcile_payload_verdicts",  # full-row-hash corruption catcher
 ]
 
 

@@ -81,15 +81,29 @@ def build_parser() -> argparse.ArgumentParser:
         "--reconcile",
         action="store_true",
         help="don't copy: fingerprint source and sink per day bucket "
-        "(row count + order-insensitive key XOR/sum) and print every "
-        "bucket that is missing, extra, or corrupted — equal counts "
-        "with different fingerprints catch substituted rows.  Each "
-        "reported bucket is a [start, end) window re-runnable through "
-        "a normal copy run.  Needs --key-column.",
+        "(row count + order-insensitive key XOR/sum + canonicalized "
+        "full-row hash XOR) and print every bucket that is missing, "
+        "extra, or corrupted — equal counts with different "
+        "fingerprints catch substituted or payload-mangled rows.  "
+        "Each reported bucket is a [start, end) window re-runnable "
+        "through a normal copy run.  Needs --key-column.",
     )
     p.add_argument(
         "--key-column",
         help="integral key column for --reconcile fingerprints",
+    )
+    p.add_argument(
+        "--measure-columns",
+        help="comma-separated numeric columns whose exact-decimal "
+        "sums join the --reconcile fingerprint (doubles rounded at "
+        "6 dp, deterministically)",
+    )
+    p.add_argument(
+        "--keys-only-fingerprint",
+        action="store_true",
+        help="--reconcile compatibility mode for sides with different "
+        "shapes (e.g. a --stringify copy): skip the full-row hash and "
+        "compare count/key/measure fingerprints only",
     )
     p.add_argument(
         "--check-schema-drift",
@@ -197,9 +211,19 @@ def main(argv: list[str] | None = None) -> int:
                 f"--reconcile: sink {args.dest_path} does not exist "
                 "(run --plan-backfill for a full-copy plan instead)"
             )
+        measures = (
+            [c.strip() for c in args.measure_columns.split(",") if c.strip()]
+            if args.measure_columns
+            else None
+        )
         verdicts = (
             reconcile_chunks(
-                source, sink, config.timestamp_column, args.key_column
+                source,
+                sink,
+                config.timestamp_column,
+                args.key_column,
+                measure_cols=measures,
+                full_row=not args.keys_only_fingerprint,
             )
             .where(F.col("status") != "ok")
             .orderBy("bucket_lo")

@@ -55,8 +55,14 @@ def apply_cdc(
     (the conventional compaction rule) and ``validate=True`` (default)
     raises on multi-U/I keys instead of silently emitting a
     duplicate-key snapshot — an eager driver-side check costing one
-    extra aggregation over the DELTA (never the base); streaming
+    aggregation over the DELTA (never the base), sharing the delta's
+    scan/window with the returned plan via persist; streaming
     callers that cannot afford it pass a seq_col or validate=False.
+
+    ``validate=True`` additionally rejects ``op_col`` values outside
+    ('D', 'U', 'I') in BOTH branches: an unknown op otherwise acts as
+    a silent DELETE — its key joins the touched set (leaves the base)
+    but a non-U/I row never survives to re-add it.
     """
     cols = base.columns
     allowed = (*cols, op_col) + ((seq_col,) if seq_col else ())
@@ -66,24 +72,46 @@ def apply_cdc(
     if seq_col is not None:
         # Last-op-wins: one row per key survives the window (op
         # precedence 'U' > 'I' > 'D' on seq ties via string descent);
-        # its op then routes the key to delete or upsert.
+        # its op then routes the key to delete or upsert.  The
+        # ambiguity check rides the SAME window pass as the selection:
+        # a tie on (seq, op) is exactly "the next row in the ordered
+        # partition carries the same (seq, op)", i.e. lead() == self —
+        # no second aggregation job.  The annotated delta is persisted
+        # so the eager check and the returned plan share one
+        # computation (delta-bounded; the ContextCleaner frees it once
+        # the snapshot frame is dropped).
+        w = Window.partitionBy(key).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
+        top_key = F.struct(F.col(seq_col), F.col(op_col))
+        annotated = changes.select(
+            "*",
+            F.row_number().over(w).alias("_cdc_rn"),
+            (F.lead(top_key).over(w) == top_key).alias("_cdc_tie"),
+        )
         if validate:
-            # Two rows tying on (key, seq, op) with different payloads
-            # make the winner arbitrary — the snapshot would not be
-            # reproducible across replays.  Same eager delta-bounded
-            # check as the no-seq branch: detect a non-unique maximum.
-            w_top = Window.partitionBy(key)
-            top_key = F.struct(F.col(seq_col), F.col(op_col))
-            amb = (
-                changes.withColumn("_cdc_top", F.max(top_key).over(w_top))
-                .where(top_key == F.col("_cdc_top"))
-                .groupBy(key)
-                .count()
-                .where(F.col("count") > 1)
-                .limit(1)
-                .count()
-            )
-            if amb:
+            annotated = annotated.persist()
+            flags = annotated.agg(
+                F.max(
+                    F.when(
+                        (F.col("_cdc_rn") == 1) & F.col("_cdc_tie"), 1
+                    ).otherwise(0)
+                ).alias("tie"),
+                F.max(
+                    F.when(
+                        ~F.col(op_col).isin("D", "U", "I"), 1
+                    ).otherwise(0)
+                ).alias("badop"),
+            ).first()
+            if flags and flags["badop"]:
+                raise ValueError(
+                    f"apply_cdc: change batch carries {op_col!r} values "
+                    "outside ('D', 'U', 'I') — an unknown op on the "
+                    "last-wins row would silently delete its key.  Fix "
+                    "the op column (or map your CDC source's markers "
+                    "onto D/U/I) before applying."
+                )
+            if flags and flags["tie"]:
                 raise ValueError(
                     "apply_cdc: change batch carries rows tying on "
                     f"({key!r}, {seq_col!r}, {op_col!r}) — the winner "
@@ -92,38 +120,65 @@ def apply_cdc(
                     "(LSN, not second-granularity timestamps) or "
                     "pre-dedupe the batch."
                 )
-        w = Window.partitionBy(key).orderBy(
-            F.col(seq_col).desc(), F.col(op_col).desc()
-        )
-        latest = (
-            changes.withColumn("_cdc_rn", F.row_number().over(w))
-            .where(F.col("_cdc_rn") == 1)
-            .drop("_cdc_rn")
+        latest = annotated.where(F.col("_cdc_rn") == 1).drop(
+            "_cdc_rn", "_cdc_tie"
         )
         survivors = latest.where(F.col(op_col).isin("U", "I"))
-        touched = changes.select(key).distinct()
+        touched = annotated.select(key).distinct()
         kept = base.join(touched, on=key, how="left_anti")
         return kept.unionByName(survivors.select(*cols))
-    deletes = changes.where(F.col(op_col) == "D").select(key).distinct()
-    # D wins over U on the same key: drop updates whose key is deleted.
-    survivors = changes.where(F.col(op_col).isin("U", "I")).join(
-        deletes, on=key, how="left_anti"
-    )
     if validate:
-        dup = (
-            survivors.groupBy(key)
-            .count()
-            .where(F.col("count") > 1)
-            .limit(1)
-            .count()
+        # One aggregation job over the (persisted) delta decides both
+        # error classes — multiple surviving U/I rows per key, and ops
+        # outside the D/U/I domain (an unknown op acts as a silent
+        # delete: its key is touched but never re-added).  Persisting
+        # means the returned plan reuses this scan instead of
+        # re-deriving the delta.
+        changes = changes.persist()
+        flags = (
+            changes.groupBy(key)
+            .agg(
+                F.sum(
+                    F.when(F.col(op_col).isin("U", "I"), 1).otherwise(0)
+                ).alias("_n_ui"),
+                F.max(
+                    F.when(F.col(op_col) == "D", 1).otherwise(0)
+                ).alias("_has_d"),
+                F.max(
+                    F.when(
+                        ~F.col(op_col).isin("D", "U", "I"), 1
+                    ).otherwise(0)
+                ).alias("_bad"),
+            )
+            .agg(
+                F.max(
+                    F.when(
+                        (F.col("_n_ui") > 1) & (F.col("_has_d") == 0), 1
+                    ).otherwise(0)
+                ).alias("dup"),
+                F.max("_bad").alias("badop"),
+            )
+            .first()
         )
-        if dup:
+        if flags and flags["badop"]:
+            raise ValueError(
+                f"apply_cdc: change batch carries {op_col!r} values "
+                "outside ('D', 'U', 'I') — unknown ops would be "
+                "silently ignored.  Fix the op column (or map your "
+                "CDC source's markers onto D/U/I) before applying."
+            )
+        if flags and flags["dup"]:
             raise ValueError(
                 "apply_cdc: change batch carries multiple U/I rows for "
                 f"one {key!r} and no seq_col was given — the result "
                 "would not be a valid keyed snapshot.  Pass seq_col "
                 "for last-wins resolution or pre-dedupe the batch."
             )
+    deletes = changes.where(F.col(op_col) == "D").select(key).distinct()
+    # D wins over U on the same key: drop updates whose key is deleted.
+    survivors = changes.where(F.col(op_col).isin("U", "I")).join(
+        deletes, on=key, how="left_anti"
+    )
     touched = changes.select(key).distinct()
     kept = base.join(touched, on=key, how="left_anti")
     return kept.unionByName(survivors.select(*cols))

@@ -494,3 +494,91 @@ def etl_reconcile_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     sink = o.where(F.col("o_orderkey") % 50 != 0)
     return reconcile_chunks(o, sink, "o_orderdate", "o_orderkey")
+
+
+@register(
+    "etl_reconcile_payload_verdicts",
+    """
+    SELECT (epoch_us(o_orderdate)
+            - ((epoch_us(o_orderdate) % 86400000000) + 86400000000)
+              % 86400000000) AS bucket_lo,
+           CASE WHEN SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+                     > 0
+                THEN 'mismatch' ELSE 'ok' END AS status,
+           COUNT(*) AS src_rows,
+           COUNT(*) AS sink_rows
+    FROM orders GROUP BY bucket_lo
+    """,
+    doc="Payload-corruption reconciliation under the oracle gate: the "
+    "sink keeps every key, count and timestamp but mangles a STRING "
+    "column on every 97th key (the classic encoding-corrupts-text "
+    "copy failure, invisible to count/key fingerprints).  The "
+    "canonicalized full-row xxhash64 XOR (plans/reconcile.row_hash) "
+    "must flag exactly the buckets containing a corrupted row as "
+    "'mismatch' — the DuckDB replay derives the same verdict from the "
+    "corruption predicate itself.  Still one map-side-combined "
+    "aggregate per side; the row hash widens the shuffle by one "
+    "bigint per bucket, not per row.",
+)
+def etl_reconcile_payload_verdicts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hana_bq_beam_connector_spark.plans.reconcile import (
+        reconcile_chunks,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    sink = o.withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.concat(F.col("o_orderpriority"), F.lit("?")),
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    return reconcile_chunks(o, sink, "o_orderdate", "o_orderkey")
+
+
+@register(
+    "etl_reconcile_measure_verdicts",
+    """
+    SELECT (epoch_us(o_orderdate)
+            - ((epoch_us(o_orderdate) % 86400000000) + 86400000000)
+              % 86400000000) AS bucket_lo,
+           CASE WHEN SUM(CASE WHEN o_orderkey % 89 = 0 THEN 1 ELSE 0 END)
+                     > 0
+                THEN 'mismatch' ELSE 'ok' END AS status,
+           COUNT(*) AS src_rows,
+           COUNT(*) AS sink_rows
+    FROM orders GROUP BY bucket_lo
+    """,
+    doc="Measure-sum reconciliation in keys-only mode (the shape for "
+    "stringified or re-typed copies where the full-row hash cannot "
+    "apply): every 89th key's o_totalprice is shifted by +1 cent in "
+    "the sink; counts and key XOR/sum still match, so ONLY the "
+    "exact-decimal measure sum (doubles rounded at 6 dp by the "
+    "decimal cast — deterministic and order-insensitive, unlike "
+    "native double summation) separates 'ok' from 'mismatch'.  The "
+    "DuckDB replay derives verdicts from the corruption predicate.",
+)
+def etl_reconcile_measure_verdicts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hana_bq_beam_connector_spark.plans.reconcile import (
+        reconcile_chunks,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    sink = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 0.01
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return reconcile_chunks(
+        o,
+        sink,
+        "o_orderdate",
+        "o_orderkey",
+        measure_cols=["o_totalprice"],
+        full_row=False,
+    )

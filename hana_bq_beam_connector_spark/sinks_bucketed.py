@@ -32,9 +32,21 @@ def _drop_stale(spark: SparkSession, table: str) -> None:
         # the default database's directory root.
         root = unquote(warehouse.path)
         parts = table.lower().split(".")
-        rel = (
-            f"{parts[0]}.db/{parts[1]}" if len(parts) == 2 else parts[0]
-        )
+        if len(parts) == 1:
+            rel = parts[0]
+        elif len(parts) == 2:
+            rel = f"{parts[0]}.db/{parts[1]}"
+        elif len(parts) == 3:
+            # catalog.db.tbl: the warehouse path never contains the
+            # catalog segment — rmtree'ing '<warehouse>/<catalog>'
+            # would miss the stale dir AND could delete an unrelated
+            # one that happens to share the catalog's name.
+            rel = f"{parts[1]}.db/{parts[2]}"
+        else:
+            raise ValueError(
+                f"write_bucketed: unexpected table name shape {table!r} "
+                "(want tbl, db.tbl, or catalog.db.tbl)"
+            )
         shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
 
 

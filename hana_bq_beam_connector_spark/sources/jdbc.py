@@ -84,18 +84,22 @@ def jdbc_scan(
                 f"{lower_bound!r}, {upper_bound!r}); use intervals= for "
                 "plan-driven chunking without explicit bounds"
             )
-        # Pass bounds through untouched: Spark's stride mode accepts
-        # numeric AND date/timestamp-string bounds; an int() cast here
-        # would reject the latter.
-        return reader.jdbc(
-            url=config.connection_string,
-            table=config.table_name,
-            column=partition_column,
-            lowerBound=lower_bound,
-            upperBound=upper_bound,
-            numPartitions=num_partitions or 32,
-            properties=config.jdbc_properties,
+        # Route stride mode through the option API: the JVM reader
+        # accepts numeric AND date/timestamp-string bounds there,
+        # whereas DataFrameReader.jdbc() applies int(lowerBound) and
+        # would reject '2021-01-01'.
+        opt_reader = (
+            spark.read.format("jdbc")
+            .option("url", config.connection_string)
+            .option("dbtable", config.table_name)
+            .option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 32))
         )
+        for k, v in (config.jdbc_properties or {}).items():
+            opt_reader = opt_reader.option(k, v)
+        return opt_reader.load()
     return reader.jdbc(
         url=config.connection_string,
         table=config.table_name,

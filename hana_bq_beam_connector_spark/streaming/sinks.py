@@ -491,7 +491,14 @@ def compact_dedup_index(spark, index_dir: str) -> dict:
             continue  # nothing to fold
         max_id = max(numeric)
         dest = os.path.join(root, f"batch_compacted_{max_id}")
-        tmp = dest + ".inprogress"
+        # Dotted temp name: must NOT match the 'batch_*' prefix that
+        # _read_accumulated and this compactor's own source listing
+        # use, or a crash between the Spark write and the rename would
+        # leave a half-written dir the next run tries to read — a
+        # crash LOOP instead of crash safety.
+        tmp = os.path.join(root, f".tmp_compacted_{max_id}")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # stale leftover from a prior crash
         spark.read.parquet(
             *[os.path.join(root, d) for d in sources]
         ).write.mode("overwrite").parquet(tmp)

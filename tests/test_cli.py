@@ -428,3 +428,63 @@ def test_cli_reconcile_repair_loop(spark, tmp_path, capsys):
                       "--key-column", "event_id"])
     assert rc == 0
     assert "reconcile_mismatches=0" in capsys.readouterr().out
+
+
+def test_cli_reconcile_catches_payload_corruption(spark, tmp_path, capsys):
+    """A sink whose keys, counts and timestamps all survive but whose
+    STRING payload is mangled on one day (the classic
+    encoding-corrupts-text copy failure) must verdict mismatch — the
+    full-row hash closes the key-only fingerprint's blind spot."""
+    from pyspark.sql import functions as F
+
+    from hana_bq_beam_connector_spark.colutil import resolve_column
+    from hana_bq_beam_connector_spark.plans.reconcile import (
+        DAY_US,
+        reconcile_chunks,
+    )
+    from hana_bq_beam_connector_spark.tsdomain import ts_numeric
+
+    src_path = f"{SF}/events.parquet"
+    source = spark.read.parquet(src_path)
+    name, dtype = resolve_column(source, "ts")
+    day = ts_numeric(name, dtype) - ts_numeric(name, dtype) % DAY_US
+    days = sorted(
+        r["d"] for r in source.select(day.alias("d")).distinct().collect()
+    )
+    d_corrupt = days[1]
+    corrupted = source.withColumn(
+        "event_type",
+        F.when(
+            day == d_corrupt, F.concat(F.col("event_type"), F.lit("?"))
+        ).otherwise(F.col("event_type")),
+    )
+    dest = str(tmp_path / "sink")
+    corrupted.write.parquet(dest)
+
+    # Key-only fingerprints are blind to this corruption ...
+    keys_only = reconcile_chunks(
+        source, spark.read.parquet(dest), "ts", "event_id", full_row=False
+    )
+    assert keys_only.where("status != 'ok'").count() == 0
+    # ... the CLI (full-row default) is not.
+    rc = main(
+        [
+            "--table-name", "events",
+            "--timestamp-column", "ts",
+            "--start-time", "0",
+            "--source-parquet", src_path,
+            "--dest-path", dest,
+            "--reconcile",
+            "--key-column", "event_id",
+            "--measure-columns", "value",
+            "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("reconcile_chunk=")]
+    assert len(lines) == 1
+    fields = dict(kv.split("=") for kv in lines[0].split(" "))
+    assert int(fields["reconcile_chunk"]) == d_corrupt
+    assert fields["status"] == "mismatch"
+    assert fields["src_rows"] == fields["sink_rows"]

@@ -201,3 +201,42 @@ def test_jdbc_append_sink_round_trip(spark, derby_url):
     # above, which Derby folds to uppercase).
     got = sorted(r["rid"] for r in back.collect())
     assert got == sorted(list(range(50)) + list(range(10)))
+
+
+def test_jdbc_uniform_stride_date_string_bounds(spark, derby_url):
+    """Stride partitioning over a DATE column with ISO-string bounds:
+    the option-based JDBC path accepts them (DataFrameReader.jdbc()
+    would int()-cast and raise) — sources/jdbc.py stride branch."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE events_dated (d DATE NOT NULL, event_id BIGINT)"
+    )
+    ps = conn.prepareStatement("INSERT INTO events_dated VALUES (?, ?)")
+    for i in range(100):
+        ps.setDate(1, jvm.java.sql.Date.valueOf(f"2021-01-{i % 28 + 1:02d}"))
+        ps.setLong(2, i)
+        ps.addBatch()
+    ps.executeBatch()
+    st.close()
+    conn.close()
+    cfg = PipelineConfig(
+        table_name="events_dated",
+        timestamp_column="d",
+        start_time=0,
+        chunk_size=50,
+        connection_string=derby_url,
+        driver=DERBY_DRIVER,
+    )
+    df = jdbc_scan(
+        spark,
+        cfg,
+        partition_column="d",
+        lower_bound="2021-01-01",
+        upper_bound="2021-01-29",
+        num_partitions=4,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100
+    assert sorted(r["EVENT_ID"] for r in df.collect()) == list(range(100))

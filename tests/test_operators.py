@@ -484,3 +484,39 @@ def test_apply_cdc_seq_tie_raises_unless_validate_off(spark):
         ).collect()
     }
     assert rows == {(9, "z"), (1, "u")}  # U beats D on the tie
+
+
+def test_apply_cdc_rejects_ops_outside_domain(spark):
+    """validate=True refuses op values outside ('D','U','I') in BOTH
+    branches: the seq branch would silently DELETE a key whose
+    last-wins row carries a garbage op (non-U/I winners route to the
+    tombstone path), and the no-seq branch would silently ignore it."""
+    import pytest
+
+    from hana_bq_beam_connector_spark.plans.cdc import apply_cdc
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    bad = spark.createDataFrame(
+        [(1, "x", "d", 10)], ["k", "v", "op", "seq"]  # lowercase marker
+    )
+    with pytest.raises(ValueError, match="outside"):
+        apply_cdc(base, bad, key="k", op_col="op", seq_col="seq")
+    with pytest.raises(ValueError, match="outside"):
+        apply_cdc(base, bad.drop("seq"), key="k", op_col="op")
+    # validate=False keeps the documented behavior: unknown-op rows
+    # act as deletes in BOTH branches (the key lands in the touched
+    # set and nothing re-adds it) — exactly the silent data loss the
+    # default validation exists to catch.
+    for kwargs in ({"seq_col": "seq"}, {}):
+        got = {
+            (r["k"], r["v"])
+            for r in apply_cdc(
+                base,
+                bad if "seq_col" in kwargs else bad.drop("seq"),
+                key="k",
+                op_col="op",
+                validate=False,
+                **kwargs,
+            ).collect()
+        }
+        assert got == {(2, "b")}

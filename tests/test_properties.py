@@ -459,7 +459,13 @@ def test_fingerprint_merge_is_the_whole(spark, rows, split, bucket):
 
     def canon(df):
         return {
-            (r["bucket_lo"], r["n_rows"], r["key_xor"], r["key_sum"])
+            (
+                r["bucket_lo"],
+                r["n_rows"],
+                r["key_xor"],
+                r["key_sum"],
+                r["row_xor"],
+            )
             for r in df.collect()
         }
 
