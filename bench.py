@@ -104,6 +104,7 @@ HEADLINE = [
     "etl_reconcile_verdicts",     # per-bucket copy-verdict classifier
     # round-5 additions
     "etl_reconcile_payload_verdicts",  # full-row-hash corruption catcher
+    "mm_pgm_decode_stats",        # REAL PGM parse -> pixel stats
 ]
 
 

@@ -4,12 +4,18 @@ Image/audio/video travel as opaque ``binary`` columns plus typed
 metadata structs; decode/feature steps are Arrow-batched
 ``mapInPandas`` stages so each executor processes columnar batches —
 the Spark-side plumbing (schema, batch shape, partition flow) is real
-and tested.  The actual codec calls are STUBBED deterministically
-(this container ships no image/audio libraries): ``decode_image_meta``
-derives pseudo width/height/channels from the payload's MD5, and
-``frame_sample`` slices deterministic byte windows as "frames".
-Swapping the stub body for PIL/ffmpeg calls changes no schema, no
-partitioning, and no caller.
+and tested.
+
+One decoder is REAL: ``decode_pgm`` parses binary PGM (P5) images —
+magic, whitespace/comment-tolerant header, maxval, raster — with
+stdlib-only code, fed by ``synthesize_pgm``'s genuine PGM payloads
+(a PGM written here opens in any image viewer).  The remaining codec
+calls are STUBBED deterministically (this container ships no
+image/audio libraries): ``decode_image_meta`` derives pseudo
+width/height/channels from the payload's MD5, and ``frame_sample``
+slices deterministic byte windows as "frames".  Swapping a stub body
+for PIL/ffmpeg calls changes no schema, no partitioning, and no
+caller — ``decode_pgm`` demonstrates exactly that swap end-to-end.
 """
 
 from __future__ import annotations
@@ -69,6 +75,117 @@ def documents_as_media(df: DataFrame) -> DataFrame:
         .cast("long")
         .alias("byte_len"),
     )
+
+
+_PGM_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
+    ]
+)
+
+
+def synthesize_pgm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Genuine binary PGM (P5) payloads, one per id.
+
+    Dimensions and pixels are deterministic functions of the id
+    (``w = 8 + id % 9``, ``h = 8 + id % 7``, ``p(i) = (id*31 + i*7)
+    % 256``) so an SQL oracle can replay the pixel arithmetic without
+    parsing bytes — but the BYTES are a complete, spec-conformant PGM
+    (magic, dims, maxval 255, raw 8-bit raster; any image viewer opens
+    one).  Built in an Arrow-batched pandas UDF: byte assembly is
+    per-row imperative work, the declared Python swap point."""
+
+    @F.pandas_udf(BinaryType())
+    def _pgm(ids: pd.Series) -> pd.Series:
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            w, h = 8 + mid % 9, 8 + mid % 7
+            raster = bytes(
+                (mid * 31 + i * 7) % 256 for i in range(w * h)
+            )
+            out.append(b"P5\n%d %d\n255\n" % (w, h) + raster)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        _pgm(F.col(id_col)).alias("payload"),
+        F.lit("image/x-portable-graymap").alias("media_type"),
+    ).withColumn("byte_len", F.octet_length("payload").cast("long"))
+
+
+def _parse_pgm(data: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PGM (P5): magic, three whitespace-separated
+    header tokens (width, height, maxval) with ``#`` comments allowed
+    between them, then exactly width*height raster bytes.  Raises
+    ValueError on any malformation — a corrupt image must fail loudly,
+    not produce silent garbage stats."""
+    if data[:2] != b"P5":
+        raise ValueError(f"not a binary PGM (magic {data[:2]!r})")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PGM header")
+        tokens.append(data[start:pos])
+    pos += 1  # single whitespace byte after maxval, per spec
+    width, height, maxval = (int(t) for t in tokens)
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported PGM maxval {maxval}")
+    raster = data[pos : pos + width * height]
+    if len(raster) != width * height:
+        raise ValueError(
+            f"PGM raster truncated: want {width * height} bytes, "
+            f"have {len(raster)}"
+        )
+    return width, height, raster
+
+
+def decode_pgm(media: DataFrame) -> DataFrame:
+    """REAL image decode: binary PGM payload → per-image pixel stats.
+
+    Same mapInPandas stage shape as the stubbed decoders — proof that
+    swapping a stub for a real codec changes no schema, partitioning,
+    or caller.  Stats are exact integers (sum/min/max over raster
+    bytes) so the oracle comparison is bit-strict."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "n_pixels": [],
+                "px_sum": [],
+                "px_min": [],
+                "px_max": [],
+            }
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = _parse_pgm(bytes(payload))
+                rows["media_id"].append(media_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(len(raster))
+                rows["px_sum"].append(sum(raster))
+                rows["px_min"].append(min(raster))
+                rows["px_max"].append(max(raster))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode, schema=_PGM_STATS_SCHEMA)
 
 
 def decode_image_meta(media: DataFrame) -> DataFrame:

@@ -55,8 +55,16 @@ def salted_join(
     dominates a partition beyond what AQE re-splits, at the cost of
     replicating the right side ``salt``×, so keep the right side the
     smaller input.
+
+    The salt is a deterministic xxhash64 of the FULL left row — not of
+    the key: a key-derived salt is constant for a hot key and leaves
+    its 2M rows on one reducer (found by tests/test_skew.py's race).
+    Rows identical in every column share a salt; at 50%-duplicate
+    pathology prefer exact dedup first.
     """
-    salt_col = (F.crc32(F.col(on).cast("string")) % salt).cast("int")
+    salt_col = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+    ).cast("int")
     salted_left = left.withColumn("__salt", salt_col)
     salted_right = right.withColumn(
         "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))

@@ -106,6 +106,11 @@ def _canon(value):
     """Canonicalize one cell for multiset comparison."""
     if value is None:
         return None
+    if isinstance(value, bool):
+        # Tag before any numeric handling: Python's 1 == True would
+        # otherwise equate a BOOLEAN column with an INT column that
+        # the driver's str() comparison ('True' vs '1') rejects.
+        return ("bool", value)
     if isinstance(value, Decimal):
         return ("dec", str(value.normalize()))
     if isinstance(value, float):

@@ -80,13 +80,30 @@ def hana_to_spark_type(
     decimal_as_double: bool = False,
     precision: int | None = None,
     scale: int | None = None,
+    time_as_string: bool = True,
 ) -> DataType:
     """Map one HANA catalog type name to the Spark type we ingest as.
 
     ``precision``/``scale`` carry the catalog's LENGTH/SCALE for
     DECIMAL columns; without them the non-lossy (38, 18) fallback
-    applies."""
+    applies.
+
+    ``time_as_string=True`` (default) keeps the documented
+    HANA TIME → string mapping for compatibility with sinks that
+    predate Spark's TimeType; pass ``False`` on Spark 4.1+ to ingest
+    TIME as a real ``TimeType()`` (second precision matches HANA
+    TIME's hh:mm:ss domain; Spark's default micro precision is a
+    superset, so the mapping is non-lossy in this direction)."""
     name = hana_type.upper()
+    if name == "TIME" and not time_as_string:
+        try:
+            from pyspark.sql.types import TimeType
+        except ImportError as exc:  # pragma: no cover - old Spark
+            raise UnknownHanaTypeError(
+                "time_as_string=False needs Spark 4.1+ (TimeType); "
+                "this Spark has none — keep the string mapping"
+            ) from exc
+        return TimeType()
     if name not in HANA_TO_BQ:
         raise UnknownHanaTypeError(
             f"HANA type {hana_type!r} has no BigQuery mapping "
@@ -128,7 +145,10 @@ class CatalogColumn:
 
 
 def catalog_to_schema(
-    columns: list[CatalogColumn], *, decimal_as_double: bool = False
+    columns: list[CatalogColumn],
+    *,
+    decimal_as_double: bool = False,
+    time_as_string: bool = True,
 ) -> StructType:
     """Build the ingest StructType from catalog rows, ordered by
     POSITION ASC exactly like the reference's schema query
@@ -143,6 +163,7 @@ def catalog_to_schema(
                     decimal_as_double=decimal_as_double,
                     precision=c.precision,
                     scale=c.scale,
+                    time_as_string=time_as_string,
                 ),
                 nullable=True,
             )

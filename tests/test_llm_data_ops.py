@@ -109,6 +109,55 @@ def test_multimodal_decode_deterministic_schema(spark):
     assert all(16 <= r[3] <= 255 for r in rows1)
 
 
+def test_pgm_roundtrip_real_bytes(spark):
+    """synthesize_pgm emits spec-conformant P5 files; decode_pgm
+    PARSES the bytes (not the ids) and recovers exact pixel stats."""
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        decode_pgm,
+        synthesize_pgm,
+    )
+
+    d = load_table(spark, SF, "documents").limit(25)
+    media = synthesize_pgm(d)
+    # The payloads are real PGMs: magic, "w h", maxval, raster.
+    for r in media.collect():
+        data = bytes(r["payload"])
+        magic, dims, maxval, raster = data.split(b"\n", 3)
+        assert magic == b"P5" and maxval == b"255"
+        w, h = (int(t) for t in dims.split(b" "))
+        assert len(raster) == w * h
+    stats = {r["media_id"]: r for r in decode_pgm(media).collect()}
+    for mid, r in stats.items():
+        w, h = 8 + mid % 9, 8 + mid % 7
+        assert (r["width"], r["height"]) == (w, h)
+        want = [(mid * 31 + i * 7) % 256 for i in range(w * h)]
+        assert r["n_pixels"] == len(want)
+        assert r["px_sum"] == sum(want)
+        assert r["px_min"] == min(want)
+        assert r["px_max"] == max(want)
+
+
+def test_pgm_parser_rejects_malformed():
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _parse_pgm,
+    )
+
+    # Comments and flexible whitespace in the header are legal.
+    ok = b"P5 # comment\n# full line\n 2\t3 255\n" + bytes(6)
+    assert _parse_pgm(ok) == (2, 3, bytes(6))
+    for bad, why in [
+        (b"P6\n2 2 255\n" + bytes(4), "wrong magic"),
+        (b"P5\n2 2 255\n" + bytes(3), "truncated raster"),
+        (b"P5\n2 2 65535\n" + bytes(4), "16-bit maxval"),
+        (b"P5\n2", "truncated header"),
+    ]:
+        try:
+            _parse_pgm(bad)
+            raise AssertionError(f"parser accepted {why}")
+        except ValueError:
+            pass
+
+
 def test_multimodal_frame_sample_shape(spark):
     d = load_table(spark, SF, "documents").limit(20)
     frames = frame_sample(documents_as_media(d), n_frames=4, frame_len=32)

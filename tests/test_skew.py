@@ -1,0 +1,163 @@
+"""Skew story, proven on actually-skewed data (round-4 verdict #5).
+
+``salted_join`` and AQE's skew-join split were equivalence-tested but
+never raced against a genuinely hot key.  Here one key holds 50% of a
+4M-row fact table:
+
+* with AQE on (and test-scale thresholds), the final adaptive plan of
+  a sort-merge join must carry ``skew=true`` — the runtime re-split
+  actually fires;
+* with AQE off (pre-3.0 clusters, or skew inside a single key that
+  AQE cannot split), ``salted_join`` must beat the unsalted sort-merge
+  join wall-clock, because the hot key's sort spreads over ``salt``
+  tasks instead of one straggler.
+
+Broadcast is disabled throughout: a broadcast of the dim side would
+erase the shuffle whose skew is under test.  Numbers land in SCALE.md
+(equi-join row).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.operators.relational import salted_join
+
+N_ROWS = 8_000_000
+N_COLD_KEYS = 10_000
+
+
+def _skewed_fact(spark):
+    """50% of rows on key 0, the rest uniform over N_COLD_KEYS.
+
+    ``v`` is a bounded pseudo-random payload that must survive into
+    the aggregate: with only the constant hot key in the shuffle,
+    lz4 squashes the hot partition below any skew threshold and the
+    AQE split (correctly) sees nothing to split.  Bounded to 1e9 so
+    a 4M-row ANSI sum stays far from long overflow."""
+    return spark.range(N_ROWS).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(N_COLD_KEYS)) + 1)
+        .cast("long")
+        .alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000_000)).alias("v"),
+    )
+
+
+def _dim(spark):
+    return spark.range(N_COLD_KEYS + 1).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("w")
+    )
+
+
+@pytest.fixture()
+def _no_broadcast(spark):
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    yield spark
+    for k, v in saved.items():
+        if v is None:
+            conf.unset(k)
+        else:
+            conf.set(k, v)
+
+
+def test_aqe_skew_split_activates(_no_broadcast):
+    """The final adaptive plan of the hot-key sort-merge join must
+    mark the join ``skew=true`` once thresholds match the test scale
+    (defaults target 256MB partitions; the hot partition here is
+    ~tens of MB)."""
+    spark = _no_broadcast
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "1MB",
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB"
+    )
+    joined = _skewed_fact(spark).join(_dim(spark), "k").groupBy().agg(
+        F.sum("w").alias("s"),
+        F.sum("v").alias("sv"),  # keeps v in the shuffled row
+        F.count(F.lit(1)).alias("n"),
+    )
+    [row] = joined.collect()
+    assert row["n"] == N_ROWS
+    final_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in final_plan, (
+        "AQE skew-join split did not activate on a 50%-hot key:\n"
+        + final_plan[:2000]
+    )
+
+
+def test_salted_beats_unsalted_on_hot_key(_no_broadcast):
+    """AQE off: one task sorts the 2M-row hot key in the unsalted
+    sort-merge join; salting spreads it 16 ways.  The race asserts a
+    real wall-clock win (≥1.15×), far below the typical ~2-3× margin,
+    to stay robust to CI noise."""
+    spark = _no_broadcast
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # Materialize the inputs: the race must time the JOIN, not the
+    # row generation both paths pay identically (which at 8 cores
+    # dominates and dilutes the straggler to statistical noise).
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="skewrace_")
+    _skewed_fact(spark).write.mode("overwrite").parquet(f"{tmp}/fact")
+    _dim(spark).write.mode("overwrite").parquet(f"{tmp}/dim")
+    fact = spark.read.parquet(f"{tmp}/fact")
+    dim = spark.read.parquet(f"{tmp}/dim")
+
+    def _run(df):
+        t0 = time.monotonic()
+        [row] = df.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").alias("s"),
+            F.sum("v").alias("sv"),  # keep the payload in the shuffle
+        ).collect()
+        return time.monotonic() - t0, row
+
+    # Warm both paths once (JIT, codegen caches) at 1/40 scale.
+    small_f = fact.limit(100_000)
+    _run(small_f.join(dim, "k"))
+    _run(salted_join(small_f, dim, on="k", salt=16))
+
+    # Best-of-two per variant: one GC pause or a cold file handle on
+    # a single run would otherwise dominate the margin under test.
+    t_plain, r_plain = _run(fact.join(dim, "k"))
+    t_plain = min(t_plain, _run(fact.join(dim, "k"))[0])
+    t_salted, r_salted = _run(salted_join(fact, dim, on="k", salt=16))
+    t_salted = min(
+        t_salted, _run(salted_join(fact, dim, on="k", salt=16))[0]
+    )
+
+    # Same answer...
+    assert (r_plain["n"], r_plain["s"]) == (r_salted["n"], r_salted["s"])
+    assert r_plain["n"] == N_ROWS
+    # ...measurably faster. Print for SCALE.md's equi-join row.
+    print(
+        f"\nskew race ({N_ROWS} rows, 50% hot key, AQE off, no broadcast): "
+        f"unsalted={t_plain:.2f}s salted(16)={t_salted:.2f}s "
+        f"speedup={t_plain / t_salted:.2f}x"
+    )
+    assert t_salted * 1.15 < t_plain, (
+        f"salted_join ({t_salted:.2f}s) did not beat unsalted "
+        f"({t_plain:.2f}s) on a 50%-hot key"
+    )

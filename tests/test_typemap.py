@@ -62,6 +62,46 @@ def test_type_map_covers_all_21_reference_entries():
     assert {"TIMESTAMP", "SECONDDATE"} <= set(HANA_TO_BQ)
 
 
+def test_time_fidelity_flag():
+    """HANA TIME: string by default (documented lossy mapping for
+    pre-4.1 sink compatibility); a real TimeType behind
+    time_as_string=False on Spark 4.1+ (SURVEY §1.3 follow-up)."""
+    from pyspark.sql.types import TimeType
+
+    assert hana_to_spark_type("TIME") == StringType()
+    assert hana_to_spark_type("TIME", time_as_string=False) == TimeType()
+
+    from hana_bq_beam_connector_spark.typemap import (
+        CatalogColumn,
+        catalog_to_schema,
+    )
+
+    cols = [
+        CatalogColumn("id", "INTEGER", 1),
+        CatalogColumn("opened_at", "TIME", 2),
+    ]
+    assert catalog_to_schema(cols)[1].dataType == StringType()
+    assert (
+        catalog_to_schema(cols, time_as_string=False)[1].dataType
+        == TimeType()
+    )
+
+
+def test_time_type_roundtrips_in_spark(spark):
+    """The TimeType mapping is usable end-to-end: a TIME-typed column
+    survives a Spark round trip with hh:mm:ss values intact."""
+    from datetime import time
+
+    from pyspark.sql.types import StructField, StructType, TimeType
+
+    schema = StructType([StructField("t", TimeType(), True)])
+    df = spark.createDataFrame([(time(9, 30, 15),), (None,)], schema)
+    got = sorted(
+        (r["t"] for r in df.collect()), key=lambda v: (v is None, v)
+    )
+    assert got == [time(9, 30, 15), None]
+
+
 def test_hana_timestamp_types_map_to_ntz(spark):
     from pyspark.sql.types import TimestampNTZType
 
