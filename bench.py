@@ -105,6 +105,9 @@ HEADLINE = [
     # round-5 additions
     "etl_reconcile_payload_verdicts",  # full-row-hash corruption catcher
     "mm_pgm_decode_stats",        # REAL PGM parse -> pixel stats
+    "stat_corr_price_qty",        # exact-moment Pearson correlation
+    "stat_zscore_outlier_gate",   # two-pass broadcast-moments gate
+    "mm_wav_decode_stats",        # REAL WAV PCM16 parse -> sample stats
 ]
 
 

@@ -539,8 +539,9 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     threshold: float = 0.4,
-    n_planes: int = 4,
+    n_planes: int | str = 4,
     n_tables: int = 8,
+    target_bucket_size: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
@@ -552,7 +553,27 @@ def embedding_near_dup_pairs(
     n · n_tables / 2^n_planes per bucket side; recall is tuned by
     (n_planes, n_tables), and the plan is equi-join + window, never a
     cross product.  Returns (id_a, id_b, cos_sim) with id_a < id_b.
+
+    FIXED ``n_planes`` does not survive a scale-up: bucket occupancy
+    grows with n, and within-bucket pairs grow with its SQUARE — the
+    sf1.0 smoke measured 76× wall at 10× data with n_planes=4
+    (BENCH_sf1.json).  Pass ``n_planes="auto"`` to size planes from
+    the corpus: ``max(4, ceil(log2(n / target_bucket_size)))`` keeps
+    expected occupancy ~constant, so candidate volume stays
+    ~n · n_tables · target_bucket_size — linear in n.  Costs one
+    count() job; more planes lower per-table recall, so raise
+    ``n_tables`` together with corpus size when recall is pinned
+    (the recall audit query measures exactly this trade).
     """
+    import math
+
+    if n_planes == "auto":
+        n = df.count()
+        n_planes = max(
+            4, math.ceil(math.log2(max(2, n / target_bucket_size)))
+        )
+    elif not isinstance(n_planes, int):
+        raise ValueError(f"n_planes must be int or 'auto', got {n_planes!r}")
     from hana_bq_beam_connector_spark.operators.similarity import (
         dot,
         lsh_banded,

@@ -105,6 +105,7 @@ def _load_all() -> None:
         setops,
         similarity,
         sketches,
+        stats,
         streaming,
         text,
         timeseries,

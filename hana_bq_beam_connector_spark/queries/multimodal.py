@@ -19,9 +19,11 @@ from pyspark.sql import functions as F
 from hana_bq_beam_connector_spark.operators.multimodal import (
     decode_image_meta,
     decode_pgm,
+    decode_wav,
     documents_as_media,
     frame_sample,
     synthesize_pgm,
+    synthesize_wav,
 )
 from hana_bq_beam_connector_spark.queries import register
 from hana_bq_beam_connector_spark.sources.files import load_table
@@ -99,6 +101,43 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_pgm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return decode_pgm(synthesize_pgm(d))
+
+
+@register(
+    "mm_wav_decode_stats",
+    """
+    WITH d AS (
+      SELECT doc_id,
+        800 + doc_id % 401 AS n_samples,
+        8000 + (doc_id % 3) * 4000 AS sample_rate
+      FROM documents
+    ),
+    s AS (SELECT unnest(range(0, 1201)) AS i),  -- 1201 > max n
+    px AS (
+      SELECT d.doc_id, d.n_samples, d.sample_rate,
+             (d.doc_id * 13 + s.i * 11) % 4001 - 2000 AS smp
+      FROM d CROSS JOIN s WHERE s.i < d.n_samples
+    )
+    SELECT doc_id AS media_id,
+      CAST(sample_rate AS BIGINT) AS sample_rate,
+      CAST(1 AS BIGINT) AS n_channels,
+      CAST(n_samples AS BIGINT) AS n_samples,
+      CAST(SUM(abs(smp)) AS BIGINT) AS abs_sum,
+      CAST(MAX(abs(smp)) AS BIGINT) AS peak
+    FROM px GROUP BY 1, 2, 3, 4
+    """,
+    doc="REAL audio decode, end to end: synthesize_wav writes genuine "
+    "RIFF/WAVE PCM16 files with the stdlib wave encoder (playable "
+    "audio), decode_wav PARSES them back with the stdlib wave reader "
+    "and struct-unpacks the PCM stream into exact |sample| stats.  "
+    "Samples are a deterministic function of doc_id, so the oracle "
+    "replays the arithmetic without bytes — agreement proves encoder "
+    "and parser are inverse through a real container format "
+    "(round-4 ask #6, second modality).",
+)
+def mm_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return decode_wav(synthesize_wav(d))
 
 
 @register(

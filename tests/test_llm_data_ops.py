@@ -109,6 +109,33 @@ def test_multimodal_decode_deterministic_schema(spark):
     assert all(16 <= r[3] <= 255 for r in rows1)
 
 
+def test_embedding_dedup_auto_planes(spark):
+    """n_planes='auto' sizes planes from the corpus (max(4,
+    ceil(log2(n/target)))) — at small n it must resolve to the same
+    4 planes as the pinned default and return identical pairs; a
+    non-int, non-'auto' value raises."""
+    import pytest as _pytest
+
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    assert n / 64 <= 16, "fixture grew; pick a smaller slice"
+    fixed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, n_planes=4).collect()
+    }
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, n_planes="auto").collect()
+    }
+    assert auto == fixed
+    with _pytest.raises(ValueError, match="auto"):
+        embedding_near_dup_pairs(emb, n_planes=3.5)
+
+
 def test_pgm_roundtrip_real_bytes(spark):
     """synthesize_pgm emits spec-conformant P5 files; decode_pgm
     PARSES the bytes (not the ids) and recovers exact pixel stats."""
@@ -135,6 +162,54 @@ def test_pgm_roundtrip_real_bytes(spark):
         assert r["px_sum"] == sum(want)
         assert r["px_min"] == min(want)
         assert r["px_max"] == max(want)
+
+
+def test_wav_roundtrip_real_bytes(spark):
+    """synthesize_wav writes genuine RIFF/WAVE PCM16 containers
+    (stdlib wave reads them back); decode_wav recovers exact sample
+    stats from the BYTES."""
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        decode_wav,
+        synthesize_wav,
+    )
+
+    d = load_table(spark, SF, "documents").limit(15)
+    media = synthesize_wav(d)
+    for r in media.collect():
+        data = bytes(r["payload"])
+        assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    stats = {r["media_id"]: r for r in decode_wav(media).collect()}
+    for mid, r in stats.items():
+        n = 800 + mid % 401
+        want = [((mid * 13 + i * 11) % 4001) - 2000 for i in range(n)]
+        assert r["sample_rate"] == 8000 + (mid % 3) * 4000
+        assert r["n_samples"] == n
+        assert r["abs_sum"] == sum(abs(s) for s in want)
+        assert r["peak"] == max(abs(s) for s in want)
+
+
+def test_wav_decoder_rejects_stereo(spark):
+    import io
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 1, 2, 3, 4))
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], ["media_id", "payload"]
+    )
+    with _pytest.raises(Exception, match="mono PCM16"):
+        decode_wav(df).collect()
 
 
 def test_pgm_parser_rejects_malformed():

@@ -33,6 +33,10 @@ _ALLOWED = {
     "sim_ann_recall_report": "contains the exact-baseline bounded broadcast",
     "curation_epoch_plan": "corpus totals (1 row) broadcast to the plan",
     "agg_sales_opportunity": "global avg balance (1 row) broadcast",
+    "stat_target_encoding_priority": "global mean (1 row) broadcast "
+    "for m-estimate smoothing",
+    "stat_chi2_segment_priority": "grand total (1 row) broadcast to "
+    "the O(25)-row cell frame",
 }
 _SKIP_EXECUTING = {
     # these run a real streaming query inside fn(); plan checked in

@@ -94,11 +94,39 @@ def main() -> int:
             flag = f"  ** SUPER-LINEAR (> {RATIO_LIMIT}x)"
         print(f"{name}: {t01:.2f}s -> {t1:.2f}s  ratio={ratio}{flag}")
 
+    # The registered dedup_embedding_cosine pins n_planes=4 for its
+    # oracle; at 10x data that fixed choice makes bucket occupancy
+    # grow 10x and within-bucket pairs ~100x (the super-linear row
+    # above).  Measure the operator's scale path — n_planes="auto",
+    # planes ~ log2(n / target_bucket) — to show the family returns
+    # to ~linear once parameters track corpus size.
+    from hana_bq_beam_connector_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    auto = {}
+    for label, sf_dir in (("sf0.1", sf01), ("sf1", sf1)):
+        df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.perf_counter()
+        n_pairs = embedding_near_dup_pairs(df, n_planes="auto").count()
+        auto[label] = {
+            "s": round(time.perf_counter() - t0, 3),
+            "pairs": n_pairs,
+        }
+        spark.catalog.clearCache()
+    auto["ratio"] = (
+        round(auto["sf1"]["s"] / auto["sf0.1"]["s"], 2)
+        if auto["sf0.1"]["s"]
+        else None
+    )
+    print(f"dedup_embedding_cosine[n_planes=auto]: {auto}")
+
     record = {
         "metric": "sf1_scale_smoke",
         "ratio_limit": RATIO_LIMIT,
         "queries": results,
         "super_linear": super_linear,
+        "auto_planes_embedding_dedup": auto,
         "cpus": int(cpus),
     }
     with open(out, "w") as f:
