@@ -274,7 +274,11 @@ def decode_wav(media: DataFrame) -> DataFrame:
                 rows["n_channels"].append(ch)
                 rows["n_samples"].append(n)
                 rows["abs_sum"].append(sum(abs(s) for s in samples))
-                rows["peak"].append(max(abs(s) for s in samples))
+                # A zero-frame WAV is legal; peak of silence is 0,
+                # not a bare max()-of-empty ValueError.
+                rows["peak"].append(
+                    max((abs(s) for s in samples), default=0)
+                )
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, schema=_WAV_STATS_SCHEMA)

@@ -56,14 +56,22 @@ def salted_join(
     replicating the right side ``salt``×, so keep the right side the
     smaller input.
 
-    The salt is a deterministic xxhash64 of the FULL left row — not of
-    the key: a key-derived salt is constant for a hot key and leaves
-    its 2M rows on one reducer (found by tests/test_skew.py's race).
-    Rows identical in every column share a salt; at 50%-duplicate
-    pathology prefer exact dedup first.
+    The salt is a deterministic xxhash64 of the left row — not of the
+    key: a key-derived salt is constant for a hot key and leaves all
+    its rows on one reducer (found by tests/test_skew.py's race,
+    where 4M hot-key rows sat on one task).  Map-typed columns are
+    excluded from the hash (Spark defines no hash for MapType); rows
+    identical in every hashable column share a salt, so at
+    50%-duplicate pathology prefer exact dedup first.
     """
+    hashable = [c for c, t in left.dtypes if not t.startswith("map<")]
+    if not hashable:
+        raise ValueError(
+            "salted_join: left frame has no hashable (non-map) "
+            "columns to derive a row salt from"
+        )
     salt_col = F.pmod(
-        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+        F.xxhash64(*[F.col(c) for c in hashable]), F.lit(salt)
     ).cast("int")
     salted_left = left.withColumn("__salt", salt_col)
     salted_right = right.withColumn(

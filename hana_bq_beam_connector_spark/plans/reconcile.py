@@ -240,7 +240,11 @@ def reconcile_chunks(
     j = s.join(k, "bucket_lo", "full_outer")
     same = F.lit(True)
     for c in cmp_cols:
-        same = same & (F.col(f"src_{c}") == F.col(f"sink_{c}"))
+        # Null-SAFE equality: a measure sum over an all-null bucket is
+        # NULL on both sides — plain == would make `same` NULL and the
+        # verdict fall through to 'mismatch', so an identical copy
+        # would be re-copied forever.
+        same = same & F.col(f"src_{c}").eqNullSafe(F.col(f"sink_{c}"))
     status = (
         F.when(F.col("sink_n_rows").isNull(), F.lit("missing_in_sink"))
         .when(F.col("src_n_rows").isNull(), F.lit("extra_in_sink"))

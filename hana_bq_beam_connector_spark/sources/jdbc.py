@@ -87,14 +87,25 @@ def jdbc_scan(
         # Route stride mode through the option API: the JVM reader
         # accepts numeric AND date/timestamp-string bounds there,
         # whereas DataFrameReader.jdbc() applies int(lowerBound) and
-        # would reject '2021-01-01'.
+        # would reject '2021-01-01'.  Numeric bounds must still
+        # stringify as INTEGERS: the JVM does bound.toLong for numeric
+        # partition columns, and str(0.0) = '0.0' would throw
+        # NumberFormatException where the old int()-casting path
+        # truncated and worked.
+        def _bound(v) -> str:
+            if isinstance(v, bool):
+                raise ValueError(f"bool is not a JDBC bound: {v!r}")
+            if isinstance(v, (int, float)):
+                return str(int(v))
+            return str(v)
+
         opt_reader = (
             spark.read.format("jdbc")
             .option("url", config.connection_string)
             .option("dbtable", config.table_name)
             .option("partitionColumn", partition_column)
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
+            .option("lowerBound", _bound(lower_bound))
+            .option("upperBound", _bound(upper_bound))
             .option("numPartitions", str(num_partitions or 32))
         )
         for k, v in (config.jdbc_properties or {}).items():

@@ -517,21 +517,33 @@ def stream_maintain_fingerprints(
     key_col: str,
     checkpoint: str,
     bucket: int = 86_400_000_000,
+    *,
+    full_row: bool = True,
+    measure_cols: list[str] | None = None,
 ):
     """Incrementally-maintained copy-validation fingerprints — the
     streaming twin of ``plans/reconcile.chunk_fingerprints``.
 
     At 100 TB you don't re-checksum the corpus per verification run;
     you fold each arriving micro-batch's per-bucket partials (count,
-    key XOR, key sum — all mergeable: counts/sums add, XORs xor) into
-    a published fingerprint snapshot.  ``reconcile_chunks`` can then
-    diff this snapshot against the sink's at any moment without
-    touching source history.  Publishing uses the same
-    epoch-dir/pointer swap as ``stream_apply_cdc`` (idempotent on
-    replay: an already-published epoch is detected and skipped, since
-    re-XORing a batch would silently CANCEL its keys out of the
-    fingerprint — the worst kind of wrong, a corruption the verify
-    tool itself introduced).
+    key XOR, key sum, full-row hash XOR, measure sums — all mergeable:
+    counts/sums add, XORs xor) into a published fingerprint snapshot.
+    ``reconcile_chunks`` can then diff this snapshot against the
+    sink's at any moment without touching source history.  Publishing
+    uses the same epoch-dir/pointer swap as ``stream_apply_cdc``
+    (idempotent on replay: an already-published epoch is detected and
+    skipped, since re-XORing a batch would silently CANCEL its keys
+    out of the fingerprint — the worst kind of wrong, a corruption
+    the verify tool itself introduced).
+
+    ``full_row``/``measure_cols`` mirror ``chunk_fingerprints``; the
+    fingerprint SHAPE is part of the snapshot's contract — changing
+    options against an existing snapshot makes ``merge_fingerprints``
+    raise loudly instead of zero-filling the missing column.  Pass
+    ``full_row=False`` to keep maintaining a pre-row_xor snapshot
+    (the upgrade path that avoids re-checksumming source history),
+    or when the stream carries map-typed columns (no canonical hash
+    order).
     """
     from hana_bq_beam_connector_spark.plans.reconcile import (
         chunk_fingerprints,
@@ -543,7 +555,14 @@ def stream_maintain_fingerprints(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         epoch_dir = os.path.join(snapshot_dir, f"v{batch_id}")
-        part = chunk_fingerprints(batch_df, ts_col, key_col, bucket)
+        part = chunk_fingerprints(
+            batch_df,
+            ts_col,
+            key_col,
+            bucket,
+            full_row=full_row,
+            measure_cols=measure_cols,
+        )
         cur_path = _current_epoch(pointer)
         if cur_path == epoch_dir:
             return  # replayed after publish: merging again would

@@ -84,6 +84,22 @@ def test_jdbc_uniform_stride_scan(spark, derby_url):
     assert df.count() == N_ROWS
 
 
+def test_jdbc_uniform_stride_float_bounds(spark, derby_url):
+    """Float bounds on a numeric partition column still work through
+    the option API: the JVM does bound.toLong, so str(0.0)='0.0'
+    would throw NumberFormatException — bounds stringify as ints."""
+    cfg = _config(derby_url)
+    df = jdbc_scan(
+        spark,
+        cfg,
+        partition_column="ts",
+        lower_bound=0.0,
+        upper_bound=10_001.0,
+        num_partitions=4,
+    )
+    assert df.count() == N_ROWS
+
+
 def test_jdbc_pushdown_reaches_generated_sql(spark, derby_url):
     cfg = _config(derby_url)
     df = jdbc_scan(spark, cfg, intervals=[Interval(0, 10_001)])

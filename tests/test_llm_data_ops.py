@@ -188,6 +188,29 @@ def test_wav_roundtrip_real_bytes(spark):
         assert r["peak"] == max(abs(s) for s in want)
 
 
+def test_wav_decoder_zero_frames(spark):
+    """A zero-frame mono PCM16 WAV is legal: stats are zeros, not a
+    max()-of-empty crash."""
+    import io
+    import wave
+
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"")
+    df = spark.createDataFrame(
+        [(7, bytearray(buf.getvalue()))], ["media_id", "payload"]
+    )
+    [r] = decode_wav(df).collect()
+    assert (r["n_samples"], r["abs_sum"], r["peak"]) == (0, 0, 0)
+
+
 def test_wav_decoder_rejects_stereo(spark):
     import io
     import struct

@@ -434,6 +434,48 @@ def test_chunk_fingerprints_rejects_non_integral_key(spark):
     assert len(got) == 1 and got[0]["key_sum"] == 1_700_000_000_000_000
 
 
+def test_reconcile_all_null_measure_bucket_is_ok(spark):
+    """A bucket whose measure column is NULL on BOTH (identical)
+    sides must verdict 'ok': the fingerprint comparison is null-SAFE.
+    Plain == would make the verdict NULL -> 'mismatch' and the repair
+    loop would re-copy an already-correct bucket forever."""
+    from hana_bq_beam_connector_spark.plans.reconcile import (
+        reconcile_chunks,
+    )
+
+    rows = [(1_000, 1, None), (2_000, 2, 5.0)]
+    schema = "ts bigint, k bigint, m double"
+    src = spark.createDataFrame(rows, schema)
+    sink = spark.createDataFrame(rows, schema)
+    got = {
+        r["bucket_lo"]: r["status"]
+        for r in reconcile_chunks(
+            src, sink, "ts", "k", bucket=1000, measure_cols=["m"]
+        ).collect()
+    }
+    assert got == {1000: "ok", 2000: "ok"}
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    """Map-typed payload columns are excluded from the row salt
+    (xxhash64 rejects MapType); the join must still work and agree
+    with the plain join."""
+    from hana_bq_beam_connector_spark.operators.relational import (
+        salted_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2}), (1, {"c": 3})],
+        "k bigint, payload map<string,int>",
+    )
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, v string")
+    got = sorted(
+        (r["k"], r["v"])
+        for r in salted_join(left, right, on="k", salt=4).collect()
+    )
+    assert got == [(1, "x"), (1, "x"), (2, "y")]
+
+
 def test_chunk_fingerprints_floors_negative_timestamps(spark):
     """Pre-epoch values must land in their own negative bucket, not
     fold into bucket 0 (Spark's % truncates toward zero; pmod

@@ -1,8 +1,8 @@
 """Skew story, proven on actually-skewed data (round-4 verdict #5).
 
 ``salted_join`` and AQE's skew-join split were equivalence-tested but
-never raced against a genuinely hot key.  Here one key holds 50% of a
-4M-row fact table:
+never raced against a genuinely hot key.  Here one key holds 50% of
+an 8M-row fact table:
 
 * with AQE on (and test-scale thresholds), the final adaptive plan of
   a sort-merge join must carry ``skew=true`` — the runtime re-split
@@ -108,7 +108,7 @@ def test_aqe_skew_split_activates(_no_broadcast):
 
 
 def test_salted_beats_unsalted_on_hot_key(_no_broadcast):
-    """AQE off: one task sorts the 2M-row hot key in the unsalted
+    """AQE off: one task sorts the 4M-row hot key in the unsalted
     sort-merge join; salting spreads it 16 ways.  The race asserts a
     real wall-clock win (≥1.15×), far below the typical ~2-3× margin,
     to stay robust to CI noise."""

@@ -1060,6 +1060,53 @@ def test_stream_maintain_fingerprints_equals_batch(
     assert all(x == 0 for (_, _, x, _) in got)
 
 
+def test_stream_maintain_fingerprints_legacy_shape(
+    spark, stream_dir, tmp_path
+):
+    """full_row=False maintains a pre-row_xor (keys-only) snapshot —
+    the upgrade path for snapshots built before the full-row hash
+    existed, which must NOT require re-checksumming source history.
+    The batch twin with the same options must agree."""
+    from hana_bq_beam_connector_spark.plans.reconcile import (
+        chunk_fingerprints,
+    )
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        read_cdc_snapshot,
+        stream_maintain_fingerprints,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import EVENTS_SCHEMA
+
+    src = tmp_path / "fp_leg_src"
+    src.mkdir()
+    shutil.copy(f"{stream_dir}/events.parquet", src / "a.parquet")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    snap = str(tmp_path / "fp_leg_snap")
+    q = stream_maintain_fingerprints(
+        stream,
+        snap,
+        ts_col="ts",
+        key_col="event_id",
+        checkpoint=str(tmp_path / "ckpt_fp_leg"),
+        full_row=False,
+    )
+    q.awaitTermination()
+    got_df = read_cdc_snapshot(spark, snap)
+    assert "row_xor" not in got_df.columns  # legacy shape preserved
+    got = {tuple(r) for r in got_df.collect()}
+    want = {
+        tuple(r)
+        for r in chunk_fingerprints(
+            spark.read.parquet(str(src)), "ts", "event_id",
+            full_row=False,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stream_maintain_fingerprints_replay_no_xor_cancel(
     spark, stream_dir, tmp_path
 ):
