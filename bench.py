@@ -108,6 +108,7 @@ HEADLINE = [
     "stat_corr_price_qty",        # exact-moment Pearson correlation
     "stat_zscore_outlier_gate",   # two-pass broadcast-moments gate
     "mm_wav_decode_stats",        # REAL WAV PCM16 parse -> sample stats
+    "stat_spearman_qty_discount", # rank corr via broadcast rank tables
 ]
 
 

@@ -109,6 +109,54 @@ def test_multimodal_decode_deterministic_schema(spark):
     assert all(16 <= r[3] <= 255 for r in rows1)
 
 
+def test_spearman_matches_naive_midranks(spark):
+    """The rank-table Spearman must equal a naive pure-Python
+    Pearson-on-midranks to float precision — the oracle proves
+    cross-engine agreement, this proves the STATISTIC is right."""
+    import math
+
+    from hana_bq_beam_connector_spark.queries.stats import (
+        stat_spearman_qty_discount,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    pairs = [
+        (r["l_quantity"], r["l_discount"])
+        for r in li.select("l_quantity", "l_discount").collect()
+    ]
+
+    def midranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while (
+                j + 1 < len(order)
+                and vals[order[j + 1]] == vals[order[i]]
+            ):
+                j += 1
+            avg = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = avg
+            i = j + 1
+        return ranks
+
+    rx = midranks([p[0] for p in pairs])
+    ry = midranks([p[1] for p in pairs])
+    n = len(pairs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    )
+    want = num / den
+
+    [row] = stat_spearman_qty_discount(spark, SF).collect()
+    assert row["n"] == n
+    assert abs(row["spearman_rho"] - want) < 1e-9
+
+
 def test_embedding_dedup_auto_planes(spark):
     """n_planes='auto' sizes planes from the corpus (max(4,
     ceil(log2(n/target)))) — at small n it must resolve to the same
