@@ -126,8 +126,15 @@ def main() -> None:
     for name in HEADLINE:
         fn = specs[name].fn
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            # One failing query (e.g. a designed loud scale guard at
+            # an off-contract SF) must not discard every other
+            # timing; record it and keep the JSON line contract.
+            timings[name] = f"FAIL:{type(e).__name__}"
+            print(f"{name}: {type(e).__name__}", file=sys.stderr)
         # Release per-query persisted stages: leaving them pinned
         # charges later queries for this query's cache memory.
         spark.catalog.clearCache()
@@ -136,7 +143,10 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_wall_clock",
-                "value": round(sum(timings.values()), 3),
+                "value": round(
+                    sum(v for v in timings.values() if isinstance(v, float)),
+                    3,
+                ),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,

@@ -64,7 +64,9 @@ def salted_join(
     identical in every hashable column share a salt, so at
     50%-duplicate pathology prefer exact dedup first.
     """
-    hashable = [c for c, t in left.dtypes if not t.startswith("map<")]
+    # xxhash64 rejects MapType RECURSIVELY (maps nested in structs or
+    # arrays included), so test containment, not the dtype prefix.
+    hashable = [c for c, t in left.dtypes if "map<" not in t]
     if not hashable:
         raise ValueError(
             "salted_join: left frame has no hashable (non-map) "

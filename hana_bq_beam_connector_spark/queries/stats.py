@@ -408,18 +408,17 @@ def stat_gini_impurity_segment(
 @register(
     "stat_spearman_qty_discount",
     """
-    WITH tot AS (SELECT COUNT(*) AS n FROM lineitem),
-    rx AS (
-      SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 - (n + 1)
-               AS cr
+    WITH rx AS (
+      SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1
+               - (SUM(c) OVER () + 1) AS cr
       FROM (SELECT l_quantity AS v, COUNT(*) AS c
-            FROM lineitem GROUP BY 1) CROSS JOIN tot
+            FROM lineitem GROUP BY 1)
     ),
     ry AS (
-      SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 - (n + 1)
-               AS cr
+      SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1
+               - (SUM(c) OVER () + 1) AS cr
       FROM (SELECT l_discount AS v, COUNT(*) AS c
-            FROM lineitem GROUP BY 1) CROSS JOIN tot
+            FROM lineitem GROUP BY 1)
     ),
     m AS (
       SELECT COUNT(*) AS n,
@@ -446,8 +445,12 @@ def stat_gini_impurity_segment(
     "three moments are exact BIGINTs whose int64→double conversion "
     "is hardware-correct in every engine — no decimal→double "
     "rounding divergence.  Bound: |moment| ≤ n³ caps exact 64-bit "
-    "operation at ~2M rows; past that the sum overflows LOUDLY "
-    "(ANSI) — shard by group or quantize ranks before going wider.",
+    "operation at ~2M rows; past that a raise_error guard fires in "
+    "EVERY session mode — the ANSI sum-overflow alone would silently "
+    "WRAP on a non-ANSI cluster (sf1 sweep confirmed the loud path) "
+    "— shard by group or quantize ranks before going wider.  n comes "
+    "from an unbounded window over the ≤51-row distinct-value frame, "
+    "not a separate fact scan.",
 )
 def stat_spearman_qty_discount(
     spark: SparkSession, sf_dir: str
@@ -455,7 +458,6 @@ def stat_spearman_qty_discount(
     from pyspark.sql.window import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    tot = li.agg(F.count(F.lit(1)).alias("n"))
 
     def rank_table(col: str) -> DataFrame:
         vals = li.groupBy(F.col(col).alias("v")).agg(
@@ -464,17 +466,17 @@ def stat_spearman_qty_discount(
         w = Window.orderBy("v").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        return (
-            vals.crossJoin(F.broadcast(tot))
-            .select(
-                "v",
-                (
-                    2 * (F.sum("c").over(w) - F.col("c"))
-                    + F.col("c")
-                    + 1
-                    - (F.col("n") + 1)
-                ).alias("cr"),
-            )
+        w_all = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        return vals.select(
+            "v",
+            (
+                2 * (F.sum("c").over(w) - F.col("c"))
+                + F.col("c")
+                + 1
+                - (F.sum("c").over(w_all) + 1)
+            ).alias("cr"),
         )
 
     rx = rank_table("l_quantity").select(
@@ -493,11 +495,23 @@ def stat_spearman_qty_discount(
             F.sum(F.col("cry") * F.col("cry")).cast("bigint").alias("syy"),
         )
     )
+    # Every-mode scale guard: past ~2M rows the int64 moments exceed
+    # their exactness bound — ANSI raises on the sum, but a non-ANSI
+    # session would silently WRAP.  raise_error fires regardless of
+    # session mode; at the contract SFs the branch is never taken, so
+    # the oracle comparison is unaffected.
+    rho = (
+        "CAST(sxy AS DOUBLE)"
+        " / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))"
+    )
     return m.select(
         "n",
         F.expr(
-            "CAST(sxy AS DOUBLE)"
-            " / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))"
+            "CASE WHEN n > 2000000 THEN raise_error("
+            "'stat_spearman_qty_discount: exact int64 rank moments "
+            "need n <= ~2e6 rows (|moment| <= n^3); shard by group, "
+            "sample, or quantize ranks before going wider') "
+            f"ELSE {rho} END"
         ).alias("spearman_rho"),
     )
 

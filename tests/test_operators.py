@@ -474,6 +474,37 @@ def test_salted_join_tolerates_map_columns(spark):
         for r in salted_join(left, right, on="k", salt=4).collect()
     )
     assert got == [(1, "x"), (1, "x"), (2, "y")]
+    # Maps NESTED in structs/arrays are rejected by xxhash64 too —
+    # the exclusion must test containment, not the dtype prefix.
+    nested = spark.createDataFrame(
+        [(1, {"a": {"x": 1}})], "k bigint, s struct<a: map<string,int>>"
+    )
+    assert salted_join(nested, right, on="k", salt=4).count() == 1
+
+
+def test_spearman_guard_fires_without_ansi(spark, tmp_path):
+    """Past the ~2M-row int64 moment bound the query must raise in
+    EVERY session mode: with ANSI off the sums would silently WRAP
+    and return a plausible wrong rho — the raise_error guard fires
+    before any moment is computed."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hana_bq_beam_connector_spark.queries.stats import (
+        stat_spearman_qty_discount,
+    )
+
+    big = spark.range(2_000_001).select(
+        (F.col("id") % 50).cast("double").alias("l_quantity"),
+        ((F.col("id") % 11) / 100.0).alias("l_discount"),
+    )
+    big.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="n <= ~2e6"):
+            stat_spearman_qty_discount(spark, str(tmp_path)).collect()
+    finally:
+        spark.conf.unset("spark.sql.ansi.enabled")
 
 
 def test_chunk_fingerprints_floors_negative_timestamps(spark):

@@ -37,8 +37,6 @@ _ALLOWED = {
     "for m-estimate smoothing",
     "stat_chi2_segment_priority": "grand total (1 row) broadcast to "
     "the O(25)-row cell frame",
-    "stat_spearman_qty_discount": "grand total (1 row) broadcast to "
-    "the O(51)-row rank tables",
 }
 _SKIP_EXECUTING = {
     # these run a real streaming query inside fn(); plan checked in
