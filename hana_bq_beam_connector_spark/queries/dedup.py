@@ -396,8 +396,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Fuzzy-match dedup via edit distance: blocked (same-nation) "
     "sampled pair space, levenshtein <= 2 — integer DP both engines "
-    "compute identically; the blocking key is what keeps the pair "
-    "space linear-ish at scale (never all-pairs).",
+    "compute identically.  HONEST scale label: nation has FIXED "
+    "cardinality (25), so blocks grow with n and the sampled pair "
+    "space grows ~n²/250 — the registry-wide sf1 sweep measured 29× "
+    "wall at 10× data.  This is the bounded-sample DEMO of the edit-"
+    "distance verifier; the production fuzzy-linkage path is "
+    "er_blocked_pairs (queries/entity.py): DISCRIMINATING attribute "
+    "blocks whose count scales with n, plus a loud max_block_nodes "
+    "guard instead of silent quadratic work.",
 )
 def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(

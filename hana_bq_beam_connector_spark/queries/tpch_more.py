@@ -775,20 +775,33 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
     "match each other instead of silently dropping — the semantic "
-    "SQL joins get wrong by default when a key is nullable.  Still "
-    "a hash join (null-safe equality is a valid hash key), not a "
-    "nested loop; the '5-LOW' priority is nulled to manufacture a "
-    "NULL key population.",
+    "SQL joins get wrong by default when a key is nullable; the "
+    "'5-LOW' priority is nulled to manufacture a NULL key "
+    "population.  Plan shape: the key has ~5 distinct values, so "
+    "materializing the join emits ~n²/385 rows just to COUNT them "
+    "(the registry-wide sf1 sweep measured 43× wall at 10× data for "
+    "exactly that plan).  Pair counts over an equi-key factor as "
+    "cnt_a(k)·cnt_b(k): each side reduces to an O(keys) count table "
+    "first and the null-safe join runs on TWO ~5-row aggregates — "
+    "identical answer (the oracle stays the naive pair-materializing "
+    "definition, proving the factorization), O(n) not O(n²).",
 )
 def join_null_safe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     k = F.expr("NULLIF(o_orderpriority, '5-LOW')")
-    a = o.where(F.col("o_orderkey") % 7 == 0).select(k.alias("ka"))
-    b = o.where(F.col("o_orderkey") % 11 == 0).select(k.alias("kb"))
-    return (
-        a.join(b, a["ka"].eqNullSafe(b["kb"]))
-        .groupBy(F.coalesce(F.col("ka"), F.lit("-1")).alias("k"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    a = (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .groupBy(k.alias("ka"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        o.where(F.col("o_orderkey") % 11 == 0)
+        .groupBy(k.alias("kb"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    return a.join(b, a["ka"].eqNullSafe(b["kb"])).select(
+        F.coalesce(F.col("ka"), F.lit("-1")).alias("k"),
+        (F.col("ca") * F.col("cb")).cast("bigint").alias("n_pairs"),
     )
 
 
