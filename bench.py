@@ -109,6 +109,8 @@ HEADLINE = [
     "stat_zscore_outlier_gate",   # two-pass broadcast-moments gate
     "mm_wav_decode_stats",        # REAL WAV PCM16 parse -> sample stats
     "stat_spearman_qty_discount", # rank corr via broadcast rank tables
+    "drift_decile_shift_price",   # snapshot decile drift (ranked pass)
+    "drift_tvd_total",            # exact-integer total-variation dist
 ]
 
 

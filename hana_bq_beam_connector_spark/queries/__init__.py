@@ -93,6 +93,7 @@ def _load_all() -> None:
         behavior,
         curation,
         dedup,
+        drift,
         entity,
         etl,
         graph,

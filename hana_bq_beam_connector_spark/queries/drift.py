@@ -1,0 +1,479 @@
+"""Distribution-drift / dataset-monitoring queries (SURVEY §2c drift
+[X] — NEW group, round 5).
+
+The monitoring layer a production training pipeline runs between
+snapshot refreshes: "did the data that arrived this week still look
+like the data the model was trained on?"  Two snapshots are compared
+throughout — orders with ``year(o_orderdate) <= 1997`` (snapshot A,
+the training corpus) vs later orders (snapshot B, the refresh).  The
+reference has none of this (its 439 LoC copy rows verbatim); every
+query here is an engine extension.
+
+Determinism doctrine, applied to drift measures: the industry PSI
+uses ln(), which is NOT cross-engine reproducible (same stance as
+text_tfidf_topk's rational idf) — so the drift measures here are the
+transcendental-free ones: total-variation distance and the KS
+statistic stay in exact BIGINT numerators (|c_a*n_b - c_b*n_a|) with
+ONE closing IEEE division, chi-square homogeneity follows
+stat_chi2_segment_priority's exact-count/expected shape, decile
+shifts are raw data values passed through untouched, and churn is
+pure integers.  Where a BIGINT product could exceed 2^53 (exact
+double conversion bound) past ~9e7 rows per snapshot, a raise_error
+guard fires in EVERY session mode (the Spearman precedent) and names
+the unbounded alternative.
+
+Scale: every query reduces the fact scan to an O(bands | categories |
+customers) frame in one map-side-combinable aggregate; windows and
+reshaping run on those tiny frames only.  The churn query's
+distinct-key aggregate is the one O(customers) shuffle — the same
+cost as any distinct count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hana_bq_beam_connector_spark.queries import register
+from hana_bq_beam_connector_spark.sources.files import load_table
+
+# Snapshot split predicate — year() sidesteps timestamp-literal
+# layout drift entirely (works identically on NTZ/LTZ/parquet TS).
+_IN_A = "EXTRACT(year FROM o_orderdate) <= 1997"
+
+# Exact per-snapshot counts past which |c*n| products leave the
+# 2^53 exact-double envelope: 9e7 * 9e7 = 8.1e15 < 2^53.
+_N_GUARD = 90_000_000
+
+# Shared snapshot x price-band cell frame (SQL text; the Spark twin
+# is _price_cells below).  SUM(CASE) casts to BIGINT (DuckDB sums to
+# HUGEINT, which the comparator cannot represent).
+def _sql_cells(width: int) -> str:
+    return f"""
+      SELECT CAST(FLOOR(o_totalprice / {width}) AS BIGINT) AS band,
+        CAST(SUM(CASE WHEN {_IN_A} THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        CAST(SUM(CASE WHEN {_IN_A} THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+      FROM orders GROUP BY 1
+    """
+
+
+def _price_cells(
+    spark: SparkSession, sf_dir: str, width: int
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    in_a = F.year("o_orderdate") <= 1997
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / width)
+            .cast("bigint")
+            .alias("band")
+        )
+        .agg(
+            F.sum(F.when(in_a, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c_a"),
+            F.sum(F.when(in_a, 0).otherwise(1))
+            .cast("bigint")
+            .alias("c_b"),
+        )
+    )
+
+
+@register(
+    "drift_tvd_price_bands",
+    f"""
+    WITH b AS ({_sql_cells(25000)}),
+    t AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+                 CAST(SUM(c_b) AS BIGINT) AS n_b FROM b)
+    SELECT band, c_a, c_b,
+      CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+      CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+      ABS(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS abs_diff
+    FROM b CROSS JOIN t
+    """,
+    doc="Per-band drift profile of the price distribution between "
+    "the training snapshot (orders through 1997) and the refresh "
+    "(1998+): counts, proportions, and |p_a - p_b| per equi-width "
+    "band.  The per-band ratios are single IEEE divisions of exact "
+    "integer operands, so this emission stays deterministic at ANY "
+    "scale — it is the unbounded path the guarded global TVD query "
+    "points to.  One fact aggregate to an O(bands) frame; the 1-row "
+    "totals broadcast via crossJoin (plan-audit allowlisted shape).",
+)
+def drift_tvd_price_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    b = _price_cells(spark, sf_dir, 25000)
+    t = b.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    diff = (
+        "ABS(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    )
+    return b.crossJoin(F.broadcast(t)).select(
+        "band",
+        "c_a",
+        "c_b",
+        F.expr("CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)").alias("p_a"),
+        F.expr("CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)").alias("p_b"),
+        F.expr(diff).alias("abs_diff"),
+    )
+
+
+@register(
+    "drift_tvd_total",
+    f"""
+    WITH b AS ({_sql_cells(25000)}),
+    c AS (
+      SELECT c_a, c_b,
+        CAST(SUM(c_a) OVER () AS BIGINT) AS n_a,
+        CAST(SUM(c_b) OVER () AS BIGINT) AS n_b
+      FROM b
+    )
+    SELECT n_a, n_b,
+      CAST(COUNT(*) AS BIGINT) AS n_bands,
+      CAST(CAST(SUM(ABS(c_a * n_b - c_b * n_a)) AS BIGINT) AS DOUBLE)
+        / (2 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS tvd
+    FROM c GROUP BY n_a, n_b
+    """,
+    doc="Global total-variation distance between the two snapshot "
+    "price distributions: TVD = Sum|c_a*n_b - c_b*n_a| / (2*n_a*n_b) "
+    "— every numerator an exact BIGINT (no per-band double sum, "
+    "whose accumulation order engines disagree on), ONE closing IEEE "
+    "division.  Exactness bound: |c*n| <= n_a*n_b must stay under "
+    "2^53, so past 9e7 rows per snapshot a raise_error guard fires "
+    "in EVERY session mode and names drift_tvd_price_bands (pure "
+    "per-band ratios) as the unbounded path.  Runs on the O(bands) "
+    "cell frame; the fact table is scanned once.",
+)
+def drift_tvd_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _price_cells(spark, sf_dir, 25000)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cells = b.select(
+        "c_a",
+        "c_b",
+        F.sum("c_a").over(w_all).cast("bigint").alias("n_a"),
+        F.sum("c_b").over(w_all).cast("bigint").alias("n_b"),
+    )
+    t = cells.groupBy("n_a", "n_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bands"),
+        F.sum(
+            F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
+        )
+        .cast("bigint")
+        .alias("tvd_num"),
+    )
+    return t.select(
+        "n_a",
+        "n_b",
+        "n_bands",
+        F.expr(
+            f"CASE WHEN n_a > {_N_GUARD} OR n_b > {_N_GUARD} THEN "
+            "raise_error('drift_tvd_total: exact BIGINT TVD numerators "
+            "need <= 9e7 rows per snapshot (|c*n| <= 2^53); use "
+            "drift_tvd_price_bands per-band ratios at larger scale') "
+            "ELSE CAST(tvd_num AS DOUBLE)"
+            " / (2 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END"
+        ).alias("tvd"),
+    )
+
+
+@register(
+    "drift_ks_price",
+    f"""
+    WITH b AS ({_sql_cells(1000)}),
+    cum AS (
+      SELECT band,
+        CAST(SUM(c_a) OVER (ORDER BY band) AS BIGINT) AS cum_a,
+        CAST(SUM(c_b) OVER (ORDER BY band) AS BIGINT) AS cum_b,
+        CAST(SUM(c_a) OVER () AS BIGINT) AS n_a,
+        CAST(SUM(c_b) OVER () AS BIGINT) AS n_b
+      FROM b
+    )
+    SELECT band AS ks_band, cum_a, cum_b, n_a, n_b,
+      CAST(ABS(cum_a * n_b - cum_b * n_a) AS BIGINT) AS ks_num,
+      CAST(ABS(cum_a * n_b - cum_b * n_a) AS DOUBLE)
+        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks
+    FROM cum
+    ORDER BY ks_num DESC, band
+    LIMIT 1
+    """,
+    doc="Kolmogorov-Smirnov distance between the snapshot price "
+    "distributions, on a fixed 1000-wide band grid (binned ECDFs — "
+    "the 100 TB formulation: the cumulative window runs over the "
+    "O(bands) frame, never a global sort of raw rows).  "
+    "KS = max_band |cumA*nB - cumB*nA| / (nA*nB): the argmax is "
+    "taken over exact BIGINT numerators (deterministic, ties broken "
+    "on band), with ONE closing IEEE division; past 9e7 rows per "
+    "snapshot the 2^53 exactness bound breaks and the same "
+    "every-session-mode raise_error guard as drift_tvd_total fires, "
+    "naming the per-band proportion fallback.",
+)
+def drift_ks_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _price_cells(spark, sf_dir, 1000)
+    w_cum = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = b.select(
+        F.col("band").alias("ks_band"),
+        F.sum("c_a").over(w_cum).cast("bigint").alias("cum_a"),
+        F.sum("c_b").over(w_cum).cast("bigint").alias("cum_b"),
+        F.sum("c_a").over(w_all).cast("bigint").alias("n_a"),
+        F.sum("c_b").over(w_all).cast("bigint").alias("n_b"),
+    )
+    num = "ABS(cum_a * n_b - cum_b * n_a)"
+    return (
+        cum.select(
+            "ks_band",
+            "cum_a",
+            "cum_b",
+            "n_a",
+            "n_b",
+            F.expr(f"CAST({num} AS BIGINT)").alias("ks_num"),
+            F.expr(
+                f"CASE WHEN n_a > {_N_GUARD} OR n_b > {_N_GUARD} THEN "
+                "raise_error('drift_ks_price: exact BIGINT ECDF "
+                "numerators need <= 9e7 rows per snapshot "
+                "(|cum*n| <= 2^53); quantize to proportions per band "
+                "or sample before going wider') "
+                f"ELSE CAST({num} AS DOUBLE)"
+                " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END"
+            ).alias("ks"),
+        )
+        .orderBy(F.col("ks_num").desc(), "ks_band")
+        .limit(1)
+    )
+
+
+@register(
+    "drift_chi2_priority_homogeneity",
+    f"""
+    WITH cells AS (
+      SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN {_IN_A} THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        CAST(SUM(CASE WHEN {_IN_A} THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+                 CAST(SUM(c_b) AS BIGINT) AS n_b FROM cells)
+    SELECT o_orderpriority, c_a, c_b,
+      CAST(c_a + c_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+        / CAST(n_a + n_b AS DOUBLE) AS expected_a,
+      (CAST(c_a AS DOUBLE) - CAST(c_a + c_b AS DOUBLE)
+         * CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      * (CAST(c_a AS DOUBLE) - CAST(c_a + c_b AS DOUBLE)
+         * CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      / (CAST(c_a + c_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+         / CAST(n_a + n_b AS DOUBLE))
+      + (CAST(c_b AS DOUBLE) - CAST(c_a + c_b AS DOUBLE)
+         * CAST(n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      * (CAST(c_b AS DOUBLE) - CAST(c_a + c_b AS DOUBLE)
+         * CAST(n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      / (CAST(c_a + c_b AS DOUBLE) * CAST(n_b AS DOUBLE)
+         / CAST(n_a + n_b AS DOUBLE)) AS chi2_term
+    FROM cells CROSS JOIN t
+    """,
+    doc="Chi-square homogeneity cells between the two snapshots over "
+    "order priority (the categorical drift test: is the class mix "
+    "stable over time?).  Same shape discipline as "
+    "stat_chi2_segment_priority: everything up to the last step is "
+    "exact integer counts; expected counts and per-category terms "
+    "are one textually identical IEEE expression; the statistic is "
+    "the SUM of chi2_term, left to the consumer because a cross-row "
+    "double sum is partition-order dependent.  One fact aggregate to "
+    "an O(priorities) frame; 1-row totals broadcast (allowlisted).",
+)
+def drift_chi2_priority_homogeneity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    in_a = F.year("o_orderdate") <= 1997
+    cells = o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("bigint").alias("c_a"),
+        F.sum(F.when(in_a, 0).otherwise(1)).cast("bigint").alias("c_b"),
+    )
+    t = cells.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+
+    def exp(side: str) -> str:
+        return (
+            "CAST(c_a + c_b AS DOUBLE)"
+            f" * CAST(n_{side} AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"
+        )
+
+    def term(side: str) -> str:
+        return (
+            f"(CAST(c_{side} AS DOUBLE) - {exp(side)})"
+            f" * (CAST(c_{side} AS DOUBLE) - {exp(side)})"
+            f" / ({exp(side)})"
+        )
+
+    return cells.crossJoin(F.broadcast(t)).select(
+        "o_orderpriority",
+        "c_a",
+        "c_b",
+        F.expr(exp("a")).alias("expected_a"),
+        F.expr(f"{term('a')} + {term('b')}").alias("chi2_term"),
+    )
+
+
+@register(
+    "drift_customer_churn",
+    f"""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE {_IN_A}),
+    b AS (SELECT DISTINCT o_custkey FROM orders WHERE NOT ({_IN_A}))
+    SELECT
+      CASE WHEN b.o_custkey IS NULL THEN 'churned'
+           WHEN a.o_custkey IS NULL THEN 'new'
+           ELSE 'retained' END AS status,
+      CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    GROUP BY 1
+    """,
+    doc="Entity churn between snapshots: customers active through "
+    "1997 vs 1998+, classified churned / new / retained via a full "
+    "outer join of the two distinct-key sets.  Pure integer counts — "
+    "no float anywhere.  Scale: each side reduces to distinct keys "
+    "first (partial-agg combinable), so the join moves O(customers) "
+    "ids, the same cost as any distinct count; both sides "
+    "co-partition on the key so the join adds no extra exchange "
+    "beyond the distinct's own.",
+)
+def drift_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    in_a = F.year("o_orderdate") <= 1997
+    a = o.filter(in_a).select("o_custkey").distinct()
+    b = o.filter(~in_a).select(F.col("o_custkey").alias("b_custkey")).distinct()
+    j = a.join(b, a["o_custkey"] == b["b_custkey"], "full_outer")
+    status = (
+        F.when(F.col("b_custkey").isNull(), "churned")
+        .when(F.col("o_custkey").isNull(), "new")
+        .otherwise("retained")
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+@register(
+    "drift_decile_shift_price",
+    f"""
+    WITH r AS (
+      SELECT CASE WHEN {_IN_A} THEN 'a' ELSE 'b' END AS snap,
+             o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY CASE WHEN {_IN_A} THEN 'a' ELSE 'b' END
+               ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (
+               PARTITION BY CASE WHEN {_IN_A} THEN 'a' ELSE 'b' END) AS n
+      FROM orders
+    ),
+    q AS (
+      SELECT snap,
+        MIN(CASE WHEN rn = CAST(FLOOR((1 * n + 9) / 10) AS BIGINT)
+                 THEN o_totalprice END) AS d1,
+        MIN(CASE WHEN rn = CAST(FLOOR((2 * n + 9) / 10) AS BIGINT)
+                 THEN o_totalprice END) AS d2,
+        MIN(CASE WHEN rn = CAST(FLOOR((3 * n + 9) / 10) AS BIGINT)
+                 THEN o_totalprice END) AS d3,
+        MIN(CASE WHEN rn = CAST(FLOOR((4 * n + 9) / 10) AS BIGINT)
+                 THEN o_totalprice END) AS d4,
+        MIN(CASE WHEN rn = CAST(FLOOR((5 * n + 9) / 10) AS BIGINT)
+                 THEN o_totalprice END) AS d5,
+        MIN(CASE WHEN rn = CAST(FLOOR((6 * n + 9) / 10) AS BIGINT)
+                 THEN o_totalprice END) AS d6,
+        MIN(CASE WHEN rn = CAST(FLOOR((7 * n + 9) / 10) AS BIGINT)
+                 THEN o_totalprice END) AS d7,
+        MIN(CASE WHEN rn = CAST(FLOOR((8 * n + 9) / 10) AS BIGINT)
+                 THEN o_totalprice END) AS d8,
+        MIN(CASE WHEN rn = CAST(FLOOR((9 * n + 9) / 10) AS BIGINT)
+                 THEN o_totalprice END) AS d9
+      FROM r GROUP BY snap
+    ),
+    u AS (
+      SELECT snap, 1 AS decile, d1 AS q_val FROM q
+      UNION ALL SELECT snap, 2, d2 FROM q
+      UNION ALL SELECT snap, 3, d3 FROM q
+      UNION ALL SELECT snap, 4, d4 FROM q
+      UNION ALL SELECT snap, 5, d5 FROM q
+      UNION ALL SELECT snap, 6, d6 FROM q
+      UNION ALL SELECT snap, 7, d7 FROM q
+      UNION ALL SELECT snap, 8, d8 FROM q
+      UNION ALL SELECT snap, 9, d9 FROM q
+    )
+    SELECT decile,
+      MIN(CASE WHEN snap = 'a' THEN q_val END) AS q_a,
+      MIN(CASE WHEN snap = 'b' THEN q_val END) AS q_b,
+      MIN(CASE WHEN snap = 'b' THEN q_val END)
+        - MIN(CASE WHEN snap = 'a' THEN q_val END) AS shift
+    FROM u GROUP BY decile
+    """,
+    doc="Quantile drift: exact nearest-rank deciles of price per "
+    "snapshot, aligned by decile, with the shift q_b - q_a.  Decile "
+    "values are raw data values passed through untouched "
+    "(agg_percentiles_exact_nearest_rank's convention) and the shift "
+    "is ONE IEEE subtraction of them.  The ranked window runs once "
+    "over the fact scan partitioned by snapshot; the unpivot/pivot "
+    "reshaping touches only the 2-row decile frame.  At 100 TB the "
+    "per-snapshot global sort is the cost — swap the rank source for "
+    "the GK-sketch bands (agg_approx_percentiles) when "
+    "convention-exact deciles aren't required.",
+)
+def drift_decile_shift_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    snap = F.when(F.year("o_orderdate") <= 1997, "a").otherwise("b")
+    w = Window.partitionBy("snap").orderBy("o_totalprice", "o_orderkey")
+    w_all = Window.partitionBy("snap")
+    r = o.select(
+        snap.alias("snap"),
+        "o_totalprice",
+        "o_orderkey",
+    ).select(
+        "snap",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+
+    def at(k: int):
+        # Nearest-rank index ceil(k*n/10) in INTEGER form
+        # floor((k*n+9)/10): k*n+9 is exact as a double well past any
+        # realistic n, /10 is one correctly-rounded IEEE division
+        # (exact whenever the true quotient is an integer), so both
+        # engines agree — unlike a 0.1*n literal, which parses as
+        # decimal in DuckDB but double in Spark.
+        idx = F.floor((F.lit(k) * F.col("n") + 9) / 10).cast("bigint")
+        return F.min(
+            F.when(F.col("rn") == idx, F.col("o_totalprice"))
+        ).alias(f"d{k}")
+
+    q = r.groupBy("snap").agg(*[at(k) for k in range(1, 10)])
+    u = q.select(
+        "snap",
+        F.expr(
+            "stack(9, "
+            + ", ".join(f"{k}, d{k}" for k in range(1, 10))
+            + ") AS (decile, q_val)"
+        ),
+    )
+    return u.groupBy("decile").agg(
+        F.min(F.when(F.col("snap") == "a", F.col("q_val"))).alias("q_a"),
+        F.min(F.when(F.col("snap") == "b", F.col("q_val"))).alias("q_b"),
+        (
+            F.min(F.when(F.col("snap") == "b", F.col("q_val")))
+            - F.min(F.when(F.col("snap") == "a", F.col("q_val")))
+        ).alias("shift"),
+    )

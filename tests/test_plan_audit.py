@@ -37,6 +37,10 @@ _ALLOWED = {
     "for m-estimate smoothing",
     "stat_chi2_segment_priority": "grand total (1 row) broadcast to "
     "the O(25)-row cell frame",
+    "drift_tvd_price_bands": "snapshot totals (1 row) broadcast to "
+    "the O(bands) cell frame",
+    "drift_chi2_priority_homogeneity": "snapshot totals (1 row) "
+    "broadcast to the O(priorities) cell frame",
 }
 _SKIP_EXECUTING = {
     # these run a real streaming query inside fn(); plan checked in
