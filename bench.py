@@ -111,6 +111,8 @@ HEADLINE = [
     "stat_spearman_qty_discount", # rank corr via broadcast rank tables
     "drift_decile_shift_price",   # snapshot decile drift (ranked pass)
     "drift_tvd_total",            # exact-integer total-variation dist
+    "ts_cusum_changepoint",       # integer CUSUM break detection
+    "graph_clustering_coefficient",  # per-node triangle credits + lcc
 ]
 
 

@@ -220,3 +220,101 @@ def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counted.orderBy(F.col("n_orders").desc(), "p1", "p2").limit(20)
     w = Window.orderBy(F.col("n_orders").desc(), "p1", "p2")
     return top.select("p1", "p2", "n_orders", F.row_number().over(w).cast("long").alias("rank"))
+
+
+@register(
+    "graph_clustering_coefficient",
+    f"""
+    WITH canon AS ({_COSUPPLY_SQL}),
+    tri AS (
+      SELECT uv.src AS u, uv.dst AS v, vw.dst AS w
+      FROM canon uv
+      JOIN canon vw ON uv.dst = vw.src
+      JOIN canon uw ON uw.src = uv.src AND uw.dst = vw.dst
+    ),
+    tnodes AS (
+      SELECT u AS node_id FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri
+    ),
+    tcnt AS (
+      SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM tnodes GROUP BY node_id
+    ),
+    sym AS (
+      SELECT src, dst FROM canon
+      UNION SELECT dst AS src, src AS dst FROM canon
+    ),
+    deg AS (
+      SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM sym GROUP BY src
+    )
+    SELECT d.node_id, d.deg,
+      COALESCE(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+      CAST(2 * COALESCE(t.n_triangles, CAST(0 AS BIGINT)) AS DOUBLE)
+        / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS lcc
+    FROM deg d LEFT JOIN tcnt t ON d.node_id = t.node_id
+    WHERE d.deg >= 2
+    """,
+    doc="Local clustering coefficient per supplier in the co-supply "
+    "graph: lcc(v) = 2*t(v) / (deg(v)*(deg(v)-1)) — how close each "
+    "node's neighborhood is to a clique (the community-structure "
+    "feature triangle COUNTS can't localize).  Per-node triangle "
+    "counts come from the same ordered-edge two-join enumeration as "
+    "graph_triangle_cosupply (each triangle credited to its three "
+    "nodes via an explode — no per-node neighborhood join); degrees "
+    "from the symmetrized edge set.  Exact integers until the single "
+    "closing IEEE division; deg < 2 nodes are excluded (the "
+    "coefficient is undefined there, and excluding them keeps the "
+    "divisor nonzero in ANSI mode).  Scale: triangles via ordered "
+    "edges (degree-ordering is the O(E^1.5) production knob); the "
+    "per-node credit shuffle carries (id, 1) pairs only.",
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= _QTY_BAR)
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_suppkey").alias("src"), "l_partkey")
+    b = li.select(F.col("l_suppkey").alias("dst"), "l_partkey")
+    canon = (
+        a.join(b, "l_partkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    uv = canon.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    vw = canon.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    uw = canon.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = uv.join(vw, "v").join(uw, ["u", "w"])
+    tcnt = (
+        tri.select(
+            F.explode(F.array("u", "v", "w")).alias("node_id")
+        )
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    sym = canon.union(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint"))
+    return (
+        deg.join(tcnt, "node_id", "left")
+        .where(F.col("deg") >= 2)
+        .select(
+            "node_id",
+            "deg",
+            t.alias("n_triangles"),
+            (
+                (2 * t).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+            ).alias("lcc"),
+        )
+    )
