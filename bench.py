@@ -113,6 +113,8 @@ HEADLINE = [
     "drift_tvd_total",            # exact-integer total-variation dist
     "ts_cusum_changepoint",       # integer CUSUM break detection
     "graph_clustering_coefficient",  # per-node triangle credits + lcc
+    "drift_user_overlap",         # distinct-user Jaccard between halves
+    "stream_drift_baseline",      # windowed share vs corpus baseline
 ]
 
 

@@ -24,9 +24,11 @@ the unbounded alternative.
 
 Scale: every query reduces the fact scan to an O(bands | categories |
 customers) frame in one map-side-combinable aggregate; windows and
-reshaping run on those tiny frames only.  The churn query's
-distinct-key aggregate is the one O(customers) shuffle — the same
-cost as any distinct count.
+reshaping run on those tiny frames only.  The churn and user-overlap
+queries' distinct-key aggregates are the one O(keys) shuffle — the
+same cost as any distinct count.  The streaming face of this family
+is ``stream_drift_baseline`` (queries/streaming.py): the same
+per-cell share-vs-baseline emission over tumbling event-time windows.
 """
 
 from __future__ import annotations
@@ -476,4 +478,104 @@ def drift_decile_shift_price(
             F.min(F.when(F.col("snap") == "b", F.col("q_val")))
             - F.min(F.when(F.col("snap") == "a", F.col("q_val")))
         ).alias("shift"),
+    )
+
+
+@register(
+    "drift_user_overlap",
+    """
+    WITH a AS (
+      SELECT event_type, user_id FROM events
+      WHERE epoch_us(ts) < 1705276800000000 GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type, user_id FROM events
+      WHERE epoch_us(ts) >= 1705276800000000 GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+        CAST(SUM(CASE WHEN a.user_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS u_a,
+        CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS u_b,
+        CAST(SUM(CASE WHEN a.user_id IS NOT NULL
+                       AND b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS u_both
+      FROM a FULL OUTER JOIN b
+        ON a.event_type = b.event_type AND a.user_id = b.user_id
+      GROUP BY 1
+    )
+    SELECT event_type, u_a, u_b, u_both,
+      CAST(u_both AS DOUBLE)
+        / CAST(u_a + u_b - u_both AS DOUBLE) AS jaccard,
+      CAST(u_both AS DOUBLE) / CAST(u_a AS DOUBLE) AS retention
+    FROM j
+    """,
+    doc="Audience drift per event type between the first and second "
+    "half of the event window (split at 2024-01-15 UTC, epoch-us "
+    "literal — integer comparison, no engine date functions): "
+    "distinct users in each half, their exact overlap, Jaccard "
+    "similarity and retention share.  Pure integer counts from ONE "
+    "full outer join of the two distinct (type, user) sets — the "
+    "inclusion-exclusion denominator u_a + u_b - u_both stays "
+    "integer; the two ratios are single IEEE divisions.  Scale: each "
+    "side reduces to distinct keys first (partial-agg combinable), "
+    "the join moves O(users x types) 16-byte keys co-partitioned on "
+    "them — the exact-overlap cost every audience system pays; swap "
+    "in HLL sketches (agg_approx_count_distinct's operator) when "
+    "u_both can tolerate estimation error.",
+)
+def drift_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.queries._util import events_us
+
+    split_us = 1_705_276_800_000_000
+    ev = events_us(spark, sf_dir).select("event_type", "user_id", "ts")
+    a = (
+        ev.filter(F.col("ts") < split_us)
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    b = (
+        ev.filter(F.col("ts") >= split_us)
+        .select(
+            F.col("event_type").alias("b_type"),
+            F.col("user_id").alias("b_user"),
+        )
+        .distinct()
+    )
+    j = a.join(
+        b,
+        (a["event_type"] == b["b_type"]) & (a["user_id"] == b["b_user"]),
+        "full_outer",
+    )
+    g = j.groupBy(
+        F.coalesce(F.col("event_type"), F.col("b_type")).alias("event_type")
+    ).agg(
+        F.sum(F.when(F.col("user_id").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("u_a"),
+        F.sum(F.when(F.col("b_user").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("u_b"),
+        F.sum(
+            F.when(
+                F.col("user_id").isNotNull() & F.col("b_user").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("u_both"),
+    )
+    return g.select(
+        "event_type",
+        "u_a",
+        "u_b",
+        "u_both",
+        F.expr(
+            "CAST(u_both AS DOUBLE)"
+            " / CAST(u_a + u_b - u_both AS DOUBLE)"
+        ).alias("jaccard"),
+        F.expr("CAST(u_both AS DOUBLE) / CAST(u_a AS DOUBLE)").alias(
+            "retention"
+        ),
     )

@@ -310,3 +310,86 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_with_dim(ev, dim).select(
         "event_id", "user_id", "segment", "nation", "value"
     )
+
+
+_SIX_H_US = 6 * HOUR_US
+
+
+@register(
+    "stream_drift_baseline",
+    f"""
+    WITH w AS (
+      SELECT (epoch_us(ts) // {_SIX_H_US}) * {_SIX_H_US} AS window_start,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    wt AS (SELECT window_start, CAST(SUM(n) AS BIGINT) AS win_n
+           FROM w GROUP BY 1),
+    base AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS base_n
+             FROM w GROUP BY 1),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS all_n FROM w)
+    SELECT w.window_start, w.event_type, w.n, wt.win_n,
+      CAST(w.n AS DOUBLE) / CAST(wt.win_n AS DOUBLE) AS p_window,
+      CAST(base.base_n AS DOUBLE) / CAST(g.all_n AS DOUBLE) AS p_baseline,
+      ABS(CAST(w.n AS DOUBLE) / CAST(wt.win_n AS DOUBLE)
+          - CAST(base.base_n AS DOUBLE) / CAST(g.all_n AS DOUBLE))
+        AS abs_diff
+    FROM w
+    JOIN wt ON w.window_start = wt.window_start
+    JOIN base ON w.event_type = base.event_type
+    CROSS JOIN g
+    """,
+    doc="Windowed drift monitor — the streaming face of the drift "
+    "family (queries/drift.py): per tumbling 6h window, each event "
+    "type's in-window share vs its corpus-baseline share, with "
+    "|p_window - p_baseline| as the per-cell drift signal.  Batch "
+    "replay of the incremental composition whose two halves are "
+    "live-tested separately: a tumbling event-time aggregate "
+    "(stream_tumbling_1h's shape) joined to a static broadcast "
+    "baseline (stream_static_enrich's shape).  All counts exact "
+    "BIGINT; shares are single IEEE divisions of exact operands, so "
+    "the emission is deterministic at any scale (the same unbounded "
+    "per-cell-ratio stance as drift_tvd_price_bands).  One fact "
+    "aggregate to the O(windows x types) frame; every join after it "
+    "runs on that frame (baseline and 1-row grand total broadcast — "
+    "allowlisted).",
+)
+def stream_drift_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir)
+    w = (
+        ev.withColumn(
+            "window_start", F.expr(f"(ts div {_SIX_H_US}) * {_SIX_H_US}")
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wt = w.groupBy("window_start").agg(
+        F.sum("n").cast("bigint").alias("win_n")
+    )
+    base = w.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("base_n")
+    )
+    g = w.agg(F.sum("n").cast("bigint").alias("all_n"))
+    diff = (
+        "ABS(CAST(n AS DOUBLE) / CAST(win_n AS DOUBLE)"
+        " - CAST(base_n AS DOUBLE) / CAST(all_n AS DOUBLE))"
+    )
+    return (
+        w.join(wt, "window_start")
+        .join(F.broadcast(base), "event_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "window_start",
+            "event_type",
+            "n",
+            "win_n",
+            F.expr("CAST(n AS DOUBLE) / CAST(win_n AS DOUBLE)").alias(
+                "p_window"
+            ),
+            F.expr(
+                "CAST(base_n AS DOUBLE) / CAST(all_n AS DOUBLE)"
+            ).alias("p_baseline"),
+            F.expr(diff).alias("abs_diff"),
+        )
+    )

@@ -123,3 +123,46 @@ def test_scale_guards_fire_loudly(spark, name, tmp_path):
             _q(name)(spark, SF_DIR).collect()
     finally:
         drift._price_cells = real
+
+
+def test_user_overlap_bounds_and_totals(spark, sf_dir):
+    from hana_bq_beam_connector_spark.queries._util import events_us
+
+    rows = _q("drift_user_overlap")(spark, sf_dir).collect()
+    assert rows
+    split_us = 1_705_276_800_000_000
+    ev = events_us(spark, sf_dir).select("event_type", "user_id", "ts")
+    first = (
+        ev.filter(F.col("ts") < split_us)
+        .select("event_type", "user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["u_a"] for r in rows) == first
+    for r in rows:
+        assert 0 <= r["u_both"] <= min(r["u_a"], r["u_b"])
+        union = r["u_a"] + r["u_b"] - r["u_both"]
+        assert r["jaccard"] == r["u_both"] / union
+        assert r["retention"] == r["u_both"] / r["u_a"]
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_stream_drift_baseline_shares_conserve(spark, sf_dir):
+    rows = _q("stream_drift_baseline")(spark, sf_dir).collect()
+    by_window: dict[int, list] = {}
+    for r in rows:
+        by_window.setdefault(r["window_start"], []).append(r)
+    for cells in by_window.values():
+        assert sum(c["n"] for c in cells) == cells[0]["win_n"]
+        assert math.isclose(
+            sum(c["p_window"] for c in cells), 1.0, rel_tol=1e-12
+        )
+    # The baseline share is window-independent: identical for a type
+    # across every window, and the baseline distribution sums to 1.
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], set()).add(r["p_baseline"])
+    assert all(len(v) == 1 for v in by_type.values())
+    assert math.isclose(
+        sum(next(iter(v)) for v in by_type.values()), 1.0, rel_tol=1e-12
+    )

@@ -41,6 +41,8 @@ _ALLOWED = {
     "the O(bands) cell frame",
     "drift_chi2_priority_homogeneity": "snapshot totals (1 row) "
     "broadcast to the O(priorities) cell frame",
+    "stream_drift_baseline": "grand total (1 row) broadcast to the "
+    "O(windows x types) cell frame",
 }
 _SKIP_EXECUTING = {
     # these run a real streaming query inside fn(); plan checked in
