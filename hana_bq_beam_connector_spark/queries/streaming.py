@@ -344,10 +344,10 @@ _SIX_H_US = 6 * HOUR_US
     "family (queries/drift.py): per tumbling 6h window, each event "
     "type's in-window share vs its corpus-baseline share, with "
     "|p_window - p_baseline| as the per-cell drift signal.  Batch "
-    "replay of the incremental composition whose two halves are "
-    "live-tested separately: a tumbling event-time aggregate "
-    "(stream_tumbling_1h's shape) joined to a static broadcast "
-    "baseline (stream_static_enrich's shape).  All counts exact "
+    "replay of the LIVE monitor (streaming/windows.drift_cells_agg "
+    "maintains the cell counts incrementally; shares are read-time "
+    "math over that tiny table — equivalence-tested end to end in "
+    "tests/test_streaming.py, same doubles).  All counts exact "
     "BIGINT; shares are single IEEE divisions of exact operands, so "
     "the emission is deterministic at any scale (the same unbounded "
     "per-cell-ratio stance as drift_tvd_price_bands).  One fact "

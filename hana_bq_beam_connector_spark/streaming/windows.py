@@ -136,3 +136,29 @@ def run_available_now(
         .start()
     )
     query.awaitTermination()
+
+
+def drift_cells_agg(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling 6h cell counts per event_type — the ONE stateful
+    operator of the live drift monitor (queries/streaming.py
+    ``stream_drift_baseline`` is its batch replay).
+
+    The monitor's shares are read-time math over the maintained cell
+    table: chaining a second windowed aggregate (window totals) and
+    joining two aggregated streams is not a supported streaming
+    shape, and the production pattern is exactly this split anyway —
+    incremental state holds the O(windows x types) counts, the
+    serving layer divides.  tests/test_streaming.py proves the
+    composition equals the batch query bit-for-bit."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "6 hours"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )

@@ -1304,3 +1304,64 @@ def test_stateful_distinct_keys_string_key(spark, events, stream_dir, tmp_path):
         for r in events.select("event_type").distinct().collect()
     }
     assert got == want and len(got) == 5
+
+
+def test_stream_drift_monitor_equals_batch(spark, stream_dir, tmp_path):
+    """Live drift monitor: the streamed 6h cell counts, divided at
+    read time against the static baseline, equal the batch
+    stream_drift_baseline emission exactly (same doubles: the shares
+    are single IEEE divisions of identical exact integers)."""
+    from hana_bq_beam_connector_spark.queries.streaming import (
+        stream_drift_baseline,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import (
+        drift_cells_agg,
+    )
+
+    stream = events_stream(spark, stream_dir)
+    cells = drift_cells_agg(stream)
+    assert cells.isStreaming
+    run_available_now(cells, "drift_cells_t", str(tmp_path / "ckpt_drift"))
+
+    # Read-time math over the maintained cell table: window totals,
+    # corpus baseline, shares — all from the tiny sink table.
+    got = {
+        (int(r["window_start"].timestamp() * 1_000_000), r["event_type"]): (
+            r["n"],
+            r["win_n"],
+            r["p_window"],
+            r["p_baseline"],
+            r["abs_diff"],
+        )
+        for r in spark.sql(
+            """
+            WITH wt AS (SELECT window_start, SUM(n) AS win_n
+                        FROM drift_cells_t GROUP BY 1),
+            base AS (SELECT event_type, SUM(n) AS base_n
+                     FROM drift_cells_t GROUP BY 1),
+            g AS (SELECT SUM(n) AS all_n FROM drift_cells_t)
+            SELECT c.window_start, c.event_type, c.n, wt.win_n,
+              CAST(c.n AS DOUBLE) / CAST(wt.win_n AS DOUBLE) AS p_window,
+              CAST(base.base_n AS DOUBLE) / CAST(g.all_n AS DOUBLE)
+                AS p_baseline,
+              ABS(CAST(c.n AS DOUBLE) / CAST(wt.win_n AS DOUBLE)
+                  - CAST(base.base_n AS DOUBLE) / CAST(g.all_n AS DOUBLE))
+                AS abs_diff
+            FROM drift_cells_t c
+            JOIN wt ON c.window_start = wt.window_start
+            JOIN base ON c.event_type = base.event_type
+            CROSS JOIN g
+            """
+        ).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (
+            r["n"],
+            r["win_n"],
+            r["p_window"],
+            r["p_baseline"],
+            r["abs_diff"],
+        )
+        for r in stream_drift_baseline(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
