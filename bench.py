@@ -115,6 +115,7 @@ HEADLINE = [
     "graph_clustering_coefficient",  # per-node triangle credits + lcc
     "drift_user_overlap",         # distinct-user Jaccard between halves
     "stream_drift_baseline",      # windowed share vs corpus baseline
+    "mm_ppm_decode_stats",        # REAL PPM color parse -> channel sums
 ]
 
 

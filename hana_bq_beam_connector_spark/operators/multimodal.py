@@ -6,16 +6,20 @@ metadata structs; decode/feature steps are Arrow-batched
 the Spark-side plumbing (schema, batch shape, partition flow) is real
 and tested.
 
-One decoder is REAL: ``decode_pgm`` parses binary PGM (P5) images —
-magic, whitespace/comment-tolerant header, maxval, raster — with
-stdlib-only code, fed by ``synthesize_pgm``'s genuine PGM payloads
-(a PGM written here opens in any image viewer).  The remaining codec
-calls are STUBBED deterministically (this container ships no
-image/audio libraries): ``decode_image_meta`` derives pseudo
+Three decoders are REAL, all stdlib-only: ``decode_pgm`` parses
+binary PGM (P5) grayscale images — magic, whitespace/comment-tolerant
+header, maxval, raster; ``decode_ppm`` parses binary PPM (P6) color
+images and de-planarizes the interleaved R,G,B raster with stride-3
+slices; ``decode_wav`` parses RIFF/WAVE PCM16 audio.  Each is fed by
+a ``synthesize_*`` twin producing genuine spec-conformant payloads (a
+PGM/PPM written here opens in any viewer, a WAV plays).  The
+remaining codec calls are STUBBED deterministically (this container
+ships no image/audio libraries): ``decode_image_meta`` derives pseudo
 width/height/channels from the payload's MD5, and ``frame_sample``
 slices deterministic byte windows as "frames".  Swapping a stub body
 for PIL/ffmpeg calls changes no schema, no partitioning, and no
-caller — ``decode_pgm`` demonstrates exactly that swap end-to-end.
+caller — the three real decoders demonstrate exactly that swap
+end-to-end.
 """
 
 from __future__ import annotations
@@ -120,14 +124,19 @@ def synthesize_pgm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).withColumn("byte_len", F.octet_length("payload").cast("long"))
 
 
-def _parse_pgm(data: bytes) -> tuple[int, int, bytes]:
-    """Parse a binary PGM (P5): magic, three whitespace-separated
-    header tokens (width, height, maxval) with ``#`` comments allowed
-    between them, then exactly width*height raster bytes.  Raises
-    ValueError on any malformation — a corrupt image must fail loudly,
-    not produce silent garbage stats."""
-    if data[:2] != b"P5":
-        raise ValueError(f"not a binary PGM (magic {data[:2]!r})")
+def _parse_pnm(
+    data: bytes, magic: bytes, samples_per_pixel: int
+) -> tuple[int, int, bytes]:
+    """Parse a binary PNM raster image (P5 graymap / P6 pixmap):
+    magic, three whitespace-separated header tokens (width, height,
+    maxval) with ``#`` comments allowed between them, then exactly
+    width*height*samples_per_pixel raster bytes.  Raises ValueError
+    on any malformation — a corrupt image must fail loudly, not
+    produce silent garbage stats."""
+    if data[:2] != magic:
+        raise ValueError(
+            f"not a binary {magic.decode()} PNM (magic {data[:2]!r})"
+        )
     pos, tokens = 2, []
     while len(tokens) < 3:
         while pos < len(data) and data[pos : pos + 1].isspace():
@@ -140,19 +149,30 @@ def _parse_pgm(data: bytes) -> tuple[int, int, bytes]:
         while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
         if pos == start:
-            raise ValueError("truncated PGM header")
+            raise ValueError("truncated PNM header")
         tokens.append(data[start:pos])
     pos += 1  # single whitespace byte after maxval, per spec
     width, height, maxval = (int(t) for t in tokens)
     if not (0 < maxval < 256):
-        raise ValueError(f"unsupported PGM maxval {maxval}")
-    raster = data[pos : pos + width * height]
-    if len(raster) != width * height:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    want = width * height * samples_per_pixel
+    raster = data[pos : pos + want]
+    if len(raster) != want:
         raise ValueError(
-            f"PGM raster truncated: want {width * height} bytes, "
+            f"PNM raster truncated: want {want} bytes, "
             f"have {len(raster)}"
         )
     return width, height, raster
+
+
+def _parse_pgm(data: bytes) -> tuple[int, int, bytes]:
+    """Binary PGM (P5): one 8-bit sample per pixel."""
+    return _parse_pnm(data, b"P5", 1)
+
+
+def _parse_ppm(data: bytes) -> tuple[int, int, bytes]:
+    """Binary PPM (P6): interleaved 8-bit R,G,B samples per pixel."""
+    return _parse_pnm(data, b"P6", 3)
 
 
 def decode_pgm(media: DataFrame) -> DataFrame:
@@ -414,3 +434,81 @@ def feature_embed(media: DataFrame, dim: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(fe, schema=_FEATURES_SCHEMA)
+
+
+_PPM_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+        StructField("px_max", LongType()),
+    ]
+)
+
+
+def synthesize_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Genuine binary PPM (P6) color payloads, one per id.
+
+    Same contract as synthesize_pgm but with an interleaved R,G,B
+    raster: sample c of pixel i is ``(id*31 + i*7 + c*101) % 256``,
+    so each channel is a distinct deterministic function of the id
+    that an SQL oracle can replay without parsing bytes — while the
+    BYTES are a complete spec-conformant color image."""
+
+    @F.pandas_udf(BinaryType())
+    def _ppm(ids: pd.Series) -> pd.Series:
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            w, h = 4 + mid % 9, 4 + mid % 7
+            raster = bytes(
+                (mid * 31 + i * 7 + c * 101) % 256
+                for i in range(w * h)
+                for c in range(3)
+            )
+            out.append(b"P6\n%d %d\n255\n" % (w, h) + raster)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        _ppm(F.col(id_col)).alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+    ).withColumn("byte_len", F.octet_length("payload").cast("long"))
+
+
+def decode_ppm(media: DataFrame) -> DataFrame:
+    """REAL color-image decode: binary PPM (P6) payload → per-image
+    per-channel stats.  The interleaved raster is de-planarized with
+    stride-3 slices — the parsing step a grayscale decoder never
+    exercises; stats are exact integers so the oracle comparison is
+    bit-strict."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "n_pixels": [],
+                "r_sum": [],
+                "g_sum": [],
+                "b_sum": [],
+                "px_max": [],
+            }
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = _parse_ppm(bytes(payload))
+                rows["media_id"].append(media_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["r_sum"].append(sum(raster[0::3]))
+                rows["g_sum"].append(sum(raster[1::3]))
+                rows["b_sum"].append(sum(raster[2::3]))
+                rows["px_max"].append(max(raster))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode, schema=_PPM_STATS_SCHEMA)

@@ -339,3 +339,47 @@ def mm_media_dedup_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "mm_ppm_decode_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 9 AS width, 4 + doc_id % 7 AS height
+      FROM documents
+    ),
+    s AS (SELECT unnest(range(0, 120)) AS i),  -- 120 = max 12*10
+    px AS (
+      SELECT d.doc_id, d.width, d.height,
+             (d.doc_id * 31 + s.i * 7) % 256 AS r,
+             (d.doc_id * 31 + s.i * 7 + 101) % 256 AS g,
+             (d.doc_id * 31 + s.i * 7 + 202) % 256 AS b
+      FROM d CROSS JOIN s WHERE s.i < d.width * d.height
+    )
+    SELECT doc_id AS media_id,
+      CAST(width AS BIGINT) AS width,
+      CAST(height AS BIGINT) AS height,
+      COUNT(*) AS n_pixels,
+      CAST(SUM(r) AS BIGINT) AS r_sum,
+      CAST(SUM(g) AS BIGINT) AS g_sum,
+      CAST(SUM(b) AS BIGINT) AS b_sum,
+      CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS px_max
+    FROM px GROUP BY 1, 2, 3
+    """,
+    doc="REAL color-image decode, end to end: synthesize_ppm builds "
+    "genuine binary PPM (P6) files with an interleaved R,G,B raster, "
+    "decode_ppm PARSES the bytes and de-planarizes the channels with "
+    "stride-3 slices — the step a grayscale decoder never exercises "
+    "— into exact per-channel sums.  The oracle replays each "
+    "channel's arithmetic from doc_id alone, never seeing bytes: "
+    "agreement proves encoder, parser, and channel de-interleave are "
+    "mutually inverse.  Third real modality (after PGM and WAV).",
+)
+def mm_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        decode_ppm,
+        synthesize_ppm,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_ppm(synthesize_ppm(d))

@@ -615,3 +615,44 @@ def test_cc_random_graph_converges_both(spark):
         truth[find(n)].add(n)
     want = sorted((n, min(truth[find(n)])) for n in parent)
     assert a == want
+
+
+def test_ppm_parser_rejects_malformed_and_roundtrips():
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _parse_ppm,
+    )
+
+    ok = b"P6 # c\n 2\t2 255\n" + bytes(12)
+    assert _parse_ppm(ok) == (2, 2, bytes(12))
+    for bad, why in [
+        (b"P5\n2 2 255\n" + bytes(12), "PGM magic on a PPM parse"),
+        (b"P6\n2 2 255\n" + bytes(11), "raster short one sample"),
+        (b"P6\n2 2 0\n" + bytes(12), "zero maxval"),
+    ]:
+        try:
+            _parse_ppm(bad)
+            raise AssertionError(f"parser accepted {why}")
+        except ValueError:
+            pass
+
+
+def test_ppm_channel_deinterleave_exact(spark):
+    """One hand-checkable image: channel sums must match a direct
+    stride-3 walk of the synthesized raster."""
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        decode_ppm,
+        synthesize_ppm,
+    )
+
+    one = spark.createDataFrame([(7,)], ["doc_id"])
+    media = synthesize_ppm(one)
+    payload = bytes(media.collect()[0]["payload"])
+    w, h = 4 + 7 % 9, 4 + 7 % 7
+    raster = payload[payload.index(b"255\n") + 4 :]
+    assert len(raster) == w * h * 3
+    row = decode_ppm(media).collect()[0]
+    assert (row["width"], row["height"], row["n_pixels"]) == (w, h, w * h)
+    assert row["r_sum"] == sum(raster[0::3])
+    assert row["g_sum"] == sum(raster[1::3])
+    assert row["b_sum"] == sum(raster[2::3])
+    assert row["px_max"] == max(raster)
