@@ -153,6 +153,11 @@ def _parse_pnm(
         tokens.append(data[start:pos])
     pos += 1  # single whitespace byte after maxval, per spec
     width, height, maxval = (int(t) for t in tokens)
+    if width <= 0 or height <= 0:
+        # A zero-dimension image would "parse" into an empty raster
+        # and crash downstream stats with a bare max()-of-empty
+        # instead of a named malformation error.
+        raise ValueError(f"non-positive PNM dimensions {width}x{height}")
     if not (0 < maxval < 256):
         raise ValueError(f"unsupported PNM maxval {maxval}")
     want = width * height * samples_per_pixel

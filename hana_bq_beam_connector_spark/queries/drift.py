@@ -17,10 +17,10 @@ statistic stay in exact BIGINT numerators (|c_a*n_b - c_b*n_a|) with
 ONE closing IEEE division, chi-square homogeneity follows
 stat_chi2_segment_priority's exact-count/expected shape, decile
 shifts are raw data values passed through untouched, and churn is
-pure integers.  Where a BIGINT product could exceed 2^53 (exact
-double conversion bound) past ~9e7 rows per snapshot, a raise_error
-guard fires in EVERY session mode (the Spearman precedent) and names
-the unbounded alternative.
+pure integers.  Where a BIGINT numerator could exceed 2^53 (exact
+double conversion bound) — n_a*n_b > 2^53 for KS, > 2^52 for the
+summed TVD — a raise_error guard fires in EVERY session mode (the
+Spearman precedent) and names the unbounded alternative.
 
 Scale: every query reduces the fact scan to an O(bands | categories |
 customers) frame in one map-side-combinable aggregate; windows and
@@ -44,9 +44,17 @@ from hana_bq_beam_connector_spark.sources.files import load_table
 # layout drift entirely (works identically on NTZ/LTZ/parquet TS).
 _IN_A = "EXTRACT(year FROM o_orderdate) <= 1997"
 
-# Exact per-snapshot counts past which |c*n| products leave the
-# 2^53 exact-double envelope: 9e7 * 9e7 = 8.1e15 < 2^53.
-_N_GUARD = 90_000_000
+# Exact-double envelopes for the integer drift numerators.  The KS
+# statistic casts a single |cum*n| <= n_a*n_b product; the TVD casts
+# the SUMMED numerator, bounded by 2*n_a*n_b — so TVD's product bound
+# is one bit tighter.  Guards are two-tier short-circuiting ORs
+# (codegen emits Java ||): the per-side 3e9 tier fires first and
+# keeps the n_a*n_b product of the second tier inside int64 (3e9 *
+# 3e9 = 9e18 < 2^63), so the product test can never ANSI-overflow
+# before our own message fires.
+_N_SIDE_GUARD = 3_000_000_000
+_PROD_GUARD_KS = 2**53  # ks_num <= n_a*n_b
+_PROD_GUARD_TVD = 2**52  # tvd_num <= 2*n_a*n_b
 
 # Shared snapshot x price-band cell frame (SQL text; the Spark twin
 # is _price_cells below).  SUM(CASE) casts to BIGINT (DuckDB sums to
@@ -146,11 +154,13 @@ def drift_tvd_price_bands(
     "price distributions: TVD = Sum|c_a*n_b - c_b*n_a| / (2*n_a*n_b) "
     "— every numerator an exact BIGINT (no per-band double sum, "
     "whose accumulation order engines disagree on), ONE closing IEEE "
-    "division.  Exactness bound: |c*n| <= n_a*n_b must stay under "
-    "2^53, so past 9e7 rows per snapshot a raise_error guard fires "
-    "in EVERY session mode and names drift_tvd_price_bands (pure "
-    "per-band ratios) as the unbounded path.  Runs on the O(bands) "
-    "cell frame; the fact table is scanned once.",
+    "division.  Exactness bound: the SUMMED numerator is <= "
+    "2*n_a*n_b, so the exact-cast envelope is n_a*n_b <= 2^52 (one "
+    "bit tighter than the per-band bound) — past it a raise_error "
+    "guard fires in EVERY session mode and names "
+    "drift_tvd_price_bands (pure per-band ratios) as the unbounded "
+    "path.  Runs on the O(bands) cell frame; the fact table is "
+    "scanned once.",
 )
 def drift_tvd_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _price_cells(spark, sf_dir, 25000)
@@ -176,10 +186,12 @@ def drift_tvd_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "n_bands",
         F.expr(
-            f"CASE WHEN n_a > {_N_GUARD} OR n_b > {_N_GUARD} THEN "
-            "raise_error('drift_tvd_total: exact BIGINT TVD numerators "
-            "need <= 9e7 rows per snapshot (|c*n| <= 2^53); use "
-            "drift_tvd_price_bands per-band ratios at larger scale') "
+            f"CASE WHEN n_a > {_N_SIDE_GUARD} OR n_b > {_N_SIDE_GUARD} "
+            f"OR (n_a * n_b) > {_PROD_GUARD_TVD} THEN "
+            "raise_error('drift_tvd_total: the summed TVD numerator "
+            "(<= 2*n_a*n_b) needs n_a*n_b <= 2^52 for an exact "
+            "BIGINT->DOUBLE cast; use drift_tvd_price_bands per-band "
+            "ratios at larger scale') "
             "ELSE CAST(tvd_num AS DOUBLE)"
             " / (2 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END"
         ).alias("tvd"),
@@ -212,10 +224,10 @@ def drift_tvd_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "O(bands) frame, never a global sort of raw rows).  "
     "KS = max_band |cumA*nB - cumB*nA| / (nA*nB): the argmax is "
     "taken over exact BIGINT numerators (deterministic, ties broken "
-    "on band), with ONE closing IEEE division; past 9e7 rows per "
-    "snapshot the 2^53 exactness bound breaks and the same "
-    "every-session-mode raise_error guard as drift_tvd_total fires, "
-    "naming the per-band proportion fallback.",
+    "on band), with ONE closing IEEE division; past n_a*n_b > 2^53 "
+    "the exact-cast envelope breaks and the same every-session-mode "
+    "raise_error guard as drift_tvd_total fires, naming the per-band "
+    "proportion fallback.",
 )
 def drift_ks_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _price_cells(spark, sf_dir, 1000)
@@ -242,11 +254,12 @@ def drift_ks_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             F.expr(f"CAST({num} AS BIGINT)").alias("ks_num"),
             F.expr(
-                f"CASE WHEN n_a > {_N_GUARD} OR n_b > {_N_GUARD} THEN "
-                "raise_error('drift_ks_price: exact BIGINT ECDF "
-                "numerators need <= 9e7 rows per snapshot "
-                "(|cum*n| <= 2^53); quantize to proportions per band "
-                "or sample before going wider') "
+                f"CASE WHEN n_a > {_N_SIDE_GUARD} OR n_b > {_N_SIDE_GUARD} "
+                f"OR (n_a * n_b) > {_PROD_GUARD_KS} THEN "
+                "raise_error('drift_ks_price: the ECDF numerator "
+                "(<= n_a*n_b) needs n_a*n_b <= 2^53 for an exact "
+                "BIGINT->DOUBLE cast; quantize to proportions per "
+                "band or sample before going wider') "
                 f"ELSE CAST({num} AS DOUBLE)"
                 " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END"
             ).alias("ks"),
@@ -333,37 +346,41 @@ def drift_chi2_priority_homogeneity(
 @register(
     "drift_customer_churn",
     f"""
-    WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE {_IN_A}),
-    b AS (SELECT DISTINCT o_custkey FROM orders WHERE NOT ({_IN_A}))
+    WITH g AS (
+      SELECT o_custkey,
+        MAX(CASE WHEN {_IN_A} THEN 1 ELSE 0 END) AS has_a,
+        MAX(CASE WHEN {_IN_A} THEN 0 ELSE 1 END) AS has_b
+      FROM orders GROUP BY 1
+    )
     SELECT
-      CASE WHEN b.o_custkey IS NULL THEN 'churned'
-           WHEN a.o_custkey IS NULL THEN 'new'
+      CASE WHEN has_b = 0 THEN 'churned'
+           WHEN has_a = 0 THEN 'new'
            ELSE 'retained' END AS status,
       CAST(COUNT(*) AS BIGINT) AS n_customers
-    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
-    GROUP BY 1
+    FROM g GROUP BY 1
     """,
     doc="Entity churn between snapshots: customers active through "
-    "1997 vs 1998+, classified churned / new / retained via a full "
-    "outer join of the two distinct-key sets.  Pure integer counts — "
-    "no float anywhere.  Scale: each side reduces to distinct keys "
-    "first (partial-agg combinable), so the join moves O(customers) "
-    "ids, the same cost as any distinct count; both sides "
-    "co-partition on the key so the join adds no extra exchange "
-    "beyond the distinct's own.",
+    "1997 vs 1998+, classified churned / new / retained.  Pure "
+    "integer counts — no float anywhere.  Scale: the family's "
+    "CASE-split doctrine applied to membership — ONE scan reduces to "
+    "per-customer (has_a, has_b) presence flags (MAX is partial-agg "
+    "combinable), so the single key exchange replaces the naive "
+    "shape's two filtered scans + two distincts + full outer join; "
+    "the status classification runs on the O(customers) flag frame.",
 )
 def drift_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     in_a = F.year("o_orderdate") <= 1997
-    a = o.filter(in_a).select("o_custkey").distinct()
-    b = o.filter(~in_a).select(F.col("o_custkey").alias("b_custkey")).distinct()
-    j = a.join(b, a["o_custkey"] == b["b_custkey"], "full_outer")
+    g = o.groupBy("o_custkey").agg(
+        F.max(F.when(in_a, 1).otherwise(0)).alias("has_a"),
+        F.max(F.when(in_a, 0).otherwise(1)).alias("has_b"),
+    )
     status = (
-        F.when(F.col("b_custkey").isNull(), "churned")
-        .when(F.col("o_custkey").isNull(), "new")
+        F.when(F.col("has_b") == 0, "churned")
+        .when(F.col("has_a") == 0, "new")
         .otherwise("retained")
     )
-    return j.groupBy(status.alias("status")).agg(
+    return g.groupBy(status.alias("status")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")
     )
 
@@ -484,26 +501,20 @@ def drift_decile_shift_price(
 @register(
     "drift_user_overlap",
     """
-    WITH a AS (
-      SELECT event_type, user_id FROM events
-      WHERE epoch_us(ts) < 1705276800000000 GROUP BY 1, 2
-    ),
-    b AS (
-      SELECT event_type, user_id FROM events
-      WHERE epoch_us(ts) >= 1705276800000000 GROUP BY 1, 2
+    WITH g AS (
+      SELECT event_type, user_id,
+        MAX(CASE WHEN epoch_us(ts) < 1705276800000000
+                 THEN 1 ELSE 0 END) AS has_a,
+        MAX(CASE WHEN epoch_us(ts) >= 1705276800000000
+                 THEN 1 ELSE 0 END) AS has_b
+      FROM events GROUP BY 1, 2
     ),
     j AS (
-      SELECT COALESCE(a.event_type, b.event_type) AS event_type,
-        CAST(SUM(CASE WHEN a.user_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS BIGINT) AS u_a,
-        CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS BIGINT) AS u_b,
-        CAST(SUM(CASE WHEN a.user_id IS NOT NULL
-                       AND b.user_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS BIGINT) AS u_both
-      FROM a FULL OUTER JOIN b
-        ON a.event_type = b.event_type AND a.user_id = b.user_id
-      GROUP BY 1
+      SELECT event_type,
+        CAST(SUM(has_a) AS BIGINT) AS u_a,
+        CAST(SUM(has_b) AS BIGINT) AS u_b,
+        CAST(SUM(has_a * has_b) AS BIGINT) AS u_both
+      FROM g GROUP BY 1
     )
     SELECT event_type, u_a, u_b, u_both,
       CAST(u_both AS DOUBLE)
@@ -515,54 +526,35 @@ def drift_decile_shift_price(
     "half of the event window (split at 2024-01-15 UTC, epoch-us "
     "literal — integer comparison, no engine date functions): "
     "distinct users in each half, their exact overlap, Jaccard "
-    "similarity and retention share.  Pure integer counts from ONE "
-    "full outer join of the two distinct (type, user) sets — the "
+    "similarity and retention share.  The family's CASE-split "
+    "doctrine applied to set overlap: ONE scan reduces to per-(type, "
+    "user) presence flags (MAX is partial-agg combinable), the "
+    "second aggregate counts u_a / u_b / u_both from the flags — no "
+    "filtered double scan, no full outer join.  The "
     "inclusion-exclusion denominator u_a + u_b - u_both stays "
-    "integer; the two ratios are single IEEE divisions.  Scale: each "
-    "side reduces to distinct keys first (partial-agg combinable), "
-    "the join moves O(users x types) 16-byte keys co-partitioned on "
-    "them — the exact-overlap cost every audience system pays; swap "
-    "in HLL sketches (agg_approx_count_distinct's operator) when "
-    "u_both can tolerate estimation error.",
+    "integer; the two ratios are single IEEE divisions.  Scale: the "
+    "one key exchange carries O(users x types) 16-byte keys — the "
+    "exact-overlap cost every audience system pays; swap in HLL "
+    "sketches (agg_approx_count_distinct's operator) when u_both can "
+    "tolerate estimation error.",
 )
 def drift_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hana_bq_beam_connector_spark.queries._util import events_us
 
     split_us = 1_705_276_800_000_000
     ev = events_us(spark, sf_dir).select("event_type", "user_id", "ts")
-    a = (
-        ev.filter(F.col("ts") < split_us)
-        .select("event_type", "user_id")
-        .distinct()
+    flags = ev.groupBy("event_type", "user_id").agg(
+        F.max(F.when(F.col("ts") < split_us, 1).otherwise(0)).alias(
+            "has_a"
+        ),
+        F.max(F.when(F.col("ts") >= split_us, 1).otherwise(0)).alias(
+            "has_b"
+        ),
     )
-    b = (
-        ev.filter(F.col("ts") >= split_us)
-        .select(
-            F.col("event_type").alias("b_type"),
-            F.col("user_id").alias("b_user"),
-        )
-        .distinct()
-    )
-    j = a.join(
-        b,
-        (a["event_type"] == b["b_type"]) & (a["user_id"] == b["b_user"]),
-        "full_outer",
-    )
-    g = j.groupBy(
-        F.coalesce(F.col("event_type"), F.col("b_type")).alias("event_type")
-    ).agg(
-        F.sum(F.when(F.col("user_id").isNotNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("u_a"),
-        F.sum(F.when(F.col("b_user").isNotNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("u_b"),
-        F.sum(
-            F.when(
-                F.col("user_id").isNotNull() & F.col("b_user").isNotNull(),
-                1,
-            ).otherwise(0)
-        )
+    g = flags.groupBy("event_type").agg(
+        F.sum("has_a").cast("bigint").alias("u_a"),
+        F.sum("has_b").cast("bigint").alias("u_b"),
+        F.sum(F.col("has_a") * F.col("has_b"))
         .cast("bigint")
         .alias("u_both"),
     )

@@ -281,16 +281,20 @@ def graph_clustering_coefficient(
     )
     a = li.select(F.col("l_suppkey").alias("src"), "l_partkey")
     b = li.select(F.col("l_suppkey").alias("dst"), "l_partkey")
+    from hana_bq_beam_connector_spark.operators._common import (
+        persist_reused,
+    )
+
     # canon feeds FOUR branches (three triangle-join sides + both
-    # halves of the degree union): persist so the distinct self-join
-    # lineage evaluates once, not four times (2.65 s -> ~1.3 s at
-    # sf0.1).
-    canon = (
+    # halves of the degree union): persist_reused (persist + eager
+    # count — the repo's stage-checkpoint doctrine, see
+    # operators/_common.py) so the distinct self-join lineage
+    # evaluates once, not four times.
+    canon = persist_reused(
         a.join(b, "l_partkey")
         .where(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .persist()
     )
     uv = canon.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     vw = canon.select(F.col("src").alias("v"), F.col("dst").alias("w"))

@@ -656,3 +656,21 @@ def test_ppm_channel_deinterleave_exact(spark):
     assert row["g_sum"] == sum(raster[1::3])
     assert row["b_sum"] == sum(raster[2::3])
     assert row["px_max"] == max(raster)
+
+
+def test_pnm_parser_rejects_zero_dimensions():
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _parse_pgm,
+        _parse_ppm,
+    )
+
+    for parse, payload in [
+        (_parse_pgm, b"P5\n0 0\n255\n"),
+        (_parse_pgm, b"P5\n0 3\n255\n"),
+        (_parse_ppm, b"P6\n2 0\n255\n"),
+    ]:
+        try:
+            parse(payload)
+            raise AssertionError("parser accepted zero dimensions")
+        except ValueError as e:
+            assert "dimensions" in str(e)
