@@ -116,6 +116,8 @@ HEADLINE = [
     "drift_user_overlap",         # distinct-user Jaccard between halves
     "stream_drift_baseline",      # windowed share vs corpus baseline
     "mm_ppm_decode_stats",        # REAL PPM color parse -> channel sums
+    "mm_png_decode_stats",        # REAL compressed PNG decode (zlib+filters)
+    "mm_y4m_frame_stats",         # REAL Y4M video parse + frame sampling
 ]
 
 

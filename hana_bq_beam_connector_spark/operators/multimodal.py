@@ -517,3 +517,391 @@ def decode_ppm(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, schema=_PPM_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# PNG — the first COMPRESSED codec in the suite.  Everything above
+# stores rasters verbatim; PNG runs the real DEFLATE pipeline (stdlib
+# zlib), per-scanline predictive filters, and CRC-32-checked chunk
+# framing.  Pure stdlib: zlib + struct.
+
+_PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (filter type 4): pick the neighbor —
+    left a, above b, upper-left c — closest to a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter_row(
+    ftype: int, raw: bytes, prev: bytes
+) -> bytes:
+    """Forward-apply PNG filter `ftype` to one grayscale-8 scanline
+    (bpp=1, so left neighbor is the previous byte)."""
+    n = len(raw)
+    out = bytearray(n)
+    for i in range(n):
+        a = raw[i - 1] if i else 0
+        b = prev[i]
+        c = prev[i - 1] if i else 0
+        x = raw[i]
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x - a) % 256
+        elif ftype == 2:
+            out[i] = (x - b) % 256
+        elif ftype == 3:
+            out[i] = (x - (a + b) // 2) % 256
+        elif ftype == 4:
+            out[i] = (x - _paeth(a, b, c)) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return bytes(out)
+
+
+def _png_unfilter_row(
+    ftype: int, filt: bytes, prev: bytes
+) -> bytes:
+    """Invert one scanline filter (reconstruction per the PNG spec;
+    reconstructed — not filtered — neighbors feed the predictors)."""
+    n = len(filt)
+    out = bytearray(n)
+    for i in range(n):
+        a = out[i - 1] if i else 0
+        b = prev[i]
+        c = prev[i - 1] if i else 0
+        x = filt[i]
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x + a) % 256
+        elif ftype == 2:
+            out[i] = (x + b) % 256
+        elif ftype == 3:
+            out[i] = (x + (a + b) // 2) % 256
+        elif ftype == 4:
+            out[i] = (x + _paeth(a, b, c)) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return bytes(out)
+
+
+def synthesize_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Genuine PNG payloads, one per id — signature, IHDR, a
+    zlib-DEFLATEd IDAT of filtered scanlines, IEND, all chunks
+    CRC-32-framed (any image viewer opens one).
+
+    Dimensions and pixels are deterministic functions of the id
+    (``w = 8 + id % 11``, ``h = 8 + id % 6``, ``p(i) = (id*29 +
+    i*11) % 256`` in row-major order) so an SQL oracle can replay the
+    pixel arithmetic without bytes.  Scanline r carries filter type
+    ``(id + r) % 5`` — with h >= 8 every image exercises ALL FIVE
+    PNG filters (None/Sub/Up/Average/Paeth), so decoder agreement
+    proves every predictor, not just the trivial one."""
+
+    @F.pandas_udf(BinaryType())
+    def _png(ids: pd.Series) -> pd.Series:
+        import struct
+        import zlib
+
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            w, h = 8 + mid % 11, 8 + mid % 6
+            ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 0)
+            stream = bytearray()
+            prev = bytes(w)
+            for r in range(h):
+                raw = bytes(
+                    (mid * 29 + (r * w + i) * 11) % 256
+                    for i in range(w)
+                )
+                ftype = (mid + r) % 5
+                stream.append(ftype)
+                stream += _png_filter_row(ftype, raw, prev)
+                prev = raw
+            out.append(
+                _PNG_SIG
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+                + _png_chunk(b"IEND", b"")
+            )
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        _png(F.col(id_col)).alias("payload"),
+        F.lit("image/png").alias("media_type"),
+    ).withColumn("byte_len", F.octet_length("payload").cast("long"))
+
+
+def _parse_png(data: bytes) -> tuple[int, int, bytes]:
+    """Parse a grayscale-8 PNG: validate the signature, walk the
+    chunk stream verifying every CRC-32, inflate the concatenated
+    IDAT payload, and invert the per-scanline filters.  Returns
+    (width, height, raster bytes in row-major order).  Raises
+    ValueError on ANY malformation — wrong magic, CRC mismatch,
+    unsupported color mode, inflate errors, or a decompressed stream
+    whose size disagrees with IHDR."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG (signature {data[:8]!r})")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
+        (clen,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen or pos + 12 + clen > len(data):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + clen : pos + 12 + clen]
+        )
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"PNG CRC mismatch in chunk {ctype!r}")
+        if ctype == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR")
+            ihdr = struct.unpack(">II5B", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if w <= 0 or h <= 0:
+        raise ValueError(f"non-positive PNG dimensions {w}x{h}")
+    if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+        raise ValueError(
+            "only non-interlaced grayscale-8 PNG is supported here "
+            f"(depth={depth} color={color} interlace={interlace})"
+        )
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    if len(stream) != h * (w + 1):
+        raise ValueError(
+            f"PNG stream is {len(stream)} bytes; IHDR {w}x{h} "
+            f"demands {h * (w + 1)}"
+        )
+    raster, prev = bytearray(), bytes(w)
+    for r in range(h):
+        row = stream[r * (w + 1) : (r + 1) * (w + 1)]
+        prev = _png_unfilter_row(row[0], row[1:], prev)
+        raster += prev
+    return w, h, bytes(raster)
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """REAL compressed-image decode: PNG payload → exact pixel stats.
+
+    Unlike the PNM decoders (verbatim rasters), this path exercises a
+    genuine compression pipeline — CRC-checked chunk framing, zlib
+    DEFLATE, and all five predictive scanline filters — through the
+    SAME mapInPandas stage shape as every other decoder.  Exact
+    integer stats keep the oracle comparison bit-strict."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in _PNG_STATS_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = _parse_png(bytes(payload))
+                rows["media_id"].append(media_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(len(raster))
+                rows["px_sum"].append(sum(raster))
+                rows["px_min"].append(min(raster))
+                rows["px_max"].append(max(raster))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode, schema=_PNG_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# Y4M — REAL video: a YUV4MPEG2 container with per-frame 4:2:0 planar
+# YUV payloads.  This is the genuine-codec twin of the frame_sample
+# stub: a multi-frame container is parsed, frames are sampled by
+# stride, and per-frame plane stats come out exact.
+
+_Y4M_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("y_sum", LongType()),
+        StructField("y_min", LongType()),
+        StructField("y_max", LongType()),
+        StructField("uv_sum", LongType()),
+    ]
+)
+
+
+def synthesize_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Genuine YUV4MPEG2 (Y4M) video payloads, one per id: the plain
+    ASCII stream header (W/H/F/I/A/C tags), then per frame a FRAME
+    marker followed by raw planar 4:2:0 YUV — ffmpeg/mpv play one.
+
+    Geometry and samples are deterministic functions of the id:
+    ``w = 2*(4 + id % 5)``, ``h = 2*(4 + id % 4)`` (even, as 4:2:0
+    subsampling demands), ``n_frames = 3 + id % 4``, luma
+    ``Y(f,i) = (id*7 + f*101 + i*3) % 256`` and chroma
+    ``U(f,j) = (id*11 + f*13 + j*5) % 256``,
+    ``V(f,j) = (id*17 + f*19 + j*7) % 256`` over the quarter-size
+    planes — so an SQL oracle replays every sampled frame's stats
+    from the id alone."""
+
+    @F.pandas_udf(BinaryType())
+    def _y4m(ids: pd.Series) -> pd.Series:
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            w, h = 2 * (4 + mid % 5), 2 * (4 + mid % 4)
+            nf = 3 + mid % 4
+            cw, ch = w // 2, h // 2
+            buf = bytearray(
+                b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n" % (w, h)
+            )
+            for f in range(nf):
+                buf += b"FRAME\n"
+                buf += bytes(
+                    (mid * 7 + f * 101 + i * 3) % 256
+                    for i in range(w * h)
+                )
+                buf += bytes(
+                    (mid * 11 + f * 13 + j * 5) % 256
+                    for j in range(cw * ch)
+                )
+                buf += bytes(
+                    (mid * 17 + f * 19 + j * 7) % 256
+                    for j in range(cw * ch)
+                )
+            out.append(bytes(buf))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        _y4m(F.col(id_col)).alias("payload"),
+        F.lit("video/x-yuv4mpeg").alias("media_type"),
+    ).withColumn("byte_len", F.octet_length("payload").cast("long"))
+
+
+def _parse_y4m(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse a YUV4MPEG2 stream: stream-header tags, FRAME markers,
+    planar 4:2:0 payloads.  Returns (width, height, [frame bytes]).
+    Raises ValueError on malformation — wrong magic, missing W/H
+    tags, odd dimensions, a non-4:2:0 colorspace tag, a corrupt
+    FRAME marker, or a truncated final frame."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError(
+            f"not a YUV4MPEG2 stream (head {data[:9]!r})"
+        )
+    w = h = None
+    for tag in data[:nl].split(b" ")[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C" and not tag[1:].startswith(b"420"):
+            raise ValueError(
+                f"only 4:2:0 Y4M is supported (C{tag[1:].decode()})"
+            )
+    if not w or not h or w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H tags")
+    if w % 2 or h % 2:
+        raise ValueError(
+            f"4:2:0 needs even dimensions, got {w}x{h}"
+        )
+    frame_len = w * h + 2 * ((w // 2) * (h // 2))
+    frames, pos = [], nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if not data[pos:].startswith(b"FRAME") or fnl < 0:
+            raise ValueError(
+                f"corrupt FRAME marker at byte {pos}"
+            )
+        body = data[fnl + 1 : fnl + 1 + frame_len]
+        if len(body) != frame_len:
+            raise ValueError(
+                f"truncated frame {len(frames)}: want {frame_len} "
+                f"bytes, have {len(body)}"
+            )
+        frames.append(body)
+        pos = fnl + 1 + frame_len
+    if not frames:
+        raise ValueError("Y4M stream has no frames")
+    return w, h, frames
+
+
+def decode_y4m(media: DataFrame, frame_stride: int = 2) -> DataFrame:
+    """REAL video decode + frame sampling: Y4M payload → one row of
+    exact plane stats per SAMPLED frame (``frame_idx % stride == 0``
+    — the keyframe-ish sampling every video-ingest pipeline does
+    before featurization).  Row explosion happens inside the Arrow
+    batch, so a clip fans out to its frames without a shuffle; stats
+    are exact integers for bit-strict oracle comparison."""
+    if frame_stride < 1:
+        raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in _Y4M_FRAME_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = _parse_y4m(bytes(payload))
+                ysz = w * h
+                for f in range(0, len(frames), frame_stride):
+                    yp = frames[f][:ysz]
+                    uv = frames[f][ysz:]
+                    rows["media_id"].append(media_id)
+                    rows["frame_idx"].append(f)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_frames"].append(len(frames))
+                    rows["y_sum"].append(sum(yp))
+                    rows["y_min"].append(min(yp))
+                    rows["y_max"].append(max(yp))
+                    rows["uv_sum"].append(sum(uv))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode, schema=_Y4M_FRAME_SCHEMA)

@@ -383,3 +383,111 @@ def mm_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return decode_ppm(synthesize_ppm(d))
+
+
+@register(
+    "mm_png_decode_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 11 AS width, 8 + doc_id % 6 AS height
+      FROM documents
+    ),
+    s AS (SELECT unnest(range(0, 234)) AS i),  -- 234 = max 18*13
+    px AS (
+      SELECT d.doc_id, d.width, d.height,
+             (d.doc_id * 29 + s.i * 11) % 256 AS p
+      FROM d CROSS JOIN s WHERE s.i < d.width * d.height
+    )
+    SELECT doc_id AS media_id,
+      CAST(width AS BIGINT) AS width,
+      CAST(height AS BIGINT) AS height,
+      COUNT(*) AS n_pixels,
+      CAST(SUM(p) AS BIGINT) AS px_sum,
+      CAST(MIN(p) AS BIGINT) AS px_min,
+      CAST(MAX(p) AS BIGINT) AS px_max
+    FROM px GROUP BY 1, 2, 3
+    """,
+    doc="REAL COMPRESSED-image decode, end to end: synthesize_png "
+    "builds genuine PNGs (CRC-32-framed chunks, zlib-DEFLATEd IDAT, "
+    "scanline r filtered with type (id+r)%5 so every image exercises "
+    "all five PNG predictors), decode_png validates every CRC, "
+    "inflates, and inverts the filters back to exact pixel stats.  "
+    "The oracle replays the pixel arithmetic from doc_id alone, "
+    "never seeing bytes: agreement proves the whole "
+    "filter->deflate->inflate->unfilter pipeline is the identity.  "
+    "First codec in the suite with real entropy coding — the PNM "
+    "paths store rasters verbatim.",
+)
+def mm_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        decode_png,
+        synthesize_png,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_png(synthesize_png(d))
+
+
+@register(
+    "mm_y4m_frame_stats",
+    """
+    WITH d AS (
+      SELECT doc_id,
+        2 * (4 + doc_id % 5) AS w,
+        2 * (4 + doc_id % 4) AS h,
+        3 + doc_id % 4 AS nf
+      FROM documents
+    ),
+    fr AS (
+      SELECT d.*, f.f
+      FROM d CROSS JOIN (SELECT unnest([0, 2, 4]) AS f) f
+      WHERE f.f < d.nf
+    ),
+    y AS (
+      SELECT fr.doc_id, fr.f,
+        CAST(SUM((fr.doc_id*7 + fr.f*101 + s.i*3) % 256) AS BIGINT)
+          AS y_sum,
+        CAST(MIN((fr.doc_id*7 + fr.f*101 + s.i*3) % 256) AS BIGINT)
+          AS y_min,
+        CAST(MAX((fr.doc_id*7 + fr.f*101 + s.i*3) % 256) AS BIGINT)
+          AS y_max
+      FROM fr CROSS JOIN (SELECT unnest(range(0, 224)) AS i) s
+      WHERE s.i < fr.w * fr.h GROUP BY 1, 2
+    ),
+    uv AS (
+      SELECT fr.doc_id, fr.f,
+        CAST(SUM((fr.doc_id*11 + fr.f*13 + s.j*5) % 256
+               + (fr.doc_id*17 + fr.f*19 + s.j*7) % 256) AS BIGINT)
+          AS uv_sum
+      FROM fr CROSS JOIN (SELECT unnest(range(0, 56)) AS j) s
+      WHERE s.j < (fr.w // 2) * (fr.h // 2) GROUP BY 1, 2
+    )
+    SELECT fr.doc_id AS media_id,
+      CAST(fr.f AS BIGINT) AS frame_idx,
+      CAST(fr.w AS BIGINT) AS width,
+      CAST(fr.h AS BIGINT) AS height,
+      CAST(fr.nf AS BIGINT) AS n_frames,
+      y.y_sum, y.y_min, y.y_max, uv.uv_sum
+    FROM fr
+    JOIN y ON y.doc_id = fr.doc_id AND y.f = fr.f
+    JOIN uv ON uv.doc_id = fr.doc_id AND uv.f = fr.f
+    """,
+    doc="REAL video decode + frame sampling, end to end: "
+    "synthesize_y4m writes genuine YUV4MPEG2 clips (ASCII stream "
+    "header, FRAME markers, planar 4:2:0 YUV — ffmpeg plays one), "
+    "decode_y4m parses the container, samples every 2nd frame, and "
+    "emits exact per-frame luma/chroma stats; the frame fan-out "
+    "happens inside the Arrow batch, no shuffle.  The oracle replays "
+    "each sampled frame's plane arithmetic from doc_id alone — "
+    "agreement proves header parse, frame walk, and plane split are "
+    "all correct.  This retires the video-stub caveat: frame_sample "
+    "remains the generic stub; this is the real-container path.",
+)
+def mm_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        decode_y4m,
+        synthesize_y4m,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_y4m(synthesize_y4m(d), frame_stride=2)

@@ -674,3 +674,168 @@ def test_pnm_parser_rejects_zero_dimensions():
             raise AssertionError("parser accepted zero dimensions")
         except ValueError as e:
             assert "dimensions" in str(e)
+
+
+def test_png_roundtrip_real_bytes(spark):
+    """synthesize_png emits genuine PNGs (signature, CRC-framed
+    chunks, DEFLATEd IDAT); decode_png inflates + unfilters the BYTES
+    and recovers exact pixel stats.  Filter coverage: scanline r uses
+    type (id+r)%5 and h >= 8, so every image exercises all five PNG
+    predictors."""
+    import struct
+    import zlib
+
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        synthesize_png,
+    )
+
+    d = load_table(spark, SF, "documents").limit(25)
+    media = synthesize_png(d)
+    for r in media.collect():
+        data = bytes(r["payload"])
+        assert data[:8] == _PNG_SIG
+        # IHDR is the first chunk; its CRC must verify.
+        (clen,) = struct.unpack(">I", data[8:12])
+        assert data[12:16] == b"IHDR" and clen == 13
+        (crc,) = struct.unpack(">I", data[16 + clen : 20 + clen])
+        assert zlib.crc32(data[12 : 16 + clen]) == crc
+    stats = {r["media_id"]: r for r in decode_png(media).collect()}
+    assert stats
+    for mid, r in stats.items():
+        w, h = 8 + mid % 11, 8 + mid % 6
+        assert (r["width"], r["height"]) == (w, h)
+        want = [(mid * 29 + k * 11) % 256 for k in range(w * h)]
+        assert r["n_pixels"] == len(want)
+        assert r["px_sum"] == sum(want)
+        assert r["px_min"] == min(want)
+        assert r["px_max"] == max(want)
+
+
+def test_png_filters_are_mutual_inverses():
+    """Property over random-ish rows: forward filter then unfilter is
+    the identity for every filter type, including the Paeth
+    predictor's reconstructed-neighbor feedback."""
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _png_filter_row,
+        _png_unfilter_row,
+    )
+
+    w = 17
+    prev = bytes((i * 37 + 5) % 256 for i in range(w))
+    raw = bytes((i * 113 + 9) % 256 for i in range(w))
+    for ftype in range(5):
+        assert (
+            _png_unfilter_row(
+                ftype, _png_filter_row(ftype, raw, prev), prev
+            )
+            == raw
+        )
+
+
+def test_png_parser_rejects_malformed():
+    import struct
+    import zlib
+
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _PNG_SIG,
+        _parse_png,
+        _png_chunk,
+    )
+
+    def build(w, h, color=0, depth=8, stream=None):
+        ihdr = struct.pack(">II5B", w, h, depth, color, 0, 0, 0)
+        if stream is None:
+            stream = b"".join(b"\x00" + bytes(w) for _ in range(h))
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(stream))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    ok = build(3, 2)
+    w, h, raster = _parse_png(ok)
+    assert (w, h, raster) == (3, 2, bytes(6))
+    corrupted = bytearray(ok)
+    corrupted[20] ^= 0xFF  # inside IHDR body -> CRC mismatch
+    for bad, why in [
+        (b"JUNK" + ok[4:], "bad signature"),
+        (bytes(corrupted), "CRC mismatch"),
+        (build(3, 2, color=2), "RGB color type"),
+        (build(3, 2, stream=b"\x00" + bytes(3)), "short stream"),
+        (
+            build(3, 2, stream=b"\x07" + bytes(3) + b"\x00" + bytes(3)),
+            "invalid filter type",
+        ),
+        (build(0, 2), "zero width"),
+    ]:
+        try:
+            _parse_png(bad)
+            raise AssertionError(f"parser accepted {why}")
+        except ValueError:
+            pass
+
+
+def test_y4m_roundtrip_and_sampling(spark):
+    """synthesize_y4m writes genuine YUV4MPEG2 streams; decode_y4m
+    parses the container, samples every 2nd frame, and recovers exact
+    plane stats for precisely the sampled frame indexes."""
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        decode_y4m,
+        synthesize_y4m,
+    )
+
+    d = load_table(spark, SF, "documents").limit(20)
+    media = synthesize_y4m(d)
+    for r in media.collect():
+        head = bytes(r["payload"]).split(b"\n", 1)[0]
+        assert head.startswith(b"YUV4MPEG2 W")
+        assert b"C420" in head
+    rows = decode_y4m(media, frame_stride=2).collect()
+    by_id: dict[int, dict[int, object]] = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], {})[r["frame_idx"]] = r
+    for mid, frames in by_id.items():
+        w, h = 2 * (4 + mid % 5), 2 * (4 + mid % 4)
+        nf = 3 + mid % 4
+        assert sorted(frames) == [f for f in range(0, nf, 2)]
+        for f, r in frames.items():
+            assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+            y = [(mid * 7 + f * 101 + i * 3) % 256 for i in range(w * h)]
+            cw, ch = w // 2, h // 2
+            uv = sum(
+                (mid * 11 + f * 13 + j * 5) % 256
+                + (mid * 17 + f * 19 + j * 7) % 256
+                for j in range(cw * ch)
+            )
+            assert r["y_sum"] == sum(y)
+            assert r["y_min"] == min(y)
+            assert r["y_max"] == max(y)
+            assert r["uv_sum"] == uv
+
+
+def test_y4m_parser_rejects_malformed():
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _parse_y4m,
+    )
+
+    frame = bytes(8 * 8 + 2 * 16)
+    ok = b"YUV4MPEG2 W8 H8 F25:1 C420jpeg\nFRAME\n" + frame
+    w, h, frames = _parse_y4m(ok)
+    assert (w, h, len(frames)) == (8, 8, 1)
+    for bad, why in [
+        (b"AVI RIFF" + ok[8:], "wrong magic"),
+        (b"YUV4MPEG2 W8 H8 C444\nFRAME\n" + frame, "non-420 space"),
+        (b"YUV4MPEG2 W8 H7 C420\nFRAME\n" + frame, "odd height"),
+        (b"YUV4MPEG2 F25:1\nFRAME\n" + frame, "missing W/H"),
+        (ok[:-1], "truncated last frame"),
+        (b"YUV4MPEG2 W8 H8 C420jpeg\nFRAMX\n" + frame, "bad marker"),
+        (b"YUV4MPEG2 W8 H8 C420jpeg\n", "no frames"),
+    ]:
+        try:
+            _parse_y4m(bad)
+            raise AssertionError(f"parser accepted {why}")
+        except ValueError:
+            pass
