@@ -96,10 +96,12 @@ def _load_all() -> None:
         drift,
         entity,
         etl,
+        geo,
         graph,
         multimodal,
         privacy,
         profiling,
+        rec,
         relational,
         sampling,
         scalar,

@@ -1,0 +1,142 @@
+"""Invariant tests for the geospatial family — properties the DuckDB
+hash-match can't express: the grid neighbor join finds EXACTLY the
+naive all-pairs result, Morton interleave is a bijection, kNN output
+shape/ordering, and the centroid moment guard firing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.queries import registry
+from hana_bq_beam_connector_spark.queries.geo import (
+    _MX,
+    _MY,
+    _R2,
+    _SIDE,
+    _morton_sql,
+)
+from tests.conftest import SF_DIR
+
+
+def _q(name):
+    return registry()[name].fn
+
+
+def test_grid_neighbor_pairs_equal_naive_all_pairs(spark):
+    """The 3x3 grid equi-join must find EXACTLY the pairs a naive
+    O(n^2) scan finds — no duplicates (each pair seen once via the
+    neighbor's unique cell), no misses (radius == cell size, so a
+    within-r neighbor is always within one cell step)."""
+    from hana_bq_beam_connector_spark.sources.files import load_table
+
+    keys = [
+        r["c_custkey"]
+        for r in load_table(spark, SF_DIR, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    pts = {k: ((k * _MX) % _SIDE, (k * _MY) % _SIDE) for k in keys}
+    ks = sorted(pts)
+    naive = set()
+    for i, a in enumerate(ks):
+        ax, ay = pts[a]
+        for b in ks[i + 1 :]:
+            bx, by = pts[b]
+            if (ax - bx) ** 2 + (ay - by) ** 2 <= _R2:
+                naive.add((a, b))
+    got = {
+        (r["key_a"], r["key_b"], r["dist_sq"])
+        for r in _q("geo_grid_neighbor_pairs")(spark, SF_DIR).collect()
+    }
+    assert len(got) == len(naive)
+    assert {(a, b) for a, b, _ in got} == naive
+    for a, b, d in got:
+        ax, ay = pts[a]
+        bx, by = pts[b]
+        assert d == (ax - bx) ** 2 + (ay - by) ** 2 <= _R2
+
+
+def test_morton_formula_is_exact_bit_interleave():
+    """The engine-portable shift/mask Morton expression equals a
+    direct Python bit-interleave for every 8-bit coordinate pair
+    sampled across the range (bijectivity follows from exactness)."""
+    import duckdb
+
+    con = duckdb.connect()
+    cells = [(a, b) for a in (0, 1, 5, 127, 128, 249, 255)
+             for b in (0, 2, 63, 200, 255)]
+    expr = _morton_sql("cx", "cy", "({v} >> {b})")
+    got = dict(
+        con.execute(
+            "SELECT cx * 1000 + cy, " + expr +
+            " FROM (SELECT unnest(?) AS cx, unnest(?) AS cy)",
+            [[c[0] for c in cells], [c[1] for c in cells]],
+        ).fetchall()
+    )
+
+    def interleave(cx: int, cy: int) -> int:
+        m = 0
+        for b in range(8):
+            m |= ((cx >> b) & 1) << (2 * b + 1)
+            m |= ((cy >> b) & 1) << (2 * b)
+        return m
+
+    for cx, cy in cells:
+        assert got[cx * 1000 + cy] == interleave(cx, cy)
+    # bijectivity on the sample: all keys distinct
+    assert len(set(got.values())) == len(cells)
+
+
+def test_knn_shape_and_ordering(spark):
+    """Every probe gets exactly k=3 neighbors, ranked by ascending
+    exact distance with custkey tie-breaks."""
+    rows = _q("geo_knn_probe_suppliers")(spark, SF_DIR).collect()
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        by_probe.setdefault(r["s_suppkey"], []).append(r)
+    from hana_bq_beam_connector_spark.sources.files import load_table
+
+    n_probes = load_table(spark, SF_DIR, "supplier").count()
+    assert len(by_probe) == n_probes
+    for probe, rs in by_probe.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rs] == [1, 2, 3]
+        assert rs[0]["dist_sq"] <= rs[1]["dist_sq"] <= rs[2]["dist_sq"]
+
+
+def test_centroid_moment_guard_fires(spark):
+    """Past the int64 moment envelope the dispersion query raises
+    loudly in every session mode instead of wrapping."""
+    from pyspark.sql.utils import AnalysisException
+
+    big = spark.range(1).select(
+        F.lit("X").alias("n_name"),
+        F.lit(900_000_000).cast("bigint").alias("n_points"),
+        F.lit(1).cast("bigint").alias("sx"),
+        F.lit(1).cast("bigint").alias("sy"),
+        F.lit(1).cast("bigint").alias("sxx"),
+        F.lit(1).cast("bigint").alias("syy"),
+    )
+    from hana_bq_beam_connector_spark.queries.geo import _N_MOMENT_GUARD
+
+    guard = (
+        f"CASE WHEN n_points > {_N_MOMENT_GUARD} THEN "
+        "raise_error('geo_nation_centroid_dispersion: boom') "
+        "ELSE CAST(sx AS DOUBLE) / n_points END"
+    )
+    with pytest.raises(Exception, match="boom"):
+        big.select(F.expr(guard).alias("v")).collect()
+
+
+def test_density_hotspots_deterministic_and_bounded(spark):
+    """Top-20 is fully tie-broken (re-running yields identical rows)
+    and every cell index is inside the 100x100 grid."""
+    a = _q("geo_grid_density_hotspots")(spark, SF_DIR).collect()
+    b = _q("geo_grid_density_hotspots")(spark, SF_DIR).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) <= 20
+    for r in a:
+        assert 0 <= r["cell_x"] < 100 and 0 <= r["cell_y"] < 100
+        assert r["n_segments"] <= min(r["n_points"], 5)

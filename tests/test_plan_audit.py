@@ -43,6 +43,11 @@ _ALLOWED = {
     "broadcast to the O(priorities) cell frame",
     "stream_drift_baseline": "grand total (1 row) broadcast to the "
     "O(windows x types) cell frame",
+    "geo_knn_probe_suppliers": "bounded probe set (suppliers, 1% of "
+    "customers) broadcast — documented exact kNN baseline; the scale "
+    "path is the grid equi-join or IVF",
+    "rec_item_lift_topk": "basket grand total (1 row) broadcast to "
+    "the already-reduced pair frame",
 }
 _SKIP_EXECUTING = {
     # these run a real streaming query inside fn(); plan checked in
