@@ -122,6 +122,7 @@ HEADLINE = [
     "geo_morton_quadblock_rollup",  # Z-order quadtree rollup
     "rec_user_candidates",        # CF join: owned x bounded neighbors
     "rec_item_lift_topk",         # association-rule lift ranking
+    "exp_cuped_adjusted_lift",    # CUPED moments over the event log
 ]
 
 

@@ -96,6 +96,7 @@ def _load_all() -> None:
         drift,
         entity,
         etl,
+        experiment,
         geo,
         graph,
         multimodal,

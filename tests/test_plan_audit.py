@@ -48,6 +48,8 @@ _ALLOWED = {
     "path is the grid equi-join or IVF",
     "rec_item_lift_topk": "basket grand total (1 row) broadcast to "
     "the already-reduced pair frame",
+    "exp_assignment_srm_check": "user grand total (1 row) broadcast "
+    "to the 2-row arm frame",
 }
 _SKIP_EXECUTING = {
     # these run a real streaming query inside fn(); plan checked in
