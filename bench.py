@@ -123,6 +123,7 @@ HEADLINE = [
     "rec_user_candidates",        # CF join: owned x bounded neighbors
     "rec_item_lift_topk",         # association-rule lift ranking
     "exp_cuped_adjusted_lift",    # CUPED moments over the event log
+    "ts_holt_linear_forecast",    # in-row smoothing fold + forecast
 ]
 
 

@@ -689,3 +689,103 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_hours") - F.col("k")).cast("double")
         ).alias("mean_after"),
     )
+
+
+
+@register(
+    "ts_holt_linear_forecast",
+    f"""
+    WITH RECURSIVE h AS (
+      SELECT event_type,
+        CAST(epoch_us(ts) // {_SIX_H_US} AS BIGINT) AS bkt,
+        CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT event_type, y,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bkt) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    st AS (
+      SELECT o1.event_type, CAST(1 AS BIGINT) AS rn, o1.n,
+        CAST(o1.y AS DOUBLE) AS level,
+        CAST(o2.y AS DOUBLE) - CAST(o1.y AS DOUBLE) AS trend
+      FROM o o1 JOIN o o2
+        ON o2.event_type = o1.event_type AND o1.rn = 1 AND o2.rn = 2
+      WHERE o1.n >= 2
+      UNION ALL
+      SELECT s.event_type, s.rn + 1, s.n,
+        0.5 * CAST(o.y AS DOUBLE) + 0.5 * (s.level + s.trend),
+        0.25 * ((0.5 * CAST(o.y AS DOUBLE) + 0.5 * (s.level + s.trend))
+                - s.level) + 0.75 * s.trend
+      FROM st s JOIN o
+        ON o.event_type = s.event_type AND o.rn = s.rn + 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_buckets, level, trend,
+      level + 1 * trend AS forecast_h1,
+      level + 2 * trend AS forecast_h2,
+      level + 3 * trend AS forecast_h3
+    FROM st WHERE rn = n
+    """,
+    doc="Holt linear-trend exponential smoothing + 3-step forecast "
+    "per event type, over the 6-hour bucket count series (alpha=0.5, "
+    "beta=0.25 — exact binary fractions).  The smoothing recursion is "
+    "inherently sequential, so the SCALE move is running it on the "
+    "O(types x buckets) AGGREGATED frame: the fact scan reduces "
+    "map-side to one row per (type, bucket), each type's series "
+    "folds INSIDE one row via array_sort + aggregate() (a codegen'd "
+    "lambda fold — no driver loop, no Python, no per-step shuffle), "
+    "and types parallelize across the cluster.  Both engines execute "
+    "the textually identical update expressions (level' = 0.5y + "
+    "0.5(level+trend); trend' inlines level' — IEEE ops in the same "
+    "order, so the fold is bit-deterministic; DuckDB replays it as a "
+    "recursive CTE).  Init: level=y1, trend=y2-y1; types with <2 "
+    "buckets are excluded in both engines.",
+)
+def ts_holt_linear_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = events_us(spark, sf_dir).select("event_type", "ts")
+    h = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts") / _SIX_H_US).cast("bigint").alias("bkt"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    arr = (
+        h.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("bkt", "y"))
+            ).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        )
+        .where(F.col("n_buckets") >= 2)
+    )
+    fold = (
+        "aggregate("
+        "  slice(s, 2, size(s) - 1),"
+        "  named_struct("
+        "    'level', CAST(s[0].y AS DOUBLE),"
+        "    'trend', CAST(s[1].y AS DOUBLE) - CAST(s[0].y AS DOUBLE)),"
+        "  (acc, x) -> named_struct("
+        "    'level',"
+        "    0.5D * CAST(x.y AS DOUBLE) + 0.5D * (acc.level + acc.trend),"
+        "    'trend',"
+        "    0.25D * ((0.5D * CAST(x.y AS DOUBLE)"
+        "              + 0.5D * (acc.level + acc.trend)) - acc.level)"
+        "    + 0.75D * acc.trend)"
+        ")"
+    )
+    return arr.select(
+        "event_type",
+        "n_buckets",
+        F.expr(fold).alias("hw"),
+    ).select(
+        "event_type",
+        "n_buckets",
+        F.col("hw.level").alias("level"),
+        F.col("hw.trend").alias("trend"),
+        F.expr("hw.level + 1 * hw.trend").alias("forecast_h1"),
+        F.expr("hw.level + 2 * hw.trend").alias("forecast_h2"),
+        F.expr("hw.level + 3 * hw.trend").alias("forecast_h3"),
+    )

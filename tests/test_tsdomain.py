@@ -134,3 +134,49 @@ def test_numeric_domain_values(spark):
         ts_numeric("num", "bigint").alias("c"),
     ).first()
     assert row["a"] == row["b"] == row["c"] == us
+
+
+def test_holt_forecast_matches_python_fold(spark):
+    """The codegen'd aggregate() fold must equal a pure-Python replay
+    of the same IEEE update sequence, bit for bit, and the forecasts
+    must be the level + h*trend extrapolation of the final state."""
+    from hana_bq_beam_connector_spark.queries import registry
+    from hana_bq_beam_connector_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             / 21_600_000_000).cast("bigint").alias("bkt")
+            if dict(ev.dtypes)["ts"] != "bigint"
+            else (F.col("ts") / 21_600_000_000).cast("bigint").alias("bkt"),
+        )
+        .count()
+        .collect()
+    )
+    series: dict[str, dict[int, int]] = {}
+    for r in rows:
+        series.setdefault(r["event_type"], {})[r["bkt"]] = r["count"]
+    got = {
+        r["event_type"]: r
+        for r in registry()["ts_holt_linear_forecast"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    for etype, by_bkt in series.items():
+        ys = [by_bkt[b] for b in sorted(by_bkt)]
+        if len(ys) < 2:
+            assert etype not in got
+            continue
+        level, trend = float(ys[0]), float(ys[1]) - float(ys[0])
+        for y in ys[1:]:
+            new_level = 0.5 * float(y) + 0.5 * (level + trend)
+            trend = 0.25 * (new_level - level) + 0.75 * trend
+            level = new_level
+        r = got[etype]
+        assert r["n_buckets"] == len(ys)
+        assert r["level"] == level
+        assert r["trend"] == trend
+        assert r["forecast_h2"] == level + 2 * trend
