@@ -18,9 +18,13 @@ ONE closing IEEE division, chi-square homogeneity follows
 stat_chi2_segment_priority's exact-count/expected shape, decile
 shifts are raw data values passed through untouched, and churn is
 pure integers.  Where a BIGINT numerator could exceed 2^53 (exact
-double conversion bound) — n_a*n_b > 2^53 for KS, > 2^52 for the
-summed TVD — a raise_error guard fires in EVERY session mode (the
-Spearman precedent) and names the unbounded alternative.
+double conversion bound) — n_a*n_b > 2^53 for KS (~9.5e7 rows/side
+symmetric), > 2^52 for the summed TVD (~6.7e7) — a raise_error guard
+fires in EVERY session mode (the Spearman precedent) and names the
+unbounded alternative; the guard is the overflow-free division form
+wrapped around the numerator expression itself, so the NAMED error
+always preempts a generic ANSI ARITHMETIC_OVERFLOW and asymmetric
+snapshots with tiny products never false-trip.
 
 Scale: every query reduces the fact scan to an O(bands | categories |
 customers) frame in one map-side-combinable aggregate; windows and
@@ -47,12 +51,15 @@ _IN_A = "EXTRACT(year FROM o_orderdate) <= 1997"
 # Exact-double envelopes for the integer drift numerators.  The KS
 # statistic casts a single |cum*n| <= n_a*n_b product; the TVD casts
 # the SUMMED numerator, bounded by 2*n_a*n_b — so TVD's product bound
-# is one bit tighter.  Guards are two-tier short-circuiting ORs
-# (codegen emits Java ||): the per-side 3e9 tier fires first and
-# keeps the n_a*n_b product of the second tier inside int64 (3e9 *
-# 3e9 = 9e18 < 2^63), so the product test can never ANSI-overflow
-# before our own message fires.
-_N_SIDE_GUARD = 3_000_000_000
+# is one bit tighter.  The guard test is the overflow-free division
+# form ``n_b > bound DIV greatest(n_a, 1)`` (exactly equivalent to
+# n_a*n_b > bound for non-negative counts, but it can never itself
+# ANSI-overflow, and it does NOT false-trip on asymmetric snapshots
+# like n_a=1e10/n_b=100 whose products are still tiny).  The guard
+# wraps the NUMERATOR expression — inside the aggregate for TVD,
+# inside the per-band projection for KS — so it evaluates BEFORE the
+# int64 arithmetic it protects: in ANSI mode the named raise_error
+# fires first instead of a generic ARITHMETIC_OVERFLOW from the sum.
 _PROD_GUARD_KS = 2**53  # ks_num <= n_a*n_b
 _PROD_GUARD_TVD = 2**52  # tvd_num <= 2*n_a*n_b
 
@@ -173,27 +180,28 @@ def drift_tvd_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_a").over(w_all).cast("bigint").alias("n_a"),
         F.sum("c_b").over(w_all).cast("bigint").alias("n_b"),
     )
+    # The guard lives INSIDE the sum so it evaluates before any
+    # per-band product: if it passes, every |c*n| <= n_a*n_b <= 2^52
+    # and the sum <= 2^53 — no int64 step can overflow in any mode.
+    guarded_num = F.expr(
+        f"CASE WHEN n_b > {_PROD_GUARD_TVD} DIV greatest(n_a, 1) THEN "
+        "raise_error('drift_tvd_total: the summed TVD numerator "
+        "(<= 2*n_a*n_b) needs n_a*n_b <= 2^52 for an exact "
+        "BIGINT->DOUBLE cast; use drift_tvd_price_bands per-band "
+        "ratios at larger scale') "
+        "ELSE ABS(c_a * n_b - c_b * n_a) END"
+    )
     t = cells.groupBy("n_a", "n_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bands"),
-        F.sum(
-            F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
-        )
-        .cast("bigint")
-        .alias("tvd_num"),
+        F.sum(guarded_num).cast("bigint").alias("tvd_num"),
     )
     return t.select(
         "n_a",
         "n_b",
         "n_bands",
         F.expr(
-            f"CASE WHEN n_a > {_N_SIDE_GUARD} OR n_b > {_N_SIDE_GUARD} "
-            f"OR (n_a * n_b) > {_PROD_GUARD_TVD} THEN "
-            "raise_error('drift_tvd_total: the summed TVD numerator "
-            "(<= 2*n_a*n_b) needs n_a*n_b <= 2^52 for an exact "
-            "BIGINT->DOUBLE cast; use drift_tvd_price_bands per-band "
-            "ratios at larger scale') "
-            "ELSE CAST(tvd_num AS DOUBLE)"
-            " / (2 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END"
+            "CAST(tvd_num AS DOUBLE)"
+            " / (2 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
         ).alias("tvd"),
     )
 
@@ -244,7 +252,16 @@ def drift_ks_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_a").over(w_all).cast("bigint").alias("n_a"),
         F.sum("c_b").over(w_all).cast("bigint").alias("n_b"),
     )
-    num = "ABS(cum_a * n_b - cum_b * n_a)"
+    # Guard wraps ks_num itself (the first expression to touch a
+    # cum*n product) so the named error preempts any ANSI overflow.
+    guarded_num = (
+        f"CASE WHEN n_b > {_PROD_GUARD_KS} DIV greatest(n_a, 1) THEN "
+        "raise_error('drift_ks_price: the ECDF numerator "
+        "(<= n_a*n_b) needs n_a*n_b <= 2^53 for an exact "
+        "BIGINT->DOUBLE cast; quantize to proportions per "
+        "band or sample before going wider') "
+        "ELSE CAST(ABS(cum_a * n_b - cum_b * n_a) AS BIGINT) END"
+    )
     return (
         cum.select(
             "ks_band",
@@ -252,16 +269,13 @@ def drift_ks_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_b",
             "n_a",
             "n_b",
-            F.expr(f"CAST({num} AS BIGINT)").alias("ks_num"),
+            F.expr(guarded_num).alias("ks_num"),
+        )
+        .select(
+            "*",
             F.expr(
-                f"CASE WHEN n_a > {_N_SIDE_GUARD} OR n_b > {_N_SIDE_GUARD} "
-                f"OR (n_a * n_b) > {_PROD_GUARD_KS} THEN "
-                "raise_error('drift_ks_price: the ECDF numerator "
-                "(<= n_a*n_b) needs n_a*n_b <= 2^53 for an exact "
-                "BIGINT->DOUBLE cast; quantize to proportions per "
-                "band or sample before going wider') "
-                f"ELSE CAST({num} AS DOUBLE)"
-                " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END"
+                "CAST(ks_num AS DOUBLE)"
+                " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
             ).alias("ks"),
         )
         .orderBy(F.col("ks_num").desc(), "ks_band")

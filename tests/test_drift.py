@@ -106,10 +106,15 @@ def test_chi2_terms_nonnegative_and_expected_conserves(spark):
 
 @pytest.mark.parametrize("name", ["drift_tvd_total", "drift_ks_price"])
 def test_scale_guards_fire_loudly(spark, name, tmp_path):
-    """Past 9e7 rows per snapshot the exact-BIGINT numerators leave
-    the 2^53 envelope — the queries must raise, not wrap.  Synthesized
-    by inflating the cell counts, not the data: the guard reads the
-    aggregated totals, so a tiny frame with huge counts exercises it."""
+    """Past the product envelope (n_a*n_b > 2^52 for TVD, whose summed
+    numerator reaches 2*n_a*n_b; > 2^53 for KS) the exact-BIGINT
+    numerators leave the exact-double range — the queries must raise
+    the NAMED error, not wrap and not generic-overflow: the guard is
+    the overflow-free ``n_b > bound DIV greatest(n_a, 1)`` form and
+    wraps the numerator expression itself, so it evaluates before any
+    int64 product in every session mode.  Synthesized by inflating
+    the cell counts (2e8 per side -> product 4e16 over both bounds),
+    not the data."""
     import hana_bq_beam_connector_spark.queries.drift as drift
 
     big = spark.createDataFrame(
@@ -166,3 +171,24 @@ def test_stream_drift_baseline_shares_conserve(spark, sf_dir):
     assert math.isclose(
         sum(next(iter(v)) for v in by_type.values()), 1.0, rel_tol=1e-12
     )
+
+
+@pytest.mark.parametrize("name", ["drift_tvd_total", "drift_ks_price"])
+def test_scale_guards_allow_asymmetric_safe_snapshots(spark, name):
+    """An asymmetric snapshot pair whose PRODUCT is tiny (n_a=1e10,
+    n_b=100 -> n_a*n_b = 1e12, far inside the exact envelope) must
+    compute, not false-trip: the division-form guard is exact, unlike
+    a per-side cap."""
+    import hana_bq_beam_connector_spark.queries.drift as drift
+
+    big = spark.createDataFrame(
+        [(0, 9_999_999_999, 99), (1, 1, 1)],
+        "band bigint, c_a bigint, c_b bigint",
+    )
+    real = drift._price_cells
+    drift._price_cells = lambda *a, **k: big
+    try:
+        rows = _q(name)(spark, SF_DIR).collect()
+        assert rows and all(r["n_a"] == 10_000_000_000 for r in rows)
+    finally:
+        drift._price_cells = real
