@@ -124,6 +124,8 @@ HEADLINE = [
     "rec_item_lift_topk",         # association-rule lift ranking
     "exp_cuped_adjusted_lift",    # CUPED moments over the event log
     "ts_holt_linear_forecast",    # in-row smoothing fold + forecast
+    "mm_gif_decode_stats",        # REAL GIF LZW decode (dictionary coder)
+    "stat_halfsample_replica_means",  # deterministic bootstrap replicas
 ]
 
 

@@ -905,3 +905,262 @@ def decode_y4m(media: DataFrame, frame_stride: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, schema=_Y4M_FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# GIF — a second real entropy codec, from a different family: LZW is
+# a dictionary coder (PNG's DEFLATE is LZ77 + Huffman).  Pure stdlib:
+# struct only; the LZW bit-packer/unpacker is written out in full.
+
+_GIF_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
+    ]
+)
+
+_GIF_MIN_CODE = 8  # 256-entry palette
+_GIF_CLEAR = 256
+_GIF_EOI = 257
+_GIF_MAX_CODE = 4096  # 12-bit ceiling per the GIF spec
+
+
+def _lzw_encode(indices: bytes) -> bytes:
+    """GIF-variant LZW: emit CLEAR, then greedy longest-match codes
+    with a growing code width (9→12 bits, LSB-first bit packing),
+    CLEAR + reset when the table hits 4096, EOI at the end."""
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return (
+            {bytes([i]): i for i in range(256)},
+            _GIF_EOI + 1,
+            _GIF_MIN_CODE + 1,
+        )
+
+    table, next_code, width = fresh()
+    emit(_GIF_CLEAR, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if next_code < _GIF_MAX_CODE:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(_GIF_CLEAR, width)
+            table, next_code, width = fresh()
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(_GIF_EOI, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, n_expected: int) -> bytes:
+    """Inverse of _lzw_encode, with the spec's cScSc special case
+    (code == next unassigned entry).  Raises ValueError on malformed
+    streams — unknown codes, missing EOI, or length disagreement."""
+    pos = bitbuf = bitcnt = 0
+
+    def fresh() -> tuple[dict[int, bytes], int, int]:
+        return (
+            {i: bytes([i]) for i in range(256)},
+            _GIF_EOI + 1,
+            _GIF_MIN_CODE + 1,
+        )
+
+    def read(width: int) -> int:
+        nonlocal pos, bitbuf, bitcnt
+        while bitcnt < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            bitbuf |= data[pos] << bitcnt
+            pos += 1
+            bitcnt += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
+        return code
+
+    table, next_code, width = fresh()
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == _GIF_CLEAR:
+            table, next_code, width = fresh()
+            prev = None
+            continue
+        if code == _GIF_EOI:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the cScSc case
+        else:
+            raise ValueError(f"LZW code {code} not in table")
+        out += entry
+        if prev is not None and next_code < _GIF_MAX_CODE:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # One earlier than the encoder's (1 << width) check: the
+            # decoder's entry count lags the encoder by exactly one
+            # (the first code after CLEAR adds nothing), so the next
+            # code on the wire is wider as soon as we reach 2^w - 1.
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError(
+            f"LZW decoded {len(out)} pixels; descriptor promises "
+            f"{n_expected}"
+        )
+    return bytes(out)
+
+
+def synthesize_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Genuine GIF89a payloads, one per id: header, logical screen
+    descriptor, a 256-entry grayscale palette (index i → (i,i,i)),
+    image descriptor, LZW-compressed index stream in length-prefixed
+    sub-blocks, trailer — any image viewer opens one.
+
+    Dimensions and pixels are deterministic functions of the id
+    (``w = 6 + id % 9``, ``h = 6 + id % 5``, ``p(i) = (id*37 +
+    i*13) % 256``) so an SQL oracle replays the pixel arithmetic
+    without bytes."""
+
+    @F.pandas_udf(BinaryType())
+    def _gif(ids: pd.Series) -> pd.Series:
+        import struct
+
+        palette = bytes(v for i in range(256) for v in (i, i, i))
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            w, h = 6 + mid % 9, 6 + mid % 5
+            pixels = bytes(
+                (mid * 37 + i * 13) % 256 for i in range(w * h)
+            )
+            lzw = _lzw_encode(pixels)
+            blocks = bytearray()
+            for off in range(0, len(lzw), 255):
+                chunk = lzw[off : off + 255]
+                blocks.append(len(chunk))
+                blocks += chunk
+            blocks.append(0)
+            buf = (
+                b"GIF89a"
+                + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+                + palette
+                + b"\x2c"
+                + struct.pack("<HHHHB", 0, 0, w, h, 0)
+                + bytes([_GIF_MIN_CODE])
+                + bytes(blocks)
+                + b"\x3b"
+            )
+            out.append(buf)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        _gif(F.col(id_col)).alias("payload"),
+        F.lit("image/gif").alias("media_type"),
+    ).withColumn("byte_len", F.octet_length("payload").cast("long"))
+
+
+def _parse_gif(data: bytes) -> tuple[int, int, bytes]:
+    """Parse a grayscale-paletted GIF89a: header, screen descriptor,
+    global color table, image descriptor, LZW sub-blocks.  Returns
+    (width, height, raster of palette indices == gray values for the
+    identity palette).  Raises ValueError on any malformation."""
+    import struct
+
+    if data[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError(f"not a GIF (header {data[:6]!r})")
+    if len(data) < 13:
+        raise ValueError("truncated GIF screen descriptor")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    if packed & 0x80:
+        gct_len = 3 * (2 << (packed & 0x07))
+        pos += gct_len
+    # Skip extension blocks (0x21 introducer) until the image.
+    while pos < len(data) and data[pos] == 0x21:
+        pos += 2  # introducer + label
+        while pos < len(data) and data[pos] != 0:
+            pos += 1 + data[pos]
+        pos += 1
+    if pos >= len(data) or data[pos] != 0x2C:
+        raise ValueError("GIF image descriptor not found")
+    _l, _t, w, h, ipacked = struct.unpack(
+        "<HHHHB", data[pos + 1 : pos + 10]
+    )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"non-positive GIF dimensions {w}x{h}")
+    if ipacked & 0xC0:
+        raise ValueError("local color tables / interlace unsupported")
+    pos += 10
+    min_code = data[pos]
+    if min_code != _GIF_MIN_CODE:
+        raise ValueError(f"unexpected LZW min code size {min_code}")
+    pos += 1
+    lzw = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF sub-blocks truncated")
+        blen = data[pos]
+        pos += 1
+        if blen == 0:
+            break
+        block = data[pos : pos + blen]
+        if len(block) != blen:
+            raise ValueError("GIF sub-block shorter than its length")
+        lzw += block
+        pos += blen
+    return w, h, _lzw_decode(bytes(lzw), w * h)
+
+
+def decode_gif(media: DataFrame) -> DataFrame:
+    """REAL dictionary-coded image decode: GIF payload → exact pixel
+    stats through a full LZW inflate (variable-width codes, table
+    resets, the cScSc case) — a different entropy-coding family from
+    PNG's DEFLATE.  Same mapInPandas stage shape as every decoder."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in _GIF_STATS_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = _parse_gif(bytes(payload))
+                rows["media_id"].append(media_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(len(raster))
+                rows["px_sum"].append(sum(raster))
+                rows["px_min"].append(min(raster))
+                rows["px_max"].append(max(raster))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode, schema=_GIF_STATS_SCHEMA)

@@ -491,3 +491,47 @@ def mm_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return decode_y4m(synthesize_y4m(d), frame_stride=2)
+
+
+@register(
+    "mm_gif_decode_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, 6 + doc_id % 9 AS width, 6 + doc_id % 5 AS height
+      FROM documents
+    ),
+    s AS (SELECT unnest(range(0, 140)) AS i),  -- 140 = max 14*10
+    px AS (
+      SELECT d.doc_id, d.width, d.height,
+             (d.doc_id * 37 + s.i * 13) % 256 AS p
+      FROM d CROSS JOIN s WHERE s.i < d.width * d.height
+    )
+    SELECT doc_id AS media_id,
+      CAST(width AS BIGINT) AS width,
+      CAST(height AS BIGINT) AS height,
+      COUNT(*) AS n_pixels,
+      CAST(SUM(p) AS BIGINT) AS px_sum,
+      CAST(MIN(p) AS BIGINT) AS px_min,
+      CAST(MAX(p) AS BIGINT) AS px_max
+    FROM px GROUP BY 1, 2, 3
+    """,
+    doc="REAL dictionary-coded image decode, end to end: "
+    "synthesize_gif writes genuine GIF89a files (screen descriptor, "
+    "256-entry grayscale palette, LZW-compressed index stream in "
+    "length-prefixed sub-blocks) and decode_gif runs a full LZW "
+    "inflate — variable-width 9->12-bit codes (LSB-first bit "
+    "unpacking), dictionary growth with the decoder's one-early "
+    "width bump, table resets past 4096, the cScSc special case — "
+    "back to exact pixel stats.  With PNG's DEFLATE (LZ77+Huffman) "
+    "this makes TWO distinct entropy-coding families round-tripped "
+    "bit-exactly; the oracle replays the pixel arithmetic from "
+    "doc_id alone, never seeing bytes.",
+)
+def mm_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        decode_gif,
+        synthesize_gif,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_gif(synthesize_gif(d))

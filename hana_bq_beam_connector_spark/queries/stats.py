@@ -553,3 +553,81 @@ def stat_covar_discount_tax(
             F.expr("(sxy - sx * sy / n) / (n - 1)").alias("covar_samp"),
         )
     )
+
+
+# Deterministic half-sample bootstrap: B balanced pseudo-replicas via
+# an md5-mixed membership bit (no RNG — reproducible on any layout /
+# engine / rerun).  NOT a multiplicative hash: a Knuth-hash membership
+# over near-sequential keys is a phase-shifted Weyl sequence — every
+# "half" is unnaturally representative (observed: exactly 7500/15000
+# members), the replica means barely spread, and the CI collapses.
+# md5 decorrelates the replicas properly; both engines have it.
+_BOOT_B = 16
+
+
+def _boot_member_sql(dialect: str) -> str:
+    """Membership predicate: first byte of md5('<key>:<replica>')
+    < 128 — a fair coin per (key, replica) pair, identical in both
+    engines (same string in, same digest out)."""
+    if dialect == "spark":
+        return (
+            "CAST(conv(substring(md5(concat(cast(o_orderkey as string),"
+            " ':', cast(b as string))), 1, 2), 16, 10) AS INT) < 128"
+        )
+    hx = (
+        "md5(concat(CAST(o_orderkey AS VARCHAR), ':',"
+        " CAST(b AS VARCHAR)))"
+    )
+    nib1 = f"(strpos('0123456789abcdef', substr({hx}, 1, 1)) - 1)"
+    nib2 = f"(strpos('0123456789abcdef', substr({hx}, 2, 1)) - 1)"
+    return f"({nib1} * 16 + {nib2}) < 128"
+
+
+@register(
+    "stat_halfsample_replica_means",
+    f"""
+    WITH r AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+    reps AS (
+      SELECT r.b, o.o_orderkey, o.o_totalprice
+      FROM orders o CROSS JOIN r
+    )
+    SELECT CAST(b AS BIGINT) AS replica,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        / COUNT(*) AS mean_price
+    FROM reps WHERE {_boot_member_sql('duckdb')}
+    GROUP BY 1
+    """,
+    doc="Uncertainty quantification without RNG: B=16 deterministic "
+    "half-sample pseudo-replicas of the order population (membership "
+    "= first md5 byte of '<orderkey>:<replica>' — a fair, "
+    "replica-decorrelated coin that replays identically across "
+    "engines, layouts and reruns; a multiplicative hash is NOT used "
+    "because over near-sequential keys it yields phase-shifted Weyl "
+    "halves that are unnaturally representative and collapse the "
+    "CI), each replica emitting its exact-decimal mean; the spread "
+    "of replica means IS the bootstrap-CI machinery, left to the "
+    "consumer per the cross-row-double rule.  Scale: ONE fact scan "
+    "with an in-row 16-way fan-out (explode of a literal array); the "
+    "partial aggregate reduces every partition to <= B rows before "
+    "the only exchange, so shuffle volume is O(B x partitions), "
+    "independent of the 16x row fan-out.",
+)
+def stat_halfsample_replica_means(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    reps = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_BOOT_B)])
+        ).alias("b"),
+    ).where(F.expr(_boot_member_sql("spark")))
+    return reps.groupBy(F.col("b").cast("bigint").alias("replica")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (
+            F.sum(dec("o_totalprice")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_price"),
+    )

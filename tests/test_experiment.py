@@ -98,3 +98,48 @@ def test_assignment_is_sf_stable(spark):
     # and the split is roughly balanced over a key range
     n_t = sum(1 for u in range(1, 10001) if _arm(u) == "treatment")
     assert 4500 < n_t < 5500
+
+
+def test_halfsample_replicas_match_python_membership(spark):
+    """Replica membership and means must replay exactly from the md5
+    coin in Python (no RNG anywhere), and memberships must look
+    binomial, not Weyl-regular."""
+    import hashlib
+    from decimal import Decimal
+
+    from hana_bq_beam_connector_spark.queries import registry
+    from hana_bq_beam_connector_spark.queries.stats import _BOOT_B
+    from hana_bq_beam_connector_spark.sources.files import load_table
+    from tests.conftest import SF_DIR
+
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    want: dict[int, list] = {b: [] for b in range(_BOOT_B)}
+    for r in orders:
+        for b in range(_BOOT_B):
+            digest = hashlib.md5(
+                f"{r['o_orderkey']}:{b}".encode()
+            ).hexdigest()
+            if int(digest[:2], 16) < 128:
+                want[b].append(r["o_totalprice"])
+    got = {
+        r["replica"]: r
+        for r in registry()["stat_halfsample_replica_means"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(got) == {b for b in range(_BOOT_B) if want[b]}
+    for b, r in got.items():
+        vals = want[b]
+        assert r["n_orders"] == len(vals)
+        total = sum(
+            Decimal(str(v)).quantize(Decimal("0.01")) for v in vals
+        )
+        assert r["mean_price"] == float(total) / len(vals)
+        assert 0.35 < len(vals) / len(orders) < 0.65
+    # binomial spread, not the phase-shifted-Weyl collapse: replica
+    # sizes must not all be identical
+    assert len({r["n_orders"] for r in got.values()}) > 1

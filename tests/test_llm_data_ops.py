@@ -839,3 +839,60 @@ def test_y4m_parser_rejects_malformed():
             raise AssertionError(f"parser accepted {why}")
         except ValueError:
             pass
+
+
+def test_gif_roundtrip_real_bytes(spark):
+    """synthesize_gif emits genuine GIF89a files; decode_gif LZW-
+    inflates the BYTES (variable-width codes, sub-block framing) and
+    recovers exact pixel stats."""
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        decode_gif,
+        synthesize_gif,
+    )
+
+    d = load_table(spark, SF, "documents").limit(25)
+    media = synthesize_gif(d)
+    for r in media.collect():
+        data = bytes(r["payload"])
+        assert data[:6] == b"GIF89a" and data[-1:] == b"\x3b"
+    stats = {r["media_id"]: r for r in decode_gif(media).collect()}
+    assert stats
+    for mid, r in stats.items():
+        w, h = 6 + mid % 9, 6 + mid % 5
+        want = [(mid * 37 + k * 13) % 256 for k in range(w * h)]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_pixels"] == len(want)
+        assert r["px_sum"] == sum(want)
+        assert r["px_min"] == min(want)
+        assert r["px_max"] == max(want)
+
+
+def test_lzw_codec_roundtrips_and_rejects():
+    """The LZW pair must roundtrip every regime — short, repetitive
+    (the cScSc case), long enough to walk 9->12-bit widths and force
+    table resets — and the decoder must reject malformed streams."""
+    import pytest
+
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        _parse_gif,
+    )
+
+    cases = [
+        b"\x00",
+        b"\x05" * 50,
+        bytes(range(256)) * 2,
+        bytes((i * i * 31 + i * 7) % 256 for i in range(8000)),
+        bytes((i % 7) for i in range(20000)),  # many table resets
+    ]
+    for c in cases:
+        assert _lzw_decode(_lzw_encode(c), len(c)) == c
+    with pytest.raises(ValueError, match="truncated"):
+        _lzw_decode(_lzw_encode(b"abc")[:-2], 3)
+    with pytest.raises(ValueError, match="promises"):
+        _lzw_decode(_lzw_encode(b"abc"), 4)
+    with pytest.raises(ValueError, match="not a GIF"):
+        _parse_gif(b"JIF89a" + bytes(100))
+    with pytest.raises(ValueError, match="descriptor"):
+        _parse_gif(b"GIF89a" + bytes(4))
