@@ -52,10 +52,13 @@ _IN_A = "EXTRACT(year FROM o_orderdate) <= 1997"
 # statistic casts a single |cum*n| <= n_a*n_b product; the TVD casts
 # the SUMMED numerator, bounded by 2*n_a*n_b — so TVD's product bound
 # is one bit tighter.  The guard test is the overflow-free division
-# form ``n_b > bound DIV greatest(n_a, 1)`` (exactly equivalent to
-# n_a*n_b > bound for non-negative counts, but it can never itself
+# form ``n_b > bound DIV greatest(n_a, 1)`` (equivalent to
+# n_a*n_b > bound for POSITIVE n_a — it can never itself
 # ANSI-overflow, and it does NOT false-trip on asymmetric snapshots
-# like n_a=1e10/n_b=100 whose products are still tiny).  The guard
+# like n_a=1e10/n_b=100 whose products are still tiny; the one
+# divergence is the degenerate n_a=0 snapshot past ~4.5e15 rows,
+# where it raises although every numerator is exactly 0 — acceptable
+# because an empty side makes the statistic 0/0=NaN anyway).  The guard
 # wraps the NUMERATOR expression — inside the aggregate for TVD,
 # inside the per-band projection for KS — so it evaluates BEFORE the
 # int64 arithmetic it protects: in ANSI mode the named raise_error

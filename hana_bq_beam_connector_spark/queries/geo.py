@@ -408,7 +408,7 @@ def geo_morton_quadblock_rollup(
     probes AS (SELECT s_suppkey,
                       (s_suppkey * {_MX} + 13) % {_SIDE} AS px,
                       (s_suppkey * {_MY} + 13) % {_SIDE} AS py
-               FROM supplier),
+               FROM supplier ORDER BY s_suppkey LIMIT 100),
     scored AS (
       SELECT p.s_suppkey, c.c_custkey,
         CAST((c.x - p.px) * (c.x - p.px)

@@ -140,3 +140,21 @@ def test_density_hotspots_deterministic_and_bounded(spark):
     for r in a:
         assert 0 <= r["cell_x"] < 100 and 0 <= r["cell_y"] < 100
         assert r["n_segments"] <= min(r["n_points"], 5)
+
+
+def test_knn_probe_batch_bounded_on_both_sides(spark):
+    """The registered kNN query must hold its probe batch CONSTANT as
+    the corpus scales — on BOTH sides.  (Caught live: the sf0.1 local
+    gate flagged a 300-vs-3000 row mismatch after an edit bounded only
+    the Spark side; at the sf0.01 gate LIMIT 100 is a no-op because
+    there are exactly 100 suppliers, so only the bigger-SF gate can
+    see this class.)"""
+    spec = registry()["geo_knn_probe_suppliers"]
+    assert "LIMIT 100" in spec.oracle
+    plan = (
+        spec.fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "GlobalLimit 100" in plan or "Limit 100" in plan, plan
