@@ -126,6 +126,7 @@ HEADLINE = [
     "ts_holt_linear_forecast",    # in-row smoothing fold + forecast
     "mm_gif_decode_stats",        # REAL GIF LZW decode (dictionary coder)
     "stat_halfsample_replica_means",  # deterministic bootstrap replicas
+    "stream_srm_monitor",         # windowed SRM alarm (stream face)
 ]
 
 

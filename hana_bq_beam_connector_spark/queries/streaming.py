@@ -393,3 +393,68 @@ def stream_drift_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(diff).alias("abs_diff"),
         )
     )
+
+
+@register(
+    "stream_srm_monitor",
+    f"""
+    WITH c AS (
+      SELECT (epoch_us(ts) // {_SIX_H_US}) * {_SIX_H_US} AS window_start,
+        CAST(SUM(CASE WHEN (user_id * 2654435761) % 100 < 50
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        CAST(SUM(CASE WHEN (user_id * 2654435761) % 100 < 50
+                 THEN 0 ELSE 1 END) AS BIGINT) AS n_c
+      FROM events GROUP BY 1
+    )
+    SELECT window_start, n_t, n_c,
+      CAST(n_t + n_c AS BIGINT) AS n_total,
+      CAST(n_t + n_c AS DOUBLE) / 2 AS expected,
+      (CAST(n_t AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) / 2)
+        * (CAST(n_t AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) / 2)
+        / (CAST(n_t + n_c AS DOUBLE) / 2)
+      + (CAST(n_c AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) / 2)
+        * (CAST(n_c AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) / 2)
+        / (CAST(n_t + n_c AS DOUBLE) / 2) AS srm_chi2
+    FROM c
+    """,
+    doc="Windowed sample-ratio-mismatch monitor — the streaming face "
+    "of the experimentation family: per tumbling 6h window, exposure "
+    "counts per arm and the chi-square statistic against the "
+    "designed 50/50 split (a firing window means the traffic split "
+    "broke MID-experiment — the alarm that must page before the "
+    "readout is polluted, which is why it runs on the stream, not in "
+    "the end-of-experiment analysis).  Batch replay of the LIVE "
+    "monitor (streaming/windows.srm_cells_agg maintains the "
+    "O(windows x arms) exact counts incrementally; the statistic is "
+    "read-time arithmetic — live-equivalence-tested in "
+    "tests/test_streaming.py, same doubles).  ONE CASE-split "
+    "aggregate per window; the chi2 is a fixed-order two-term IEEE "
+    "expression of exact integers.",
+)
+def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir)
+    is_t = (F.col("user_id") * 2654435761) % 100 < 50
+    c = ev.withColumn(
+        "window_start", F.expr(f"(ts div {_SIX_H_US}) * {_SIX_H_US}")
+    ).groupBy("window_start").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(is_t, 0).otherwise(1)).cast("bigint").alias("n_c"),
+    )
+    term_t = (
+        "(CAST(n_t AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) / 2)"
+        " * (CAST(n_t AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) / 2)"
+        " / (CAST(n_t + n_c AS DOUBLE) / 2)"
+    )
+    term_c = (
+        "(CAST(n_c AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) / 2)"
+        " * (CAST(n_c AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) / 2)"
+        " / (CAST(n_t + n_c AS DOUBLE) / 2)"
+    )
+    return c.select(
+        "window_start",
+        "n_t",
+        "n_c",
+        F.expr("CAST(n_t + n_c AS BIGINT)").alias("n_total"),
+        F.expr("CAST(n_t + n_c AS DOUBLE) / 2").alias("expected"),
+        F.expr(f"{term_t} + {term_c}").alias("srm_chi2"),
+    )

@@ -162,3 +162,39 @@ def drift_cells_agg(
             "n",
         )
     )
+
+
+# Arm assignment of the experimentation family — keep in sync with
+# queries/experiment.py (_KNUTH / _SQL_ARM); duplicated as a literal
+# here because importing the queries package from the streaming layer
+# would cycle through queries.__init__._load_all.  A consistency test
+# (tests/test_streaming.py) asserts the two expressions agree.
+_ARM_EXPR = (
+    "CASE WHEN (user_id * 2654435761) % 100 < 50 "
+    "THEN 'treatment' ELSE 'control' END"
+)
+
+
+def srm_cells_agg(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling 6h event counts per experiment arm — the ONE stateful
+    operator of the live sample-ratio-mismatch monitor
+    (queries/streaming.py ``stream_srm_monitor`` is its batch
+    replay).  The chi-square readout is read-time math over this
+    maintained O(windows x arms) cell table, same split as the drift
+    monitor: incremental state holds exact counts, the serving layer
+    does the one-row arithmetic."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(
+            F.window("event_time", "6 hours"),
+            F.expr(_ARM_EXPR).alias("arm"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "arm",
+            "n",
+        )
+    )

@@ -1365,3 +1365,68 @@ def test_stream_drift_monitor_equals_batch(spark, stream_dir, tmp_path):
         for r in stream_drift_baseline(spark, SF).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_srm_monitor_equals_batch(spark, stream_dir, tmp_path):
+    """Live SRM monitor: the streamed per-window arm counts, closed
+    at read time with the chi-square arithmetic, equal the batch
+    stream_srm_monitor emission exactly — and the streaming layer's
+    inlined arm expression matches the experimentation family's."""
+    from hana_bq_beam_connector_spark.queries.experiment import _SQL_ARM
+    from hana_bq_beam_connector_spark.queries.streaming import (
+        stream_srm_monitor,
+    )
+    from hana_bq_beam_connector_spark.streaming.windows import (
+        _ARM_EXPR,
+        srm_cells_agg,
+    )
+
+    assert _ARM_EXPR == _SQL_ARM  # duplicated literal stays in sync
+
+    stream = events_stream(spark, stream_dir)
+    cells = srm_cells_agg(stream)
+    assert cells.isStreaming
+    run_available_now(cells, "srm_cells_t", str(tmp_path / "ckpt_srm"))
+
+    term = lambda a: (  # noqa: E731 - readability of the SQL pair
+        f"(CAST({a} AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) / 2)"
+        f" * (CAST({a} AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) / 2)"
+        " / (CAST(n_t + n_c AS DOUBLE) / 2)"
+    )
+    got = {
+        int(r["window_start"].timestamp() * 1_000_000): (
+            r["n_t"],
+            r["n_c"],
+            r["n_total"],
+            r["expected"],
+            r["srm_chi2"],
+        )
+        for r in spark.sql(
+            f"""
+            WITH c AS (
+              SELECT window_start,
+                CAST(SUM(CASE WHEN arm = 'treatment' THEN n ELSE 0 END)
+                  AS BIGINT) AS n_t,
+                CAST(SUM(CASE WHEN arm = 'control' THEN n ELSE 0 END)
+                  AS BIGINT) AS n_c
+              FROM srm_cells_t GROUP BY 1
+            )
+            SELECT window_start, n_t, n_c,
+              CAST(n_t + n_c AS BIGINT) AS n_total,
+              CAST(n_t + n_c AS DOUBLE) / 2 AS expected,
+              {term('n_t')} + {term('n_c')} AS srm_chi2
+            FROM c
+            """
+        ).collect()
+    }
+    want = {
+        r["window_start"]: (
+            r["n_t"],
+            r["n_c"],
+            r["n_total"],
+            r["expected"],
+            r["srm_chi2"],
+        )
+        for r in stream_srm_monitor(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
