@@ -1,7 +1,7 @@
 """Skew story, proven on actually-skewed data (round-4 verdict #5).
 
 ``salted_join`` and AQE's skew-join split were equivalence-tested but
-never raced against a genuinely hot key.  Here one key holds 50% of
+never raced against a genuinely hot key.  Here one key holds 75% of
 an 8M-row fact table:
 
 * with AQE on (and test-scale thresholds), the final adaptive plan of
@@ -31,7 +31,7 @@ N_COLD_KEYS = 10_000
 
 
 def _skewed_fact(spark):
-    """50% of rows on key 0, the rest uniform over N_COLD_KEYS.
+    """75% of rows on key 0, the rest uniform over N_COLD_KEYS.
 
     ``v`` is a bounded pseudo-random payload that must survive into
     the aggregate: with only the constant hot key in the shuffle,
@@ -39,7 +39,7 @@ def _skewed_fact(spark):
     AQE split (correctly) sees nothing to split.  Bounded to 1e9 so
     a 4M-row ANSI sum stays far from long overflow."""
     return spark.range(N_ROWS).select(
-        F.when(F.col("id") % 2 == 0, F.lit(0))
+        F.when(F.col("id") % 4 != 3, F.lit(0))
         .otherwise(F.pmod(F.xxhash64("id"), F.lit(N_COLD_KEYS)) + 1)
         .cast("long")
         .alias("k"),
@@ -102,13 +102,13 @@ def test_aqe_skew_split_activates(_no_broadcast):
     assert row["n"] == N_ROWS
     final_plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in final_plan, (
-        "AQE skew-join split did not activate on a 50%-hot key:\n"
+        "AQE skew-join split did not activate on a 75%-hot key:\n"
         + final_plan[:2000]
     )
 
 
 def test_salted_beats_unsalted_on_hot_key(_no_broadcast):
-    """AQE off: one task sorts the 4M-row hot key in the unsalted
+    """AQE off: one task sorts the 6M-row hot key in the unsalted
     sort-merge join; salting spreads it 16 ways.  The race asserts a
     real wall-clock win (≥1.15×), far below the typical ~2-3× margin,
     to stay robust to CI noise."""
@@ -153,7 +153,7 @@ def test_salted_beats_unsalted_on_hot_key(_no_broadcast):
     assert r_plain["n"] == N_ROWS
     # ...measurably faster. Print for SCALE.md's equi-join row.
     print(
-        f"\nskew race ({N_ROWS} rows, 50% hot key, AQE off, no broadcast): "
+        f"\nskew race ({N_ROWS} rows, 75% hot key, AQE off, no broadcast): "
         f"unsalted={t_plain:.2f}s salted(16)={t_salted:.2f}s "
         f"speedup={t_plain / t_salted:.2f}x"
     )
@@ -177,5 +177,5 @@ def test_salted_beats_unsalted_on_hot_key(_no_broadcast):
         )
     assert t_salted * 1.15 < t_plain, (
         f"salted_join ({t_salted:.2f}s) did not beat unsalted "
-        f"({t_plain:.2f}s) on a 50%-hot key"
+        f"({t_plain:.2f}s) on a 75%-hot key"
     )
