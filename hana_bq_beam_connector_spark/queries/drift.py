@@ -56,7 +56,8 @@ _IN_A = "EXTRACT(year FROM o_orderdate) <= 1997"
 # n_a*n_b > bound for POSITIVE n_a — it can never itself
 # ANSI-overflow, and it does NOT false-trip on asymmetric snapshots
 # like n_a=1e10/n_b=100 whose products are still tiny; the one
-# divergence is the degenerate n_a=0 snapshot past ~4.5e15 rows,
+# divergence is the degenerate n_a=0 snapshot past the bound
+# itself (~4.5e15 rows for TVD's 2^52, ~9.0e15 for KS's 2^53),
 # where it raises although every numerator is exactly 0 — acceptable
 # because an empty side makes the statistic 0/0=NaN anyway).  The guard
 # wraps the NUMERATOR expression — inside the aggregate for TVD,
