@@ -422,9 +422,12 @@ def stat_gini_impurity_segment(
     ),
     m AS (
       SELECT COUNT(*) AS n,
-        CAST(SUM(rx.cr * ry.cr) AS BIGINT) AS sxy,
-        CAST(SUM(rx.cr * rx.cr) AS BIGINT) AS sxx,
-        CAST(SUM(ry.cr * ry.cr) AS BIGINT) AS syy
+        CAST(SUM(CAST(rx.cr AS DECIMAL(19,0))
+               * CAST(ry.cr AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy,
+        CAST(SUM(CAST(rx.cr AS DECIMAL(19,0))
+               * CAST(rx.cr AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+        CAST(SUM(CAST(ry.cr AS DECIMAL(19,0))
+               * CAST(ry.cr AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy
       FROM lineitem l
       JOIN rx ON l.l_quantity = rx.v
       JOIN ry ON l.l_discount = ry.v
@@ -441,16 +444,19 @@ def stat_gini_impurity_segment(
     "— midranks come from a cum-count table over the DISTINCT values "
     "(≤51 rows here), broadcast back over the scan.  Midranks are "
     "kept as CENTERED INTEGERS (2·midrank − (n+1); ties get the "
-    "exact doubled average rank, Σ = 0 by construction), so all "
-    "three moments are exact BIGINTs whose int64→double conversion "
-    "is hardware-correct in every engine — no decimal→double "
-    "rounding divergence.  Bound: |moment| ≤ n³ caps exact 64-bit "
-    "operation at ~2M rows; past that a raise_error guard fires in "
-    "EVERY session mode — the ANSI sum-overflow alone would silently "
-    "WRAP on a non-ANSI cluster (sf1 sweep confirmed the loud path) "
-    "— shard by group or quantize ranks before going wider.  n comes "
-    "from an unbounded window over the ≤51-row distinct-value frame, "
-    "not a separate fact scan.",
+    "exact doubled average rank, Σ = 0 by construction) and the "
+    "three moments are EXACT DECIMAL(38,0) sums (per-row products "
+    "via DECIMAL(19,0) casts; map-side combinable like any sum): "
+    "|moment| ≤ n³ ≤ 10³⁸ holds to n ≈ 4.6e12 rows, three orders "
+    "past a 100 TB lineitem.  The decimal→double closing cast is "
+    "correctly rounded and bit-identical in both engines (verified "
+    "past 2^53 and 2^63), and the final rho is ONE textually "
+    "identical IEEE expression.  A raise_error guard still fires "
+    "loudly past the decimal envelope in EVERY session mode — a "
+    "non-ANSI cluster would otherwise return a silent NULL moment.  "
+    "n comes from an unbounded window over the ≤51-row "
+    "distinct-value frame, not a separate fact scan.  This replaces "
+    "the r5 int64 tier whose n ≤ 2e6 guard refused to run at sf1.",
 )
 def stat_spearman_qty_discount(
     spark: SparkSession, sf_dir: str
@@ -485,21 +491,29 @@ def stat_spearman_qty_discount(
     ry = rank_table("l_discount").select(
         F.col("v").alias("vy"), F.col("cr").alias("cry")
     )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     m = (
         li.join(F.broadcast(rx), li["l_quantity"] == rx["vx"])
         .join(F.broadcast(ry), li["l_discount"] == ry["vy"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("crx") * F.col("cry")).cast("bigint").alias("sxy"),
-            F.sum(F.col("crx") * F.col("crx")).cast("bigint").alias("sxx"),
-            F.sum(F.col("cry") * F.col("cry")).cast("bigint").alias("syy"),
+            F.sum(dec("crx") * dec("cry"))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+            F.sum(dec("crx") * dec("crx"))
+            .cast("decimal(38,0)")
+            .alias("sxx"),
+            F.sum(dec("cry") * dec("cry"))
+            .cast("decimal(38,0)")
+            .alias("syy"),
         )
     )
-    # Every-mode scale guard: past ~2M rows the int64 moments exceed
-    # their exactness bound — ANSI raises on the sum, but a non-ANSI
-    # session would silently WRAP.  raise_error fires regardless of
-    # session mode; at the contract SFs the branch is never taken, so
-    # the oracle comparison is unaffected.
+    # Every-mode scale guard: past n ~ 4.6e12 the DECIMAL(38,0)
+    # moments exceed their exactness bound (|moment| <= n^3 <= 10^38)
+    # — ANSI raises on the sum, but a non-ANSI session would return a
+    # silent NULL.  raise_error fires regardless of session mode; at
+    # every realistic SF the branch is never taken, so the oracle
+    # comparison is unaffected.
     rho = (
         "CAST(sxy AS DOUBLE)"
         " / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))"
@@ -507,10 +521,10 @@ def stat_spearman_qty_discount(
     return m.select(
         "n",
         F.expr(
-            "CASE WHEN n > 2000000 THEN raise_error("
-            "'stat_spearman_qty_discount: exact int64 rank moments "
-            "need n <= ~2e6 rows (|moment| <= n^3); shard by group, "
-            "sample, or quantize ranks before going wider') "
+            "CASE WHEN n > 4600000000000 THEN raise_error("
+            "'stat_spearman_qty_discount: exact DECIMAL(38,0) rank "
+            "moments need n <= ~4.6e12 rows (|moment| <= n^3); shard "
+            "by group, sample, or quantize ranks before going wider') "
             f"ELSE {rho} END"
         ).alias("spearman_rho"),
     )

@@ -482,12 +482,15 @@ def test_salted_join_tolerates_map_columns(spark):
     assert salted_join(nested, right, on="k", salt=4).count() == 1
 
 
-def test_spearman_guard_fires_without_ansi(spark, tmp_path):
-    """Past the ~2M-row int64 moment bound the query must raise in
-    EVERY session mode: with ANSI off the sums would silently WRAP
-    and return a plausible wrong rho — the raise_error guard fires
-    before any moment is computed."""
-    import pytest
+def test_spearman_decimal_tier_past_2m_rows(spark, tmp_path):
+    """The r5 int64 tier REFUSED past ~2M rows (|moment| <= n^3 vs
+    int64).  The DECIMAL(38,0) tier must (a) run there, and (b) return
+    the bitwise-identical rho with ANSI off and on — decimal sums
+    cannot silently wrap, so any mode divergence means the exactness
+    claim broke.  (The new guard bound, n > 4.6e12, is beyond any
+    testable frame; exactness-at-depth is the testable invariant.)"""
+    import math
+
     from pyspark.sql import functions as F
 
     from hana_bq_beam_connector_spark.queries.stats import (
@@ -501,10 +504,16 @@ def test_spearman_guard_fires_without_ansi(spark, tmp_path):
     big.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try:
-        with pytest.raises(Exception, match="n <= ~2e6"):
-            stat_spearman_qty_discount(spark, str(tmp_path)).collect()
+        [off] = stat_spearman_qty_discount(spark, str(tmp_path)).collect()
     finally:
         spark.conf.unset("spark.sql.ansi.enabled")
+    [on] = stat_spearman_qty_discount(spark, str(tmp_path)).collect()
+    assert off["n"] == on["n"] == 2_000_001
+    assert math.isfinite(off["spearman_rho"])
+    assert off["spearman_rho"].hex() == on["spearman_rho"].hex()
+    # residue columns of a common-period cycle are near-independent:
+    # rho must sit essentially at 0, not at a wrapped artifact.
+    assert abs(off["spearman_rho"]) < 0.01
 
 
 def test_chunk_fingerprints_floors_negative_timestamps(spark):
