@@ -133,6 +133,16 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # Controlled-experiment hook (driver never sets it): run only the
+    # named queries, e.g. to time a round-N-common subset in isolation
+    # when attributing a cross-round regression to plan drift vs
+    # shared-session JVM load.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [q for q in HEADLINE if q in set(only.split(","))]
+        if only
+        else HEADLINE
+    )
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry()
@@ -141,7 +151,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = specs[name].fn
         t0 = time.perf_counter()
         try:

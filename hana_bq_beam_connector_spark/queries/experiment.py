@@ -42,11 +42,27 @@ _SQL_ARM = (
     "THEN 'treatment' ELSE 'control' END"
 )
 
+# int64 envelope of the arm hash: user_id * _KNUTH must not wrap.
+# Past this bound a non-ANSI Spark session wraps silently (negative
+# remainder => every row lands in 'treatment') while ANSI/DuckDB
+# raise — a cross-engine divergence, not an answer.  The SPARK faces
+# (batch + streaming) carry a named raise_error guard wrapped around
+# user_id itself so it preempts any generic overflow; the DuckDB
+# oracle stays the plain expression (DuckDB raises natively, and the
+# guard branch is never taken at any contract SF).
+_UID_MAX = (2**63 - 1) // _KNUTH  # 3_474_701_543
+
+_SPARK_ARM = (
+    f"CASE WHEN ((CASE WHEN user_id > {_UID_MAX}L THEN raise_error("
+    f"'experiment arm hash: user_id * {_KNUTH} exceeds int64 "
+    f"(user_id <= {_UID_MAX}); rehash ids (e.g. xxhash64) before "
+    f"arm assignment') ELSE user_id END) * {_KNUTH}L) % 100 < 50 "
+    "THEN 'treatment' ELSE 'control' END"
+)
+
 
 def _arm_col() -> Column:
-    return F.when(
-        (F.col("user_id") * _KNUTH) % 100 < 50, "treatment"
-    ).otherwise("control")
+    return F.expr(_SPARK_ARM)
 
 
 @register(

@@ -301,6 +301,10 @@ def geo_nation_centroid_dispersion(
             F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
         )
     )
+    # The guard wraps var_x and var_y — the columns that CONSUME the
+    # sxx/syy moments the envelope protects — so a projection that
+    # prunes any other column can never silently skip the check
+    # (round-5 advisor finding: it previously wrapped only mean_x).
     guard = (
         f"CASE WHEN n_points > {_N_MOMENT_GUARD} THEN "
         "raise_error('geo_nation_centroid_dispersion: sum(x*x) "
@@ -312,17 +316,23 @@ def geo_nation_centroid_dispersion(
         "n_points",
         "sx",
         "sy",
-        F.expr(guard % "CAST(sx AS DOUBLE) / n_points").alias("mean_x"),
+        F.expr("CAST(sx AS DOUBLE) / n_points").alias("mean_x"),
         F.expr("CAST(sy AS DOUBLE) / n_points").alias("mean_y"),
         F.expr(
-            "(CAST(sxx AS DOUBLE) / n_points)"
-            " - (CAST(sx AS DOUBLE) / n_points)"
-            " * (CAST(sx AS DOUBLE) / n_points)"
+            guard
+            % (
+                "(CAST(sxx AS DOUBLE) / n_points)"
+                " - (CAST(sx AS DOUBLE) / n_points)"
+                " * (CAST(sx AS DOUBLE) / n_points)"
+            )
         ).alias("var_x"),
         F.expr(
-            "(CAST(syy AS DOUBLE) / n_points)"
-            " - (CAST(sy AS DOUBLE) / n_points)"
-            " * (CAST(sy AS DOUBLE) / n_points)"
+            guard
+            % (
+                "(CAST(syy AS DOUBLE) / n_points)"
+                " - (CAST(sy AS DOUBLE) / n_points)"
+                " * (CAST(sy AS DOUBLE) / n_points)"
+            )
         ).alias("var_y"),
     )
 

@@ -432,8 +432,12 @@ def stream_drift_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expression of exact integers.",
 )
 def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.queries.experiment import (
+        _SPARK_ARM,
+    )
+
     ev = events_us(spark, sf_dir)
-    is_t = (F.col("user_id") * 2654435761) % 100 < 50
+    is_t = F.expr(_SPARK_ARM) == "treatment"
     c = ev.withColumn(
         "window_start", F.expr(f"(ts div {_SIX_H_US}) * {_SIX_H_US}")
     ).groupBy("window_start").agg(

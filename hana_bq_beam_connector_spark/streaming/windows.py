@@ -165,12 +165,19 @@ def drift_cells_agg(
 
 
 # Arm assignment of the experimentation family — keep in sync with
-# queries/experiment.py (_KNUTH / _SQL_ARM); duplicated as a literal
+# queries/experiment.py (_KNUTH / _SPARK_ARM); duplicated as a literal
 # here because importing the queries package from the streaming layer
 # would cycle through queries.__init__._load_all.  A consistency test
 # (tests/test_streaming.py) asserts the two expressions agree.
+# Guarded like every other envelope in the repo: user_id past
+# (2^63-1) DIV 2654435761 would wrap the product in a non-ANSI
+# session (negative remainder => always 'treatment'), so a named
+# raise_error preempts it.
 _ARM_EXPR = (
-    "CASE WHEN (user_id * 2654435761) % 100 < 50 "
+    "CASE WHEN ((CASE WHEN user_id > 3474701543L THEN raise_error("
+    "'experiment arm hash: user_id * 2654435761 exceeds int64 "
+    "(user_id <= 3474701543); rehash ids (e.g. xxhash64) before "
+    "arm assignment') ELSE user_id END) * 2654435761L) % 100 < 50 "
     "THEN 'treatment' ELSE 'control' END"
 )
 

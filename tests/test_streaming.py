@@ -1372,7 +1372,9 @@ def test_stream_srm_monitor_equals_batch(spark, stream_dir, tmp_path):
     at read time with the chi-square arithmetic, equal the batch
     stream_srm_monitor emission exactly — and the streaming layer's
     inlined arm expression matches the experimentation family's."""
-    from hana_bq_beam_connector_spark.queries.experiment import _SQL_ARM
+    from hana_bq_beam_connector_spark.queries.experiment import (
+        _SPARK_ARM,
+    )
     from hana_bq_beam_connector_spark.queries.streaming import (
         stream_srm_monitor,
     )
@@ -1381,7 +1383,7 @@ def test_stream_srm_monitor_equals_batch(spark, stream_dir, tmp_path):
         srm_cells_agg,
     )
 
-    assert _ARM_EXPR == _SQL_ARM  # duplicated literal stays in sync
+    assert _ARM_EXPR == _SPARK_ARM  # duplicated literal stays in sync
 
     stream = events_stream(spark, stream_dir)
     cells = srm_cells_agg(stream)

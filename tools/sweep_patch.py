@@ -72,8 +72,23 @@ def main() -> int:
         for v in record["queries"].values()
         if isinstance(v, dict) and v.get("ratio") and v["ratio"] <= limit
     )
+    # A query that failed at either SF has ratio=None and lands in
+    # NEITHER bucket — track it explicitly so a FAIL can't hide in the
+    # summary totals (round-5 advisor finding).
+    record["failed_loudly"] = sorted(
+        k
+        for k, v in record["queries"].items()
+        if isinstance(v, dict)
+        and (
+            not isinstance(v.get("base_s"), float)
+            or not isinstance(v.get("big_s"), float)
+        )
+    )
     json.dump(record, open(out, "w"), indent=1)
-    print(f"merged {len(names)} rows; over_limit={over}")
+    print(
+        f"merged {len(names)} rows; over_limit={over}; "
+        f"failed={record['failed_loudly']}"
+    )
     return 0
 
 
