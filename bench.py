@@ -127,6 +127,8 @@ HEADLINE = [
     "mm_gif_decode_stats",        # REAL GIF LZW decode (dictionary coder)
     "stat_halfsample_replica_means",  # deterministic bootstrap replicas
     "stream_srm_monitor",         # windowed SRM alarm (stream face)
+    # round-6 additions
+    "mm_jpeg_decode_stats",       # REAL baseline JFIF decode (Huffman+IDCT)
 ]
 
 

@@ -556,8 +556,9 @@ def embedding_near_dup_pairs(
 
     FIXED ``n_planes`` does not survive a scale-up: bucket occupancy
     grows with n, and within-bucket pairs grow with its SQUARE — the
-    sf1.0 smoke measured 76× wall at 10× data with n_planes=4
-    (BENCH_sf1.json).  Pass ``n_planes="auto"`` to size planes from
+    r4 sf1.0 smoke measured 76× wall at 10× data with n_planes=4
+    (current sweep: REGISTRY_sf1_sweep.json).  Pass ``n_planes="auto"``
+    to size planes from
     the corpus: ``max(4, ceil(log2(n / target_bucket_size)))`` keeps
     expected occupancy ~constant, so candidate volume stays
     ~n · n_tables · target_bucket_size — linear in n.  Costs one

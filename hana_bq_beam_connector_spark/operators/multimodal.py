@@ -1164,3 +1164,581 @@ def decode_gif(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, schema=_GIF_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# JPEG — REAL transform coding: a baseline sequential JFIF
+# encoder/decoder (ITU-T T.81), pure stdlib + numpy.  This is the
+# third entropy-coding family in the suite (PNG = LZ77+Huffman via
+# zlib, GIF = dictionary LZW, JPEG = canonical Huffman over quantized
+# DCT coefficients) and the first LOSSY one.  The encoder is a
+# general baseline encoder (float FDCT, quantization, canonical DHT,
+# byte stuffing); the decoder is a general baseline decoder (marker
+# walk, canonical Huffman reconstruction, entropy decode with EXTEND,
+# dequantize, de-zigzag, float IDCT, level shift + clamp).  The
+# oracle-facing fixture keeps every 8x8 block CONSTANT: a constant
+# block's only nonzero coefficient is DC = 8*(v-128), which our
+# quant step (8) carries EXACTLY, so on this corpus the lossy
+# pipeline is exactly invertible and the SQL oracle can replay pixel
+# stats from ids alone — same doctrine as the PNG/GIF oracles.
+# Arbitrary rasters go through the same code path with the usual
+# bounded lossy error (fuzz-covered in tests/test_codec_fuzz.py).
+
+_JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
+    ]
+)
+
+# Zigzag scan order: entry k is the (row, col) visited k-th.  Built
+# by walking the anti-diagonals (even diagonals run up-right, odd run
+# down-left) rather than typed as a 64-literal table.
+_JPEG_ZIGZAG: list[tuple[int, int]] = [
+    (r, s - r)
+    for s in range(15)
+    for r in (range(s, -1, -1) if s % 2 == 0 else range(s + 1))
+    if 0 <= r < 8 and 0 <= s - r < 8
+]
+
+# Flat quantization table (value 8 everywhere, natural order).  DC=8
+# divides the constant-block DC (8*(v-128)) exactly; AC=8 zeroes the
+# ~1e-13 float-FDCT residue of constant blocks.
+_JPEG_QTABLE = [8] * 64
+
+# Canonical Huffman tables shipped in the DHT segment.  BITS[i] =
+# number of codes of length i+1 (JPEG B.2.4.2); HUFFVAL lists symbols
+# in code order.  The tables cover the COMPLETE baseline symbol
+# space — DC diff categories 0..11 and all 162 AC symbols (EOB, ZRL,
+# (run 0..15) x (size 1..10)) — so the encoder is general, not
+# specialized to the fixture corpus.  Flat code lengths (4-bit DC,
+# 8-bit AC) trade compression for a table a reviewer can audit at a
+# glance; neither table's last code is all-ones (padding bits are 1s).
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0] * 7 + [162] + [0] * 8
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+
+
+def _jpeg_canonical_codes(
+    bits: list[int], vals: list[int]
+) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical construction of
+    T.81 Annex C (codes of equal length are consecutive; moving to
+    length L+1 left-shifts once)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_matrix():
+    """M[u, x] = 0.5 * c(u) * cos((2x+1) u pi / 16); FDCT of block P
+    is M @ P @ M.T, IDCT of coefficients S is M.T @ S @ M."""
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+class _JpegBitWriter:
+    """Entropy-segment bit packer with 0xFF byte stuffing and 1-bit
+    final padding (F.1.2.3).  Bits accumulate in one Python int and
+    drain a byte at a time — no per-bit loop."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    """DC/AC magnitude category: number of amplitude bits (0 for 0)."""
+    return abs(v).bit_length()
+
+
+def _jpeg_encode_raster(w: int, h: int, raster: bytes) -> bytes:
+    """General baseline JFIF encode of a grayscale-8 raster whose
+    dimensions are multiples of 8 (the subset this suite exercises;
+    no edge-replication padding).  Real float FDCT + quantization +
+    canonical Huffman — NOT specialized to constant blocks."""
+    import struct
+
+    import numpy as np
+
+    if w % 8 or h % 8 or w <= 0 or h <= 0:
+        raise ValueError(f"JPEG fixture dims must be 8-aligned, got {w}x{h}")
+    if len(raster) != w * h:
+        raise ValueError("raster size disagrees with dimensions")
+    m = _jpeg_dct_matrix()
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
+
+    # Batch the FDCT: all blocks of the image through ONE einsum
+    # (identical arithmetic to per-block m @ P @ m.T).
+    nby, nbx = h // 8, w // 8
+    blocks = (
+        img.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        - 128.0
+    )
+    coefs = np.einsum("ur,byrc,vc->byuv", m, blocks, m)
+    quant = np.rint(
+        coefs / np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    ).astype(int)
+
+    bw = _JpegBitWriter()
+    pred = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            q = quant[by, bx]
+            zz = [int(q[r, c]) for r, c in _JPEG_ZIGZAG]
+            diff = zz[0] - pred
+            pred = zz[0]
+            cat = _jpeg_category(diff)
+            code, length = dc_codes[cat]
+            bw.put(code, length)
+            if cat:
+                amp = diff if diff > 0 else diff + (1 << cat) - 1
+                bw.put(amp, cat)
+            run = 0
+            last_nz = max(
+                (k for k in range(1, 64) if zz[k]), default=0
+            )
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]
+                    bw.put(code, length)
+                    run -= 16
+                size = _jpeg_category(zz[k])
+                code, length = ac_codes[(run << 4) | size]
+                bw.put(code, length)
+                amp = zz[k] if zz[k] > 0 else zz[k] + (1 << size) - 1
+                bw.put(amp, size)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]
+                bw.put(code, length)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_q = bytes(
+        _JPEG_QTABLE[r * 8 + c] for r, c in _JPEG_ZIGZAG
+    )
+    dht = (
+        bytes([0x00])
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+        + bytes([0x10])
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS)
+    )
+    return (
+        b"\xff\xd8"
+        + seg(
+            0xFFE0,
+            b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0),
+        )
+        + seg(0xFFDB, bytes([0x00]) + zz_q)
+        + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, dht)
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def synthesize_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Genuine baseline JFIF payloads, one per id (any image viewer
+    opens one).  The fixture raster is BLOCK-CONSTANT: dims
+    ``w = 8*(2 + id%4)``, ``h = 8*(2 + id%3)``; 8x8 block b (row-major
+    over blocks) is filled with ``v(b) = (id*31 + b*17) % 256``.  A
+    constant block's only nonzero DCT coefficient is its DC, which
+    the flat quant table (8) carries exactly — so decode(encode(x))
+    is the identity ON THIS CORPUS and the SQL oracle replays pixel
+    stats from ids alone.  The encoder itself is a general baseline
+    encoder (real FDCT; arbitrary rasters produce valid lossy JPEGs,
+    fuzz-covered)."""
+
+    @F.pandas_udf(BinaryType())
+    def _jpeg(ids: pd.Series) -> pd.Series:
+        out = []
+        for mid in ids:
+            mid = int(mid)
+            nbx, nby = 2 + mid % 4, 2 + mid % 3
+            w, h = 8 * nbx, 8 * nby
+            raster = bytearray(w * h)
+            for by in range(nby):
+                for bx in range(nbx):
+                    v = (mid * 31 + (by * nbx + bx) * 17) % 256
+                    for r in range(8):
+                        row0 = (by * 8 + r) * w + bx * 8
+                        raster[row0 : row0 + 8] = bytes([v]) * 8
+            out.append(_jpeg_encode_raster(w, h, bytes(raster)))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        _jpeg(F.col(id_col)).alias("payload"),
+        F.lit("image/jpeg").alias("media_type"),
+    ).withColumn("byte_len", F.octet_length("payload").cast("long"))
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF 0x00, refuses
+    markers mid-stream (no restart-interval support here).  Bits
+    accumulate in one Python int; reads drain it in bulk."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self, k: int) -> None:
+        while self.n < k:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG entropy stream truncated")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} in entropy data"
+                    )
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def bit(self) -> int:
+        self._fill(1)
+        self.n -= 1
+        v = (self.acc >> self.n) & 1
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill(k)
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+def _jpeg_decode_symbol(
+    reader: _JpegBitReader, table: dict[tuple[int, int], int]
+) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code (no match in 16 bits)")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """EXTEND (T.81 F.2.2.1): map `size` amplitude bits to the signed
+    coefficient value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _parse_jpeg(data: bytes) -> tuple[int, int, bytes]:
+    """General baseline sequential JFIF decode of a single-component
+    (grayscale) image: marker walk, DQT/DHT/SOF0/SOS parsing with
+    canonical Huffman reconstruction, entropy decode (DC diff +
+    EXTEND, AC run/size with ZRL/EOB), dequantize, de-zigzag, float
+    IDCT, level shift and clamp.  Returns (width, height, raster).
+    Raises ValueError on any malformation or on features outside
+    baseline-gray (progressive SOF, multi-component scans, restart
+    intervals, non-8-aligned dims)."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG (SOI missing, got {data[:2]!r})")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got {data[pos]:#x}")
+        marker = data[pos + 1] if pos + 1 < len(data) else None
+        if marker is None:
+            raise ValueError("truncated JPEG marker")
+        if marker == 0xD9:  # EOI without a scan
+            raise ValueError("JPEG reached EOI before SOS")
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless markers
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG segment length")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment body")
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                vals = list(body[b + 1 : b + 65])
+                if len(vals) != 64:
+                    raise ValueError("truncated quant table")
+                nat = [0] * 64
+                for k, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    nat[r * 8 + c] = vals[k]
+                qtables[tq] = nat
+                b += 65
+        elif marker == 0xC4:  # DHT — possibly several tables
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                nvals = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nvals])
+                if len(bits) != 16 or len(vals) != nvals:
+                    raise ValueError("truncated Huffman table")
+                codes = _jpeg_canonical_codes(bits, vals)
+                htables[(tc, th)] = {
+                    (length, code): sym
+                    for sym, (code, length) in codes.items()
+                }
+                b += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if ncomp != 1:
+                raise ValueError("only single-component (gray) JPEG here")
+            cid, hv, tq = body[6], body[7], body[8]
+            if hv != 0x11:
+                raise ValueError("subsampling unsupported for 1 component")
+            sof = (w, h, cid, tq)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline SOF marker 0xFF{marker:02X} unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            (interval,) = struct.unpack(">H", body[:2])
+            if interval:
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("multi-component scan unsupported")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            scan = (td, ta, pos + seglen)
+            break
+        pos += seglen
+    if sof is None or scan is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    w, h, _cid, tq = sof
+    if w <= 0 or h <= 0:
+        raise ValueError(f"non-positive JPEG dimensions {w}x{h}")
+    if w % 8 or h % 8:
+        raise ValueError("non-8-aligned dims unsupported in this suite")
+    if tq not in qtables:
+        raise ValueError(f"quant table {tq} never defined")
+    td, ta, entropy_pos = scan
+    if (0, td) not in htables or (1, ta) not in htables:
+        raise ValueError("scan references undefined Huffman tables")
+    qt = np.array(qtables[tq], dtype=np.float64).reshape(8, 8)
+    dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
+    m = _jpeg_dct_matrix()
+    reader = _JpegBitReader(data, entropy_pos)
+    nby, nbx = h // 8, w // 8
+    # Entropy decode is inherently sequential (bit-level, DC chained);
+    # the IDCT is not — collect every block's natural-order
+    # coefficients, then ONE batched einsum (same arithmetic as the
+    # per-block m.T @ S @ m).
+    zz_rows = [
+        _JPEG_ZIGZAG[k][0] for k in range(64)
+    ], [_JPEG_ZIGZAG[k][1] for k in range(64)]
+    coefs = np.zeros((nby, nbx, 8, 8))
+    pred = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = [0] * 64
+            cat = _jpeg_decode_symbol(reader, dc_tab)
+            diff = _jpeg_extend(reader.bits(cat), cat) if cat else 0
+            pred += diff
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = _jpeg_decode_symbol(reader, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63 or size == 0:
+                    raise ValueError("AC coefficient index out of range")
+                zz[k] = _jpeg_extend(reader.bits(size), size)
+                k += 1
+            coefs[by, bx, zz_rows[0], zz_rows[1]] = zz
+    px = np.einsum("ur,byuv,vc->byrc", m, coefs * qt, m)
+    img = (
+        np.clip(np.rint(px + 128.0), 0, 255)
+        .astype(np.uint8)
+        .transpose(0, 2, 1, 3)
+        .reshape(h, w)
+    )
+    # The stream must close with EOI right after the (byte-aligned,
+    # 1-padded) entropy data; reader.pos may sit on the final padded
+    # byte or just past it, so EOI must appear within the next 4
+    # bytes.
+    if b"\xff\xd9" not in data[reader.pos : reader.pos + 4]:
+        raise ValueError("JPEG missing EOI after entropy data")
+    return w, h, img.tobytes()
+
+
+def decode_jpeg(media: DataFrame) -> DataFrame:
+    """REAL transform-coded image decode: baseline JFIF payload →
+    exact pixel stats through marker parsing, canonical Huffman
+    entropy decode, dequantization and a genuine float IDCT — the
+    third entropy-coding family in the suite and the first lossy
+    pipeline (exactly invertible on the block-constant fixture
+    corpus, boundedly lossy on arbitrary input).  Same mapInPandas
+    stage shape as every other decoder."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in _JPEG_STATS_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = _parse_jpeg(bytes(payload))
+                rows["media_id"].append(media_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(len(raster))
+                rows["px_sum"].append(sum(raster))
+                rows["px_min"].append(min(raster))
+                rows["px_max"].append(max(raster))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode, schema=_JPEG_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# WAV frame features — the audio twin of Y4M's frame sampling: a
+# clip fans out to fixed-length analysis frames INSIDE the Arrow
+# batch (no shuffle), each frame reduced to the classic exact-integer
+# DSP features (energy = sum of squared samples, zero-crossing count,
+# peak).  This is the shape a speech/audio curation pipeline needs —
+# per-frame activity detection over millions of clips — expressed so
+# the features stay bit-exact for the oracle gate.
+
+_WAV_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("energy", LongType()),
+        StructField("zcr", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def wav_frame_features(media: DataFrame, frame_len: int = 160) -> DataFrame:
+    """Per-frame features over mono PCM16 WAV payloads: the clip is
+    cut into ``frame_len``-sample full frames (the ragged tail is
+    dropped — deterministic), and each frame emits exact integers:
+    ``energy`` = Σ s², ``zcr`` = count of sign alternations
+    ((prev < 0) != (cur < 0), within-frame only), ``peak`` = max |s|.
+    160 samples = 20 ms at 8 kHz, the standard VAD frame."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            rows = {k.name: [] for k in _WAV_FRAME_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    ch, width, n = (
+                        w.getnchannels(),
+                        w.getsampwidth(),
+                        w.getnframes(),
+                    )
+                    if ch != 1 or width != 2:
+                        raise ValueError(
+                            f"wav_frame_features: media {media_id} is "
+                            f"{ch}ch/{8 * width}-bit; only mono PCM16"
+                        )
+                    samples = struct.unpack(f"<{n}h", w.readframes(n))
+                nf = n // frame_len
+                for f in range(nf):
+                    fr = samples[f * frame_len : (f + 1) * frame_len]
+                    rows["media_id"].append(media_id)
+                    rows["frame_idx"].append(f)
+                    rows["n_frames"].append(nf)
+                    rows["energy"].append(sum(s * s for s in fr))
+                    rows["zcr"].append(
+                        sum(
+                            1
+                            for a, b in zip(fr, fr[1:])
+                            if (a < 0) != (b < 0)
+                        )
+                    )
+                    rows["peak"].append(max(abs(s) for s in fr))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(feats, schema=_WAV_FRAME_SCHEMA)

@@ -693,3 +693,67 @@ def ts_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .drop("rn")
     )
+
+
+@register(
+    "ts_event_regex_match",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             substr(event_type, 1, 1) AS ch
+      FROM events
+    ),
+    j AS (
+      SELECT user_id,
+             string_agg(ch, '' ORDER BY ts_us, event_id) AS journey,
+             COUNT(*) AS n_events
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+      CAST(len(regexp_extract_all(journey, 'v[ce]*p')) AS BIGINT)
+        AS n_conversion_paths
+    FROM j
+    WHERE len(regexp_extract_all(journey, 'v[ce]*p')) > 0
+    """,
+    doc="Complex-event-processing-lite (MATCH_RECOGNIZE's most-used "
+    "80%): each user's event history compresses to a journey STRING "
+    "(one char per event — the five types have distinct initials — "
+    "ordered by ts with event_id tiebreak, so the encoding is total "
+    "and deterministic), and behavioral patterns become regexes: "
+    "'v[ce]*p' counts view→purchase conversions that tolerate "
+    "clicks/errors between, scanned left-to-right non-overlapping — "
+    "identical greedy semantics in both engines' regex libraries.  "
+    "Spark builds the ordered journey via "
+    "array_sort(collect_list(struct(ts, event_id, ch))) — "
+    "aggregation, not a window, so ONE shuffle on user_id.  100 TB "
+    "shape: per-user state is a few-hundred-byte string (cap long "
+    "tails with slice() when users are unbounded); the pattern "
+    "scan is embarrassingly parallel after the one exchange.",
+)
+def ts_event_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_us(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    j = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "ch"))
+                ),
+                lambda s: s["ch"],
+            ),
+            "",
+        ).alias("journey"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    n_match = F.size(
+        F.expr("regexp_extract_all(journey, 'v[ce]*p', 0)")
+    ).cast("bigint")
+    return (
+        j.withColumn("n_conversion_paths", n_match)
+        .where(F.col("n_conversion_paths") > 0)
+        .select("user_id", "n_events", "n_conversion_paths")
+    )

@@ -582,3 +582,62 @@ def etl_reconcile_measure_verdicts(
         measure_cols=["o_totalprice"],
         full_row=False,
     )
+
+
+# pre/post split for the incremental-maintenance demo: 2024-01-15 UTC
+# in epoch µs (the experimentation family's boundary, reused so the
+# corpus halves are familiar).
+_MAINT_SPLIT_US = 1_705_276_800_000_000
+
+
+@register(
+    "etl_incremental_agg_maintenance",
+    """
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+        AS total_cents
+    FROM events GROUP BY event_type
+    """,
+    doc="Incremental aggregate (materialized-view) maintenance, "
+    "proven against recompute INSIDE the correctness gate: the Spark "
+    "side maintains a per-event_type state table from history "
+    "(ts < 2024-01-15) and folds in the increment (ts >= split) via "
+    "union + re-aggregate — counts and exact DECIMAL cent sums are "
+    "commutative monoids, so state ⊕ delta must equal the oracle's "
+    "full recompute bit-for-bit, and the driver's hash comparison IS "
+    "that proof.  100 TB story: a daily pipeline pays O(increment) "
+    "to refresh the aggregate — the 100 TB history is never "
+    "re-scanned — and the same fold maintains the view under "
+    "late-arriving partitions (re-run the affected delta, identical "
+    "algebra).  Both phases are map-side-combinable hash aggregates; "
+    "the merge shuffles O(event_types) rows.",
+)
+def etl_incremental_agg_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events_us_windowed(spark, sf_dir).select(
+        "ts",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("v") * 100)
+            .cast("decimal(38,0)")
+            .alias("cents"),
+        )
+
+    state = agg(ev.where(F.col("ts") < _MAINT_SPLIT_US))
+    delta = agg(ev.where(F.col("ts") >= _MAINT_SPLIT_US))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+    return merged

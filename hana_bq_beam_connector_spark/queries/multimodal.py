@@ -535,3 +535,106 @@ def mm_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return decode_gif(synthesize_gif(d))
+
+
+@register(
+    "mm_jpeg_decode_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 4 AS nbx, 2 + doc_id % 3 AS nby
+      FROM documents
+    ),
+    b AS (
+      SELECT d.doc_id, d.nbx, d.nby,
+             (d.doc_id * 31 + s.b * 17) % 256 AS v
+      FROM d CROSS JOIN (SELECT unnest(range(0, 20)) AS b) s
+      WHERE s.b < d.nbx * d.nby
+    )
+    SELECT doc_id AS media_id,
+      CAST(8 * nbx AS BIGINT) AS width,
+      CAST(8 * nby AS BIGINT) AS height,
+      CAST(64 * COUNT(*) AS BIGINT) AS n_pixels,
+      CAST(64 * SUM(v) AS BIGINT) AS px_sum,
+      CAST(MIN(v) AS BIGINT) AS px_min,
+      CAST(MAX(v) AS BIGINT) AS px_max
+    FROM b GROUP BY 1, 2, 3
+    """,
+    doc="REAL transform-coded (lossy-family) image decode, end to "
+    "end: synthesize_jpeg writes genuine baseline JFIF files — real "
+    "float FDCT, flat quant table, canonical Huffman DHT covering "
+    "the complete baseline symbol space, 0xFF byte stuffing — and "
+    "decode_jpeg runs a general baseline sequential decode (marker "
+    "walk, canonical Huffman reconstruction, DC-diff EXTEND, AC "
+    "run/size with ZRL/EOB, dequantize, de-zigzag, float IDCT, "
+    "level shift).  With PNG's DEFLATE and GIF's LZW this is the "
+    "THIRD entropy-coding family round-tripped in the suite, and "
+    "the first lossy pipeline.  The fixture corpus keeps every 8x8 "
+    "block constant, so the only nonzero coefficient per block is "
+    "its DC, which the quant step carries exactly — decode(encode) "
+    "is the identity ON THIS CORPUS (the exactness envelope the "
+    "oracle needs; arbitrary rasters are boundedly lossy and "
+    "fuzz-covered in tests/test_codec_fuzz.py).  The oracle replays "
+    "per-block pixel arithmetic from doc_id alone, never seeing "
+    "bytes: each block contributes 64 pixels of v(b) = "
+    "(id*31 + b*17) % 256.",
+)
+def mm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        decode_jpeg,
+        synthesize_jpeg,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_jpeg(synthesize_jpeg(d))
+
+
+@register(
+    "mm_wav_frame_features",
+    """
+    WITH d AS (
+      SELECT doc_id, (800 + doc_id % 401) // 160 AS nf FROM documents
+    ),
+    fr AS (
+      SELECT d.doc_id, d.nf, f.f
+      FROM d CROSS JOIN (SELECT unnest(range(0, 7)) AS f) f
+      WHERE f.f < d.nf
+    ),
+    sm AS (
+      SELECT fr.doc_id, fr.nf, fr.f, s.j,
+        ((fr.doc_id * 13 + (fr.f * 160 + s.j) * 11) % 4001) - 2000 AS v,
+        CASE WHEN s.j > 0 THEN
+          ((fr.doc_id * 13 + (fr.f * 160 + s.j - 1) * 11) % 4001) - 2000
+        END AS vprev
+      FROM fr CROSS JOIN (SELECT unnest(range(0, 160)) AS j) s
+    )
+    SELECT doc_id AS media_id,
+      CAST(f AS BIGINT) AS frame_idx,
+      CAST(nf AS BIGINT) AS n_frames,
+      CAST(SUM(v * v) AS BIGINT) AS energy,
+      CAST(SUM(CASE WHEN j > 0 AND ((vprev < 0) <> (v < 0))
+               THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+      CAST(MAX(ABS(v)) AS BIGINT) AS peak
+    FROM sm GROUP BY 1, 2, 3
+    """,
+    doc="Per-frame audio features — the audio twin of Y4M frame "
+    "sampling: each WAV clip (real RIFF/PCM16 payloads from "
+    "synthesize_wav) fans out to 160-sample (20 ms @ 8 kHz) analysis "
+    "frames INSIDE the Arrow batch (no shuffle; ragged tail "
+    "dropped), each frame reduced to the exact-integer DSP trio a "
+    "voice-activity gate needs: energy = Σs², zero-crossing count, "
+    "peak.  The oracle replays the sample arithmetic from doc_id "
+    "alone (s(i) = ((id*13 + i*11) % 4001) - 2000), never parsing "
+    "bytes — agreement proves container parse + framing + features "
+    "end to end.  100 TB shape: decode is embarrassingly parallel, "
+    "output is O(frames) small integers, and a curation filter "
+    "(e.g. keep frames with energy over a bar) composes as a plain "
+    "WHERE before anything shuffles.",
+)
+def mm_wav_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        synthesize_wav,
+        wav_frame_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return wav_frame_features(synthesize_wav(d))

@@ -165,3 +165,128 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return g.where(F.col("n_sensitive") < _L)
+
+
+@register(
+    "privacy_t_closeness",
+    """
+    WITH qi AS (
+      SELECT c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    cell AS (
+      SELECT c_mktsegment, bal_band, COUNT(*) AS n_cb
+      FROM qi GROUP BY 1, 2
+    ),
+    gdist AS (SELECT bal_band, COUNT(*) AS n_gb FROM qi GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_gb) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS m_bands
+      FROM gdist
+    ),
+    grid AS (
+      SELECT c.c_mktsegment, g.bal_band,
+             COALESCE(x.n_cb, 0) AS n_cb, g.n_gb
+      FROM (SELECT DISTINCT c_mktsegment FROM qi) c
+      CROSS JOIN gdist g
+      LEFT JOIN cell x ON x.c_mktsegment = c.c_mktsegment
+                      AND x.bal_band = g.bal_band
+    ),
+    cum AS (
+      SELECT c_mktsegment, bal_band,
+        SUM(n_cb) OVER (PARTITION BY c_mktsegment ORDER BY bal_band)
+          AS cum_c,
+        SUM(n_gb) OVER (PARTITION BY c_mktsegment ORDER BY bal_band)
+          AS cum_g,
+        SUM(n_cb) OVER (PARTITION BY c_mktsegment) AS n_class
+      FROM grid
+    )
+    SELECT c_mktsegment,
+      CAST(MAX(n_class) AS BIGINT) AS n_rows,
+      CAST(SUM(ABS(CAST(cum_c AS DECIMAL(19,0)) * t.n_total
+                 - CAST(cum_g AS DECIMAL(19,0)) * n_class))
+           AS DOUBLE)
+        / (CAST(MAX(n_class) AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+           * (CAST(t.m_bands AS DOUBLE) - 1)) AS emd_t
+    FROM cum CROSS JOIN tot t
+    GROUP BY c_mktsegment, t.n_total, t.m_bands
+    """,
+    doc="t-closeness audit — the third rung of the k-anonymity / "
+    "l-diversity / t-closeness ladder: per quasi-identifier class "
+    "(market segment), the Earth Mover's Distance between the "
+    "class's SENSITIVE-attribute distribution (ordered balance "
+    "bands) and the global one.  For an ordered attribute EMD is "
+    "the mean |cumulative difference|; kept EXACT by "
+    "cross-multiplying integer cumulative counts (|cum_c·N − "
+    "cum_g·n_class| as DECIMAL products — no per-class rational "
+    "division until the ONE closing IEEE expression).  Classes "
+    "whose emd_t exceeds the release threshold leak attribute "
+    "skew even when k-anonymous and l-diverse.  Scale: two hash "
+    "aggregates + a windows pass over an O(classes × bands) grid "
+    "(5 × 11 here) — the fact table is scanned once.",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    qi = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+            "bal_band"
+        ),
+    )
+    cell = qi.groupBy("c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("n_cb")
+    )
+    glob = qi.groupBy("bal_band").agg(F.count(F.lit(1)).alias("n_gb"))
+    tot = glob.agg(
+        F.sum("n_gb").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("m_bands"),
+    )
+    classes = qi.select("c_mktsegment").distinct()
+    grid = (
+        classes.crossJoin(F.broadcast(glob))
+        .join(cell, ["c_mktsegment", "bal_band"], "left")
+        .select(
+            "c_mktsegment",
+            "bal_band",
+            F.coalesce(F.col("n_cb"), F.lit(0)).alias("n_cb"),
+            "n_gb",
+        )
+    )
+    w_cum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("bal_band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("c_mktsegment")
+    cum = grid.select(
+        "c_mktsegment",
+        "bal_band",
+        F.sum("n_cb").over(w_cum).alias("cum_c"),
+        F.sum("n_gb").over(w_cum).alias("cum_g"),
+        F.sum("n_cb").over(w_all).alias("n_class"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("c_mktsegment", "n_total", "m_bands")
+        .agg(
+            F.max("n_class").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.abs(
+                    d19("cum_c") * F.col("n_total")
+                    - d19("cum_g") * F.col("n_class")
+                )
+            ).alias("absdiff"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_rows",
+            F.expr(
+                "CAST(absdiff AS DOUBLE)"
+                " / (CAST(n_rows AS DOUBLE) * CAST(n_total AS DOUBLE)"
+                " * (CAST(m_bands AS DOUBLE) - 1))"
+            ).alias("emd_t"),
+        )
+    )

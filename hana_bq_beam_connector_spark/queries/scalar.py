@@ -457,3 +457,51 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(obj, "$.u", "long").alias("u"),
         F.variant_get(obj, "$.tags[0]", "string").alias("tag0"),
     )
+
+
+@register(
+    "scalar_unpivot_metrics",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_base_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(4,3))) AS DOUBLE)
+          AS sum_discount
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value
+    FROM a UNPIVOT (value FOR metric IN
+                    (sum_qty, sum_base_price, sum_discount))
+    """,
+    doc="UNPIVOT / melt (wide -> long): per-returnflag metric columns "
+    "rotate into (metric, value) rows — the reshape every metrics "
+    "warehouse needs before a generic 'metric catalog' sink, and a "
+    "relational operator the reference's fixed-schema copy pipeline "
+    "cannot express.  Spark side is DataFrame.unpivot (the Spark 3.4+ "
+    "melt), which is a zero-shuffle row expansion over the already "
+    "aggregated frame; sums aggregate through exact DECIMAL and cast "
+    "to double ONCE per metric (identical closing expressions both "
+    "engines), so the rotated values hash-match bit-for-bit.",
+)
+def scalar_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_base_price"),
+        F.sum(F.col("l_discount").cast("decimal(4,3)"))
+        .cast("double")
+        .alias("sum_discount"),
+    )
+    return a.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_base_price", "sum_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

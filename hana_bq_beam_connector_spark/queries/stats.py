@@ -645,3 +645,128 @@ def stat_halfsample_replica_means(
             / F.count(F.lit(1))
         ).alias("mean_price"),
     )
+
+
+@register(
+    "stat_mannwhitney_u",
+    """
+    WITH vc AS (
+      SELECT l_quantity AS v, COUNT(*) AS c,
+             SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS c1
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT v, c, c1,
+        2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS cr2
+      FROM vc
+    ),
+    m AS (
+      SELECT
+        CAST(SUM(c1) AS BIGINT) AS n1,
+        CAST(SUM(c - c1) AS BIGINT) AS n2,
+        CAST(SUM(CAST(c1 AS DECIMAL(19,0))
+               * CAST(cr2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS r1_2,
+        CAST(SUM(CAST(c AS DECIMAL(12,0)) * CAST(c AS DECIMAL(12,0))
+               * CAST(c AS DECIMAL(12,0)) - c) AS DECIMAL(38,0)) AS tsum
+      FROM r
+    ),
+    u AS (
+      SELECT n1, n2,
+        CAST(r1_2 - CAST(n1 AS DECIMAL(19,0)) * (n1 + 1)
+             AS DECIMAL(38,0)) AS u1_2,
+        tsum
+      FROM m
+    )
+    SELECT n1, n2,
+      CAST(u1_2 AS DOUBLE) / 2 AS u1,
+      (CAST(u1_2 AS DOUBLE) / 2
+        - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+      / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
+        * (CAST(n1 + n2 AS DOUBLE) + 1
+           - CAST(tsum AS DOUBLE)
+             / (CAST(n1 + n2 AS DOUBLE)
+                * (CAST(n1 + n2 AS DOUBLE) - 1)))) AS z_stat
+    FROM u
+    """,
+    doc="Mann-Whitney U (Wilcoxon rank-sum) between the two "
+    "l_linestatus populations' quantity distributions — the "
+    "nonparametric two-sample location test, with the EXACT "
+    "tie-corrected normal approximation.  Same 100 TB insight as "
+    "Spearman: ranking a low-cardinality column needs NO global sort "
+    "and NO rank-rejoin to the fact rows — the rank sum factors as "
+    "Σ c1(v)·midrank2(v) over the ≤51-row distinct-value table, so "
+    "after one map-side-combinable groupBy the whole statistic "
+    "reduces over ~51 rows.  Midranks are centered DOUBLED integers; "
+    "rank sums and the tie term Σ(c³−c) are exact DECIMAL(38,0) "
+    "(envelope n ≈ 1e12, loudly guarded); U and the z statistic are "
+    "ONE textually identical closing IEEE expression per column.",
+)
+def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vc = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(
+            F.when(F.col("l_linestatus") == "O", 1).otherwise(0)
+        ).alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = vc.select(
+        "v",
+        "c",
+        "c1",
+        (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1).alias(
+            "cr2"
+        ),
+    )
+    d12 = lambda col: F.col(col).cast("decimal(12,0)")  # noqa: E731
+    m = r.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("c1").cast("decimal(19,0)")
+            * F.col("cr2").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("r1_2"),
+        F.sum(d12("c") * d12("c") * d12("c") - F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("tsum"),
+    )
+    u = m.select(
+        "n1",
+        "n2",
+        (
+            F.col("r1_2")
+            - F.col("n1").cast("decimal(19,0)") * (F.col("n1") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("u1_2"),
+        "tsum",
+    )
+    z = (
+        "(CAST(u1_2 AS DOUBLE) / 2"
+        " - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)"
+        " / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12"
+        " * (CAST(n1 + n2 AS DOUBLE) + 1"
+        " - CAST(tsum AS DOUBLE)"
+        " / (CAST(n1 + n2 AS DOUBLE)"
+        " * (CAST(n1 + n2 AS DOUBLE) - 1))))"
+    )
+    # Loud envelope guard (decimal exactness: n^3 within DECIMAL(36)):
+    # past ~1e12 rows shard by group before ranking.
+    guarded_z = (
+        "CASE WHEN n1 + n2 > 1000000000000 THEN raise_error("
+        "'stat_mannwhitney_u: exact decimal rank moments need "
+        "n <= ~1e12 rows; shard by group before ranking') "
+        f"ELSE {z} END"
+    )
+    return u.select(
+        "n1",
+        "n2",
+        F.expr("CAST(u1_2 AS DOUBLE) / 2").alias("u1"),
+        F.expr(guarded_z).alias("z_stat"),
+    )

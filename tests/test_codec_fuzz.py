@@ -152,3 +152,96 @@ def test_y4m_roundtrip_any_frames(w2, h2, nf, rnd):
     pw, ph, got = _parse_y4m(data)
     assert (pw, ph) == (w, h)
     assert got == frames
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def _block_constant_raster(nbx, nby, vals):
+    w, h = 8 * nbx, 8 * nby
+    raster = bytearray(w * h)
+    for by in range(nby):
+        for bx in range(nbx):
+            v = vals[by * nbx + bx]
+            for r in range(8):
+                o = (by * 8 + r) * w + bx * 8
+                raster[o : o + 8] = bytes([v]) * 8
+    return w, h, bytes(raster)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=4),
+    st.lists(
+        st.integers(min_value=0, max_value=255), min_size=20, max_size=20
+    ),
+)
+def test_jpeg_block_constant_roundtrip_exact(nbx, nby, vals):
+    """On block-constant rasters the lossy pipeline is EXACTLY the
+    identity: a constant block's only nonzero DCT coefficient is its
+    DC, which the flat quant table (8) divides exactly — this is the
+    exactness envelope the mm_jpeg_decode_stats oracle relies on, for
+    ANY block values and grid shape, not just the id-derived ones."""
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _jpeg_encode_raster,
+        _parse_jpeg,
+    )
+
+    w, h, raster = _block_constant_raster(nbx, nby, vals)
+    got = _parse_jpeg(_jpeg_encode_raster(w, h, raster))
+    assert got == (w, h, raster)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=3),
+    st.randoms(use_true_random=False),
+)
+def test_jpeg_arbitrary_raster_bounded_loss(nbx, nby, rnd):
+    """Arbitrary rasters through the SAME general encode/decode path:
+    dimensions survive, the stream parses, and the reconstruction
+    error is bounded by the quantization step's worst case (the
+    codec is lossy by design, never wrong-shaped or crashing).
+    Max-error bound: every coefficient moves < q/2 = 4; the IDCT's
+    l2 norm is 1 per basis vector, 64 coefficients => |err| < 32;
+    assert the much tighter empirical 16 to catch regressions."""
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _jpeg_encode_raster,
+        _parse_jpeg,
+    )
+
+    w, h = 8 * nbx, 8 * nby
+    raster = bytes(rnd.randrange(256) for _ in range(w * h))
+    w2, h2, out = _parse_jpeg(_jpeg_encode_raster(w, h, raster))
+    assert (w2, h2) == (w, h) and len(out) == len(raster)
+    assert max(abs(a - b) for a, b in zip(raster, out)) <= 16
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=2, max_value=300),
+    st.lists(
+        st.integers(min_value=0, max_value=255), min_size=6, max_size=6
+    ),
+)
+def test_jpeg_truncation_always_raises(nbx, nby, cut, vals):
+    """Any prefix truncation of a valid stream must raise ValueError
+    (never hang, never return a wrong-shaped raster)."""
+    import pytest
+
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _jpeg_encode_raster,
+        _parse_jpeg,
+    )
+
+    w, h, raster = _block_constant_raster(
+        nbx, nby, (vals * 4)[: nbx * nby]
+    )
+    enc = _jpeg_encode_raster(w, h, raster)
+    cut = min(cut, len(enc) - 1)
+    with pytest.raises(ValueError):
+        _parse_jpeg(enc[:cut])

@@ -50,6 +50,8 @@ _ALLOWED = {
     "the already-reduced pair frame",
     "exp_assignment_srm_check": "user grand total (1 row) broadcast "
     "to the 2-row arm frame",
+    "privacy_t_closeness": "global band distribution (O(bands) rows) "
+    "+ 1-row totals broadcast to the O(classes x bands) grid",
 }
 _SKIP_EXECUTING = {
     # these run a real streaming query inside fn(); plan checked in
@@ -204,3 +206,79 @@ def test_rule_report_is_single_scan(spark, sf_dir):
     single partial-agg row per partition."""
     plan = _physical(spark, sf_dir, "curation_rule_report")
     assert plan.count("FileScan parquet") == 1, plan
+
+
+# ---- plan-fact assertions for the round-5 group representatives ----
+# (round-5 verdict ask #5: geo/rec/stats/drift joined the bench
+# HEADLINE in r5 but had no plan-shape locks — a silent plan
+# regression there was invisible until wall-clock moved.)
+
+
+def _plan_facts(spark, sf_dir, name: str) -> dict[str, int]:
+    import re
+
+    plan = _executed(spark, sf_dir, name).split("== Initial Plan ==")[0]
+    pats = {
+        "exchanges": r"\bExchange\b",
+        "broadcast_joins": r"BroadcastHashJoin",
+        "shuffle_joins": r"SortMergeJoin|ShuffledHashJoin",
+        "nested_loop": r"BroadcastNestedLoopJoin|CartesianProduct",
+        "hash_aggs": r"HashAggregate",
+        "windows": r"\bWindow\b",
+        "explodes": r"Generate explode",
+        "left_anti": r"LeftAnti",
+    }
+    return {k: len(re.findall(p, plan)) for k, p in pats.items()}
+
+
+def test_rec_user_candidates_plan_shape(spark, sf_dir):
+    """Equi-joins only (never a cartesian over users x items), the
+    owned-items exclusion stays a LEFT ANTI join, and per-user
+    ranking is a window — the shapes that keep candidate generation
+    linear in the purchase log."""
+    f = _plan_facts(spark, sf_dir, "rec_user_candidates")
+    assert f["nested_loop"] == 0
+    assert f["left_anti"] == 1
+    assert f["windows"] >= 1
+    assert f["broadcast_joins"] + f["shuffle_joins"] >= 2
+
+
+def test_rec_item_lift_topk_plan_shape(spark, sf_dir):
+    """The ONLY nested loop is the allowlisted 1-row basket-total
+    broadcast; pair counting partial-aggregates (>= 2 HashAggregate
+    pairs) so only reduced pair counts reach the exchange."""
+    f = _plan_facts(spark, sf_dir, "rec_item_lift_topk")
+    assert f["nested_loop"] == 1  # the 1-row total, nothing else
+    assert f["hash_aggs"] >= 4
+    assert f["broadcast_joins"] + f["shuffle_joins"] >= 1
+
+
+def test_geo_grid_neighbor_pairs_plan_shape(spark, sf_dir):
+    """The spatial join must be the grid EQUI-join (hash/merge on
+    cell keys) with the 3x3 neighborhood explode inside the row —
+    never a nested-loop distance join."""
+    f = _plan_facts(spark, sf_dir, "geo_grid_neighbor_pairs")
+    assert f["nested_loop"] == 0
+    assert f["explodes"] >= 1
+    assert f["broadcast_joins"] + f["shuffle_joins"] == 1
+
+
+def test_halfsample_replicas_plan_shape(spark, sf_dir):
+    """The B-replica fan-out happens in-row (explode) and partial
+    aggregation reduces to O(B) rows BEFORE the single exchange —
+    the replica exchange must stay the only shuffle."""
+    f = _plan_facts(spark, sf_dir, "stat_halfsample_replica_means")
+    assert f["exchanges"] == 1
+    assert f["explodes"] == 1
+    assert f["hash_aggs"] == 2  # partial + final
+    assert f["nested_loop"] == 0
+
+
+def test_drift_decile_shift_plan_shape(spark, sf_dir):
+    """Two snapshot-partitioned window passes (rank + count) and the
+    O(snapshots) decile frame: no joins at all, bounded exchanges."""
+    f = _plan_facts(spark, sf_dir, "drift_decile_shift_price")
+    assert f["nested_loop"] == 0
+    assert f["broadcast_joins"] + f["shuffle_joins"] == 0
+    assert f["windows"] == 2
+    assert f["exchanges"] <= 3

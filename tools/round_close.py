@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Round-close artifact regeneration — ONE command that refreshes
+every reviewer-facing artifact before a round ends, so a driver
+correctness-sample rotation can never hit a query the builder hasn't
+already verified (round-5 verdict ask #8).
+
+Runs, in order (each step exclusive — no concurrent Spark):
+  1. tools/drive_contract.py        -> must print RESULT: ALL MATCH
+  2. tools/local_correctness.py     -> CORRECTNESS_local.json (sf0.01)
+  3. tools/local_correctness.py sf0.1 -> CORRECTNESS_local_sf0.1.json
+  4. bench.py                       -> BENCH_local.json (one JSON line)
+  5. tools/explain_audit.py         -> PLANS.md
+
+The sf1 registry sweep (tools/registry_sweep.py, ~1 h) is NOT
+included — run it when plans changed, or rely on `pytest -m sweep`.
+
+Usage: python tools/round_close.py [--skip-bench]
+Exit nonzero the moment any step fails.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(argv: list[str], out_path: str | None = None) -> None:
+    print(f"==> {' '.join(argv)}", flush=True)
+    if out_path:
+        with open(out_path, "w") as fh:
+            subprocess.run(argv, check=True, cwd=REPO, stdout=fh)
+    else:
+        subprocess.run(argv, check=True, cwd=REPO)
+
+
+def main() -> int:
+    py = sys.executable
+    steps: list[tuple[list[str], str | None]] = [
+        ([py, "tools/drive_contract.py"], None),
+        ([py, "tools/local_correctness.py"], None),
+        (
+            [
+                py,
+                "tools/local_correctness.py",
+                "/root/testdata/sf0.1",
+                os.path.join(REPO, "CORRECTNESS_local_sf0.1.json"),
+            ],
+            None,
+        ),
+        ([py, "bench.py"], os.path.join(REPO, "BENCH_local.json")),
+        ([py, "tools/explain_audit.py"], None),
+    ]
+    if "--skip-bench" in sys.argv:
+        steps = [s for s in steps if "bench.py" not in s[0]]
+    for argv, out_path in steps:
+        run(argv, out_path)
+    print("round_close: all artifacts regenerated")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
