@@ -589,3 +589,97 @@ def drift_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+# Wasserstein guard: the per-band term multiplies a cumulative count
+# (<= n) by a band gap before the decimal cross-multiply, so the
+# int64 product cum*gap must not wrap in a non-ANSI session.
+_W1_GUARD = 2**62
+
+
+@register(
+    "drift_wasserstein_price",
+    f"""
+    WITH b AS ({_sql_cells(1000)}),
+    cum AS (
+      SELECT band,
+        LEAD(band) OVER (ORDER BY band) AS next_band,
+        CAST(SUM(c_a) OVER (ORDER BY band) AS BIGINT) AS cum_a,
+        CAST(SUM(c_b) OVER (ORDER BY band) AS BIGINT) AS cum_b,
+        CAST(SUM(c_a) OVER () AS BIGINT) AS n_a,
+        CAST(SUM(c_b) OVER () AS BIGINT) AS n_b
+      FROM b
+    ),
+    terms AS (
+      SELECT band, cum_a * (next_band - band) AS wa,
+             cum_b * (next_band - band) AS wb, n_a, n_b
+      FROM cum WHERE next_band IS NOT NULL
+    )
+    SELECT n_a, n_b, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      CAST(SUM(ABS(CAST(wa AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+                 - CAST(wb AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0))))
+           AS DOUBLE) * 1000
+        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS w1_price
+    FROM terms GROUP BY n_a, n_b
+    """,
+    doc="1-D Wasserstein-1 (earth mover's) distance between the two "
+    "snapshot price distributions, in PRICE UNITS — the drift metric "
+    "that, unlike KS (max gap) and TVD (mass moved), also weighs HOW "
+    "FAR the mass moved: W1 = Σ_gaps |ECDF_a − ECDF_b| × gap.  Same "
+    "100 TB formulation as the KS/TVD siblings: the cumulative "
+    "window runs over the O(bands) cell frame (one fact scan, never "
+    "a global sort), every term exact — cum×gap in guarded int64, "
+    "the ECDF cross-products |cum_a·gap·n_b − cum_b·gap·n_a| in "
+    "DECIMAL(38,0) (envelope ~1e17 rows/side), ONE closing IEEE "
+    "expression.  The Spark side carries the same named raise_error "
+    "division-form guard as the KS/TVD family so a non-ANSI cluster "
+    "can never silently wrap the int64 product.",
+)
+def drift_wasserstein_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    b = _price_cells(spark, sf_dir, 1000)
+    w_ord = Window.orderBy("band")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = b.select(
+        "band",
+        F.lead("band").over(w_ord).alias("next_band"),
+        F.sum("c_a").over(w_cum).cast("bigint").alias("cum_a"),
+        F.sum("c_b").over(w_cum).cast("bigint").alias("cum_b"),
+        F.sum("c_a").over(w_all).cast("bigint").alias("n_a"),
+        F.sum("c_b").over(w_all).cast("bigint").alias("n_b"),
+    ).where(F.col("next_band").isNotNull())
+    guarded_wa = (
+        f"CASE WHEN greatest(cum_a, cum_b) > "
+        f"{_W1_GUARD} DIV greatest(next_band - band, 1) THEN "
+        "raise_error('drift_wasserstein_price: cum*gap outgrows "
+        "int64; rebin to a coarser band grid') "
+        "ELSE cum_a * (next_band - band) END"
+    )
+    terms = cum.select(
+        F.expr(guarded_wa).alias("wa"),
+        F.expr("cum_b * (next_band - band)").alias("wb"),
+        "n_a",
+        "n_b",
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    return (
+        terms.groupBy("n_a", "n_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum(F.abs(d19("wa") * d19("n_b") - d19("wb") * d19("n_a")))
+            .alias("num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "n_gaps",
+            F.expr(
+                "CAST(num AS DOUBLE) * 1000"
+                " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+            ).alias("w1_price"),
+        )
+    )

@@ -770,3 +770,89 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(u1_2 AS DOUBLE) / 2").alias("u1"),
         F.expr(guarded_z).alias("z_stat"),
     )
+
+
+@register(
+    "stat_gini_coefficient_qty",
+    """
+    WITH vc AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT v, c,
+        2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS cr2
+      FROM vc
+    ),
+    m AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+        CAST(SUM(CAST(v AS DECIMAL(19,0)) * c) AS DECIMAL(38,0)) AS sx,
+        CAST(SUM(CAST(v AS DECIMAL(12,0)) * CAST(c AS DECIMAL(12,0))
+               * CAST(cr2 AS DECIMAL(13,0))) AS DECIMAL(38,0)) AS sxr2
+      FROM r
+    )
+    SELECT n,
+      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+      CAST(sxr2 AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+        - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE) AS gini
+    FROM m
+    """,
+    doc="Exact Gini coefficient of the quantity distribution — the "
+    "inequality / concentration measure (0 = uniform, ->1 = one row "
+    "holds everything) data-balance audits report per source or "
+    "segment.  THIRD reuse of the low-cardinality rank insight "
+    "(Spearman, Mann-Whitney, now Gini): G = Σ x·midrank / (n·Σx) "
+    "- (n+1)/n needs the values SORTED, but sorting a 100 TB column "
+    "is unnecessary when ranks factor over the ≤51-row "
+    "distinct-value table — Σ_i x_i·rank_i = Σ_v v·c_v·midrank_v "
+    "with doubled midranks keeping every term an exact integer.  "
+    "Moments are DECIMAL(38,0) (v ≤ 1e12, c ≤ 1e12, cr2 ≤ 2e12 "
+    "within the (12,0)x(12,0)x(13,0)->(38,0) product envelope); the "
+    "closing G is ONE textually identical IEEE expression.  "
+    "l_quantity is integral by construction; the BIGINT cast is "
+    "exact and identical both engines.",
+)
+def stat_gini_coefficient_qty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vc = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = vc.select(
+        "v",
+        "c",
+        (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1).alias(
+            "cr2"
+        ),
+    )
+    m = r.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("sx"),
+        F.sum(
+            F.col("v").cast("decimal(12,0)")
+            * F.col("c").cast("decimal(12,0)")
+            * F.col("cr2").cast("decimal(13,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sxr2"),
+    )
+    return m.select(
+        "n",
+        F.expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").alias(
+            "mean_qty"
+        ),
+        F.expr(
+            "CAST(sxr2 AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE)"
+        ).alias("gini"),
+    )

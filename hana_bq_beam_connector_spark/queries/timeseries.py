@@ -789,3 +789,86 @@ def ts_holt_linear_forecast(
         F.expr("hw.level + 2 * hw.trend").alias("forecast_h2"),
         F.expr("hw.level + 3 * hw.trend").alias("forecast_h3"),
     )
+
+
+# pre/post split shared with the experimentation / drift families:
+# 2024-01-15 UTC in epoch µs.
+_SEAS_SPLIT_US = 1_705_276_800_000_000
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "ts_seasonal_hour_baseline",
+    f"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    cells AS (
+      SELECT event_type,
+        (ts_us // {_HOUR_US}) % 24 AS hour_of_day,
+        CAST(SUM(CASE WHEN ts_us < {_SEAS_SPLIT_US}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS base_n,
+        CAST(SUM(CASE WHEN ts_us < {_SEAS_SPLIT_US}
+                 THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+      FROM ev GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(base_n) AS BIGINT) AS base_total,
+             CAST(SUM(cur_n) AS BIGINT) AS cur_total
+      FROM cells
+    )
+    SELECT c.event_type, c.hour_of_day, c.base_n, c.cur_n,
+      CAST(c.base_n AS DOUBLE) * CAST(t.cur_total AS DOUBLE)
+        / CAST(t.base_total AS DOUBLE) AS expected_n,
+      CAST(c.cur_n AS DOUBLE)
+        - CAST(c.base_n AS DOUBLE) * CAST(t.cur_total AS DOUBLE)
+          / CAST(t.base_total AS DOUBLE) AS residual
+    FROM cells c CROSS JOIN tot t
+    """,
+    doc="Seasonal-naive anomaly baseline: the pre-split history "
+    "builds an (event_type x hour-of-day) seasonal profile, the "
+    "post-split window is compared against it volume-normalized — "
+    "expected = base_n * cur_total / base_total — and the residual "
+    "is the anomaly signal a seasonal-naive detector alarms on "
+    "(pure offsets from epoch-µs integer arithmetic; no timezone "
+    "functions, so hour extraction is engine-identical).  ONE "
+    "CASE-split scan to the O(types x 24) cell frame, a 1-row "
+    "totals broadcast, and two textually identical closing IEEE "
+    "expressions — the transcendental-free cousin of an STL "
+    "decomposition, sized for 100 TB (nothing but the cell frame "
+    "ever leaves the scan stage).",
+)
+def ts_seasonal_hour_baseline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = events_us(spark, sf_dir).select("event_type", "ts")
+    is_base = F.col("ts") < _SEAS_SPLIT_US
+    # Integer DIV, not double '/': trunc(rounded double quotient) can
+    # land one hour off near bucket boundaries; DuckDB's // is exact.
+    cells = ev.groupBy(
+        "event_type",
+        F.expr(f"(ts DIV {_HOUR_US}) % 24").alias("hour_of_day"),
+    ).agg(
+        F.sum(F.when(is_base, 1).otherwise(0))
+        .cast("bigint")
+        .alias("base_n"),
+        F.sum(F.when(is_base, 0).otherwise(1))
+        .cast("bigint")
+        .alias("cur_n"),
+    )
+    tot = cells.agg(
+        F.sum("base_n").cast("bigint").alias("base_total"),
+        F.sum("cur_n").cast("bigint").alias("cur_total"),
+    )
+    expected = (
+        "CAST(base_n AS DOUBLE) * CAST(cur_total AS DOUBLE)"
+        " / CAST(base_total AS DOUBLE)"
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "hour_of_day",
+        "base_n",
+        "cur_n",
+        F.expr(expected).alias("expected_n"),
+        F.expr(f"CAST(cur_n AS DOUBLE) - {expected}").alias("residual"),
+    )

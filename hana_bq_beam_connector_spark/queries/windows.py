@@ -290,3 +290,76 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_types_so_far"
         ),
     )
+
+
+@register(
+    "window_rising_streaks",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        CASE WHEN o_totalprice >
+               LAG(o_totalprice) OVER w THEN 0 ELSE 1 END AS brk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    ),
+    isl AS (
+      SELECT o_custkey,
+        SUM(brk) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS island
+      FROM seq
+    ),
+    runs AS (
+      SELECT o_custkey, island, COUNT(*) AS run_len
+      FROM isl GROUP BY o_custkey, island
+    )
+    SELECT o_custkey, CAST(MAX(run_len) AS BIGINT) AS longest_streak
+    FROM runs GROUP BY o_custkey
+    HAVING MAX(run_len) >= 4
+    """,
+    doc="Gaps-and-islands STREAK detection: per customer, the longest "
+    "run of strictly price-increasing consecutive orders (ordered by "
+    "date with order-key tiebreak) — the classic sessionization "
+    "cousin where the island boundary is a VALUE condition (price "
+    "dropped) instead of a time gap.  LAG flags breaks, a running "
+    "sum numbers islands, two tiny aggregates rank them; emitted "
+    "rows are customers with a >= 4-order rising streak so the "
+    "result is interesting at every SF.  One shuffle on o_custkey — "
+    "the windows and both aggregates share the partition key, so "
+    "Catalyst reuses the exchange.  The island running sum MUST "
+    "accumulate in the SAME (date, orderkey) order that defined the "
+    "break flags — numbering islands in a different total order "
+    "regroups rows and inflates run lengths (caught by the naive "
+    "reference test before it shipped; both engines had agreed with "
+    "each other while both were wrong).",
+)
+def window_rising_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.when(
+            F.col("o_totalprice") > F.lag("o_totalprice").over(w), 0
+        )
+        .otherwise(1)
+        .alias("brk"),
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = seq.select(
+        "o_custkey", F.sum("brk").over(w_run).alias("island")
+    )
+    runs = isl.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("o_custkey")
+        .agg(F.max("run_len").cast("bigint").alias("longest_streak"))
+        .where(F.col("longest_streak") >= 4)
+    )

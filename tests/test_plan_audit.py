@@ -52,6 +52,8 @@ _ALLOWED = {
     "to the 2-row arm frame",
     "privacy_t_closeness": "global band distribution (O(bands) rows) "
     "+ 1-row totals broadcast to the O(classes x bands) grid",
+    "ts_seasonal_hour_baseline": "1-row volume totals broadcast to "
+    "the O(types x 24) cell frame",
 }
 _SKIP_EXECUTING = {
     # these run a real streaming query inside fn(); plan checked in
