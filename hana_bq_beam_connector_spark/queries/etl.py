@@ -630,8 +630,17 @@ def etl_incremental_agg_maintenance(
             .alias("cents"),
         )
 
+    # The split must PARTITION the table: a NULL event-time satisfies
+    # neither `<` nor `>=`, so it would vanish from BOTH branches and
+    # break the state ⊕ delta ≡ recompute invariant this query exists
+    # to prove.  Untimestamped rows belong to the increment (they
+    # arrive "now", after the state was cut).
     state = agg(ev.where(F.col("ts") < _MAINT_SPLIT_US))
-    delta = agg(ev.where(F.col("ts") >= _MAINT_SPLIT_US))
+    delta = agg(
+        ev.where(
+            (F.col("ts") >= _MAINT_SPLIT_US) | F.col("ts").isNull()
+        )
+    )
     merged = (
         state.unionByName(delta)
         .groupBy("event_type")

@@ -53,9 +53,10 @@ _SQL_ARM = (
 _UID_MAX = (2**63 - 1) // _KNUTH  # 3_474_701_543
 
 _SPARK_ARM = (
-    f"CASE WHEN ((CASE WHEN user_id > {_UID_MAX}L THEN raise_error("
-    f"'experiment arm hash: user_id * {_KNUTH} exceeds int64 "
-    f"(user_id <= {_UID_MAX}); rehash ids (e.g. xxhash64) before "
+    f"CASE WHEN ((CASE WHEN user_id > {_UID_MAX}L OR "
+    f"user_id < -{_UID_MAX}L THEN raise_error("
+    f"'experiment arm hash: |user_id| * {_KNUTH} exceeds int64 "
+    f"(|user_id| <= {_UID_MAX}); rehash ids (e.g. xxhash64) before "
     f"arm assignment') ELSE user_id END) * {_KNUTH}L) % 100 < 50 "
     "THEN 'treatment' ELSE 'control' END"
 )

@@ -759,7 +759,7 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Loud envelope guard (decimal exactness: n^3 within DECIMAL(36)):
     # past ~1e12 rows shard by group before ranking.
     guarded_z = (
-        "CASE WHEN n1 + n2 > 1000000000000 THEN raise_error("
+        "CASE WHEN n1 + n2 >= 1000000000000 THEN raise_error("
         "'stat_mannwhitney_u: exact decimal rank moments need "
         "n <= ~1e12 rows; shard by group before ranking') "
         f"ELSE {z} END"
@@ -834,6 +834,7 @@ def stat_gini_coefficient_qty(
     )
     m = r.agg(
         F.sum("c").cast("bigint").alias("n"),
+        F.max("v").cast("bigint").alias("max_v"),
         F.sum(F.col("v").cast("decimal(19,0)") * F.col("c"))
         .cast("decimal(38,0)")
         .alias("sx"),
@@ -845,14 +846,27 @@ def stat_gini_coefficient_qty(
         .cast("decimal(38,0)")
         .alias("sxr2"),
     )
+    # Every-session-mode envelope guard (sibling of the Spearman /
+    # Mann-Whitney guards): past the DECIMAL(12,0) cast capacity a
+    # non-ANSI session would NULL a product term and sum a silently
+    # wrong Gini.  c <= n and cr2 <= 2n+1 are covered by the n bound;
+    # v is a DATA value, so it gets its own bound.
+    gini = (
+        "CAST(sxr2 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE)"
+    )
+    guarded = (
+        "CASE WHEN n >= 1000000000000 OR max_v >= 1000000000000 THEN "
+        "raise_error('stat_gini_coefficient_qty: exact decimal rank "
+        "moments need n < 1e12 rows and values < 1e12; shard by "
+        "group or rescale the measure before going wider') "
+        f"ELSE {gini} END"
+    )
     return m.select(
         "n",
         F.expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").alias(
             "mean_qty"
         ),
-        F.expr(
-            "CAST(sxr2 AS DOUBLE)"
-            " / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))"
-            " - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE)"
-        ).alias("gini"),
+        F.expr(guarded).alias("gini"),
     )

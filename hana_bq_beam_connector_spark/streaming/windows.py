@@ -174,9 +174,10 @@ def drift_cells_agg(
 # session (negative remainder => always 'treatment'), so a named
 # raise_error preempts it.
 _ARM_EXPR = (
-    "CASE WHEN ((CASE WHEN user_id > 3474701543L THEN raise_error("
-    "'experiment arm hash: user_id * 2654435761 exceeds int64 "
-    "(user_id <= 3474701543); rehash ids (e.g. xxhash64) before "
+    "CASE WHEN ((CASE WHEN user_id > 3474701543L OR "
+    "user_id < -3474701543L THEN raise_error("
+    "'experiment arm hash: |user_id| * 2654435761 exceeds int64 "
+    "(|user_id| <= 3474701543); rehash ids (e.g. xxhash64) before "
     "arm assignment') ELSE user_id END) * 2654435761L) % 100 < 50 "
     "THEN 'treatment' ELSE 'control' END"
 )

@@ -219,18 +219,23 @@ def test_jpeg_arbitrary_raster_bounded_loss(nbx, nby, rnd):
     assert max(abs(a - b) for a, b in zip(raster, out)) <= 16
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=40, deadline=None)
 @given(
     st.integers(min_value=1, max_value=3),
     st.integers(min_value=1, max_value=3),
-    st.integers(min_value=2, max_value=300),
+    st.integers(min_value=2, max_value=400),
+    st.booleans(),
     st.lists(
         st.integers(min_value=0, max_value=255), min_size=6, max_size=6
     ),
 )
-def test_jpeg_truncation_always_raises(nbx, nby, cut, vals):
+def test_jpeg_truncation_always_raises(nbx, nby, off, from_end, vals):
     """Any prefix truncation of a valid stream must raise ValueError
-    (never hang, never return a wrong-shaped raster)."""
+    (never hang, never return a wrong-shaped raster).  The fixed
+    marker segments occupy a constant ~324-byte header, so `from_end`
+    cuts anchor to the tail — exercising the entropy-stream and
+    missing-EOI paths, not just the marker walk (a front-only cut
+    range never left the header; round-6 review finding)."""
     import pytest
 
     from hana_bq_beam_connector_spark.operators.multimodal import (
@@ -242,6 +247,7 @@ def test_jpeg_truncation_always_raises(nbx, nby, cut, vals):
         nbx, nby, (vals * 4)[: nbx * nby]
     )
     enc = _jpeg_encode_raster(w, h, raster)
-    cut = min(cut, len(enc) - 1)
+    cut = len(enc) - off if from_end else off
+    cut = max(2, min(cut, len(enc) - 1))
     with pytest.raises(ValueError):
         _parse_jpeg(enc[:cut])

@@ -291,3 +291,36 @@ def test_gini_matches_naive(spark):
     assert row["n"] == n
     assert abs(row["gini"] - want) < 1e-9
     assert 0.0 <= row["gini"] <= 1.0
+
+
+def test_incremental_maintenance_keeps_null_ts_rows(spark, tmp_path):
+    """A NULL event-time satisfies neither `< split` nor `>= split`;
+    the split must still PARTITION the table (untimestamped rows
+    belong to the increment) or state + delta loses rows vs the
+    recompute — the round-6 review finding."""
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [
+            (1, "2024-01-01T00:00:00", "click", 1.0, "{}"),
+            (2, None, "click", 2.0, "{}"),
+            (3, "2024-02-01T00:00:00", "view", 3.0, "{}"),
+        ],
+        "event_id bigint, ts_s string, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        (F.col("event_id") * 10).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    rows.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["event_type"]: (r["n_events"], r["total_cents"])
+        for r in _q("etl_incremental_agg_maintenance")(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"click": (2, 300), "view": (1, 300)}

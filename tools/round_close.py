@@ -30,8 +30,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run(argv: list[str], out_path: str | None = None) -> None:
     print(f"==> {' '.join(argv)}", flush=True)
     if out_path:
-        with open(out_path, "w") as fh:
+        # Write to a temp file and replace on success: truncating the
+        # real artifact before the subprocess runs would destroy the
+        # previous good copy on any failure (round-6 review finding).
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as fh:
             subprocess.run(argv, check=True, cwd=REPO, stdout=fh)
+        os.replace(tmp, out_path)
     else:
         subprocess.run(argv, check=True, cwd=REPO)
 
