@@ -129,6 +129,14 @@ HEADLINE = [
     "stream_srm_monitor",         # windowed SRM alarm (stream face)
     # round-6 additions
     "mm_jpeg_decode_stats",       # REAL baseline JFIF decode (Huffman+IDCT)
+    "mm_wav_frame_features",      # audio VAD frames (energy/ZCR/peak)
+    "ts_event_regex_match",       # CEP-lite journey-regex conversions
+    "etl_incremental_agg_maintenance",  # state+delta MV maintenance
+    "stat_mannwhitney_u",         # rank-sum test, no sort / no rejoin
+    "privacy_t_closeness",        # ordered-attr EMD per QI class
+    "graph_degree_assortativity",  # Newman r from decimal moments
+    "drift_wasserstein_price",    # 1-D EMD between snapshots
+    "stat_gini_coefficient_qty",  # exact Gini, rank factorization
 ]
 
 
