@@ -251,3 +251,43 @@ def test_jpeg_truncation_always_raises(nbx, nby, off, from_end, vals):
     cut = max(2, min(cut, len(enc) - 1))
     with pytest.raises(ValueError):
         _parse_jpeg(enc[:cut])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=0, max_value=255),
+    st.lists(
+        st.integers(min_value=0, max_value=255), min_size=4, max_size=4
+    ),
+)
+def test_jpeg_byte_corruption_never_hangs_or_malforms(
+    nbx, nby, pos_seed, new_byte, vals
+):
+    """Flip one byte anywhere in a valid stream: the decoder must
+    either raise ValueError (or the stdlib's struct.error on a
+    mangled length) or return a raster of the DECLARED dimensions —
+    never hang, loop, or hand back a wrong-shaped buffer.  This is
+    the adversarial-input posture every decoder in the suite holds
+    (PNG CRCs, GIF sub-block lengths); JPEG's equivalents are the
+    marker walk, the Huffman 16-bit cap and the EOI check."""
+    import struct
+
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _jpeg_encode_raster,
+        _parse_jpeg,
+    )
+
+    w, h, raster = _block_constant_raster(nbx, nby, vals[: nbx * nby])
+    enc = bytearray(_jpeg_encode_raster(w, h, raster))
+    pos = pos_seed % len(enc)
+    if enc[pos] == new_byte:
+        new_byte = (new_byte + 1) % 256
+    enc[pos] = new_byte
+    try:
+        w2, h2, out = _parse_jpeg(bytes(enc))
+    except (ValueError, struct.error):
+        return  # loud rejection is the preferred outcome
+    assert len(out) == w2 * h2 and w2 > 0 and h2 > 0

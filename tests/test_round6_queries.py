@@ -324,3 +324,74 @@ def test_incremental_maintenance_keeps_null_ts_rows(spark, tmp_path):
         ).collect()
     }
     assert got == {"click": (2, 300), "view": (1, 300)}
+
+
+def test_banded_snm_join_equals_rank_range_any_data(spark):
+    """The banded sorted-neighborhood join (bucket = (rn-1) DIV W,
+    probe exploded to adjacent buckets, rank-range filter after the
+    equi-join) must emit EXACTLY the pairs of the naive rank-range
+    formulation for ANY data — the algebraic identity the three
+    round-6 dedup rewrites stand on.  Checked on an adversarial
+    frame: duplicate sort keys, a block smaller than W, a block
+    whose size is an exact multiple of W (bucket-boundary edges)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    W = 3
+    rows = [
+        # (block, id, key) — block "a": 7 rows with key ties;
+        # block "b": 2 rows (< W); block "c": 6 rows (== 2*W)
+        ("a", 1, "x"), ("a", 2, "x"), ("a", 3, "y"), ("a", 4, "y"),
+        ("a", 5, "y"), ("a", 6, "z"), ("a", 7, "z"),
+        ("b", 8, "q"), ("b", 9, "q"),
+        ("c", 10, "m"), ("c", 11, "m"), ("c", 12, "n"),
+        ("c", 13, "n"), ("c", 14, "o"), ("c", 15, "o"),
+    ]
+    df = spark.createDataFrame(rows, "blk string, id bigint, key string")
+    win = Window.partitionBy("blk").orderBy("key", "id")
+    r = df.withColumn("rn", F.row_number().over(win)).withColumn(
+        "bkt", F.expr(f"(rn - 1) DIV {W}")
+    )
+    # naive: rank-range condition over the full block join
+    a0 = r.select(
+        F.col("blk").alias("blk_a"),
+        F.col("id").alias("id_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    b0 = r.select(
+        F.col("blk").alias("blk_b"),
+        F.col("id").alias("id_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    naive = {
+        (x["id_a"], x["id_b"])
+        for x in a0.join(
+            b0,
+            (F.col("blk_a") == F.col("blk_b"))
+            & ((F.col("rn_b") - F.col("rn_a")).between(1, W)),
+        ).collect()
+    }
+    # banded: equi-join on (blk, bucket), probe exploded
+    a1 = r.select(
+        F.col("blk").alias("blk_a"),
+        F.col("id").alias("id_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("pbkt"),
+    )
+    b1 = r.select(
+        F.col("blk").alias("blk_b"),
+        F.col("id").alias("id_b"),
+        F.col("rn").alias("rn_b"),
+        F.col("bkt").alias("bkt_b"),
+    )
+    banded = {
+        (x["id_a"], x["id_b"])
+        for x in a1.join(
+            b1,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("pbkt") == F.col("bkt_b")),
+        )
+        .where((F.col("rn_b") - F.col("rn_a")).between(1, W))
+        .collect()
+    }
+    assert banded == naive and len(naive) > 0
