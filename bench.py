@@ -137,6 +137,9 @@ HEADLINE = [
     "graph_degree_assortativity",  # Newman r from decimal moments
     "drift_wasserstein_price",    # 1-D EMD between snapshots
     "stat_gini_coefficient_qty",  # exact Gini, rank factorization
+    # round-7 additions
+    "mm_resize_box_stats",        # REAL box-filter resize over rasters
+    "mm_jpeg_raster_moments",     # REAL moments over JPEG decode path
 ]
 
 
@@ -148,17 +151,41 @@ def main() -> None:
     # when attributing a cross-round regression to plan drift vs
     # shared-session JVM load.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    headline = (
-        [q for q in HEADLINE if q in set(only.split(","))]
-        if only
-        else HEADLINE
-    )
+    if only:
+        wanted = [n for n in only.split(",") if n]
+        unknown = sorted(set(wanted) - set(HEADLINE))
+        if unknown:
+            # A typo'd name silently dropping to an empty run would
+            # still print a plausible JSON line with value 0 — fail
+            # loudly instead so a partial run is never mistaken for a
+            # real timing artifact.
+            print(
+                f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: {unknown}",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        headline = [q for q in HEADLINE if q in set(wanted)]
+    else:
+        headline = HEADLINE
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry()
 
     # JVM/codegen warmup on a trivial plan so q1 isn't charged for it.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Python-worker/Arrow warmup: the mapInPandas codec queries
+    # otherwise pay the daemon fork + Arrow channel setup (~10s across
+    # 32 threads) inside their own wall time, distorting cross-round
+    # comparisons of the codec rows.  One trivial Arrow round-trip per
+    # core pays it here instead.
+    spark.range(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 2,
+        numPartitions=int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        ),
+    ).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in headline:

@@ -365,12 +365,16 @@ def frame_sample(media: DataFrame, n_frames: int = 4, frame_len: int = 32) -> Da
     return media.mapInPandas(sample, schema=_FRAMES_SCHEMA)
 
 
-_RESIZED_SCHEMA = StructType(
+_RESIZE_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
+        StructField("in_width", LongType()),
+        StructField("in_height", LongType()),
         StructField("width", LongType()),
         StructField("height", LongType()),
-        StructField("payload", BinaryType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
     ]
 )
 
@@ -381,64 +385,134 @@ _FEATURES_SCHEMA = StructType(
     ]
 )
 
+_MOMENTS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_sum_sq", LongType()),
+        StructField("b0", LongType()),
+        StructField("b1", LongType()),
+        StructField("b2", LongType()),
+        StructField("b3", LongType()),
+    ]
+)
 
-def resize_stub(
-    media: DataFrame, width: int = 32, height: int = 32
+
+def _raster_array(payload: bytes, parse) -> "object":
+    """Decode a grayscale payload with ``parse`` (any of the suite's
+    (w, h, raster)-returning codecs) into an int64 (h, w) ndarray."""
+    import numpy as np
+
+    w, h, raster = parse(payload)
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w).astype(
+        np.int64
+    )
+
+
+def resize_box(
+    media: DataFrame, factor: int = 2, parse=_parse_pgm
 ) -> DataFrame:
-    """Deterministic "resize": payload cycled/truncated to exactly
-    width*height bytes.
+    """REAL area-average (box-filter) downsample over DECODED rasters
+    — the PIL.Image.resize slot, now running on genuine pixels from
+    any of the suite's grayscale codecs (PGM/PNG/GIF/JPEG parsers all
+    return (w, h, raster)).
 
-    STUB for ``PIL.Image.resize`` — the production concern this
-    preserves is the data-flow shape: binary in, fixed-size binary
-    out, Arrow batches, no Python object per pixel."""
-    target = width * height
+    Each output pixel is ``floor(sum of the factor×factor input block
+    / factor²)`` — exact integer arithmetic end to end, so an SQL
+    oracle replays every output pixel from the fixture's pixel
+    formula and the comparison is bit-strict (same discipline as the
+    codec queries).  Ragged edges (input dims not divisible by
+    ``factor``) crop, matching the floor-dims contract of every
+    production thumbnailer.  Emits exact stats of the RESIZED raster;
+    vectorized numpy per Arrow batch, no Python object per pixel."""
+    if factor < 1:
+        raise ValueError(f"resize factor must be >= 1, got {factor}")
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for payload in pdf["payload"]:
-                data = bytes(payload) or b"\x00"
-                reps = target // len(data) + 1
-                out.append((data * reps)[:target])
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": width,
-                    "height": height,
-                    "payload": out,
-                }
-            )
+            rows = {k.name: [] for k in _RESIZE_STATS_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                a = _raster_array(bytes(payload), parse)
+                h, w = a.shape
+                oh, ow = h // factor, w // factor
+                if oh == 0 or ow == 0:
+                    raise ValueError(
+                        f"image {w}x{h} smaller than box factor {factor}"
+                    )
+                q = (
+                    a[: oh * factor, : ow * factor]
+                    .reshape(oh, factor, ow, factor)
+                    .sum(axis=(1, 3))
+                    // (factor * factor)
+                )
+                rows["media_id"].append(media_id)
+                rows["in_width"].append(w)
+                rows["in_height"].append(h)
+                rows["width"].append(ow)
+                rows["height"].append(oh)
+                rows["px_sum"].append(int(q.sum()))
+                rows["px_min"].append(int(q.min()))
+                rows["px_max"].append(int(q.max()))
+            yield pd.DataFrame(rows)
 
-    return media.mapInPandas(rs, schema=_RESIZED_SCHEMA)
+    return media.mapInPandas(rs, schema=_RESIZE_STATS_SCHEMA)
 
 
-def feature_embed(media: DataFrame, dim: int = 16) -> DataFrame:
-    """Deterministic pseudo feature extraction: payload → unit-free
-    double vector derived from SHA-256 bytes.
+def raster_hist_features(
+    media: DataFrame, bins: int = 16, parse=_parse_pgm
+) -> DataFrame:
+    """REAL feature extraction over DECODED rasters: the intensity
+    histogram share vector (count of pixels per equal-width bin /
+    n_pixels) — the classic codebook-free image descriptor.
 
-    STUB for a vision/audio encoder forward pass; the output column
-    is a real ``array<double>`` that feeds the similarity operators
-    (operators/similarity.py) unchanged — multimodal ingest and ANN
-    share one vector pipeline."""
+    The output is ``array<double>`` feeding the shared similarity
+    operators (operators/similarity.py) unchanged, so multimodal
+    ingest and text/embedding ANN share one vector pipeline — now on
+    genuine pixel content rather than payload hashes.  Each share is
+    ONE IEEE division of two exact integers, so the DuckDB oracle
+    reproduces every feature bit-for-bit."""
 
     def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
+        import numpy as np
 
         for pdf in batches:
-            feats = [
-                [
-                    (digest[i % 32] - 127.5) / 127.5
-                    for i in range(dim)
-                ]
-                for digest in (
-                    hashlib.sha256(bytes(p)).digest() for p in pdf["payload"]
-                )
-            ]
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "features": feats}
-            )
+            ids, feats = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                a = _raster_array(bytes(payload), parse).ravel()
+                counts = np.bincount(a * bins // 256, minlength=bins)
+                feats.append((counts / float(a.size)).tolist())
+                ids.append(media_id)
+            yield pd.DataFrame({"media_id": ids, "features": feats})
 
     return media.mapInPandas(fe, schema=_FEATURES_SCHEMA)
+
+
+def raster_moments(media: DataFrame, parse=_parse_pgm) -> DataFrame:
+    """REAL raster moments + coarse histogram over DECODED pixels:
+    n, Σp, Σp² (the exact-integer sufficient statistics for mean and
+    variance) and four 64-intensity-wide bin counts — the per-image
+    summary a curation filter needs (flag near-black / blown-out /
+    low-contrast images) without ever shipping a raster off the
+    scanning task.  Exact integers end to end; oracle-replayable."""
+
+    def mo(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k.name: [] for k in _MOMENTS_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                a = _raster_array(bytes(payload), parse).ravel()
+                counts = np.bincount(a >> 6, minlength=4)
+                rows["media_id"].append(media_id)
+                rows["n_pixels"].append(int(a.size))
+                rows["px_sum"].append(int(a.sum()))
+                rows["px_sum_sq"].append(int((a * a).sum()))
+                for j in range(4):
+                    rows[f"b{j}"].append(int(counts[j]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(mo, schema=_MOMENTS_SCHEMA)
 
 
 _PPM_STATS_SCHEMA = StructType(
@@ -1515,6 +1589,11 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, bytes]:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got {data[pos]:#x}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker code itself — skip them so the byte after the run is
+        # read as the marker, not as segment payload.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1] if pos + 1 < len(data) else None
         if marker is None:
             raise ValueError("truncated JPEG marker")
@@ -1625,6 +1704,10 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, bytes]:
                     break
                 if sym == 0xF0:  # ZRL
                     k += 16
+                    if k > 63:
+                        raise ValueError(
+                            "AC coefficient index out of range"
+                        )
                     continue
                 run, size = sym >> 4, sym & 0x0F
                 k += run

@@ -1,14 +1,17 @@
 """Multimodal-column queries (SURVEY §2c multimodal [X]).
 
-Every stage is oracle-checked, stubs included: the decode / frame /
-resize / feature stubs are MD5- or SHA-256-derived and DuckDB has both
-hash functions, so the oracle replays the exact stub arithmetic in SQL
-— byte windows via ``substring``, digest bytes via hex-nibble math.
-(``documents.text`` is pure ASCII in the testdata — verified across
-all SFs — so VARCHAR ops equal byte ops; the Spark side hashes the
-same UTF-8 payload bytes.)  A future swap of a stub body for a real
-codec (PIL/ffmpeg) swaps the oracle for a golden file; schema,
-batching and partitioning stay identical.
+Every stage is oracle-checked.  The decode/resize/feature pipeline
+runs on GENUINE pixels end to end: seven real codecs
+(PGM/PPM/WAV/PNG/Y4M/GIF/JPEG) produce rasters whose pixel values are
+deterministic functions of doc_id, box-filter resize and histogram /
+moment feature extraction consume those rasters with exact-integer
+arithmetic, and the DuckDB oracle replays the pixel math from doc_id
+alone — never parsing bytes — so agreement proves the whole
+encode→decode→resize→featurize chain.  The two remaining generic
+stubs (``decode_image_meta``, ``frame_sample``) are MD5-derived
+data-flow-shape demos whose oracles replay the digest arithmetic via
+hex-nibble math (``documents.text`` is pure ASCII in the testdata —
+verified across all SFs — so VARCHAR ops equal byte ops).
 """
 
 from __future__ import annotations
@@ -196,38 +199,53 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "mm_resize_shapes",
+    "mm_resize_box_stats",
     """
-    SELECT doc_id AS media_id,
-      CAST(32 AS BIGINT) AS width,
-      CAST(32 AS BIGINT) AS height,
-      CAST(octet_length(encode(rz)) AS BIGINT) AS payload_len,
-      md5(rz) AS payload_md5
-    FROM (
-      SELECT doc_id,
-        substring(
-          repeat(text, CAST(1024 // length(text) + 1 AS BIGINT)),
-          1, 1024) AS rz
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
       FROM documents
+    ),
+    opx AS (
+      SELECT d.doc_id, d.w, d.h,
+        ( (d.doc_id*31 + ((2*g.r)  *d.w + 2*g.c  )*7) % 256
+        + (d.doc_id*31 + ((2*g.r)  *d.w + 2*g.c+1)*7) % 256
+        + (d.doc_id*31 + ((2*g.r+1)*d.w + 2*g.c  )*7) % 256
+        + (d.doc_id*31 + ((2*g.r+1)*d.w + 2*g.c+1)*7) % 256 ) // 4 AS q
+      FROM d CROSS JOIN (
+        SELECT r.r, c.c
+        FROM (SELECT unnest(range(0, 7)) AS r) r
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS c) c
+      ) g
+      WHERE g.r < d.h // 2 AND g.c < d.w // 2
     )
+    SELECT doc_id AS media_id,
+      CAST(w AS BIGINT) AS in_width,
+      CAST(h AS BIGINT) AS in_height,
+      CAST(w // 2 AS BIGINT) AS width,
+      CAST(h // 2 AS BIGINT) AS height,
+      CAST(SUM(q) AS BIGINT) AS px_sum,
+      CAST(MIN(q) AS BIGINT) AS px_min,
+      CAST(MAX(q) AS BIGINT) AS px_max
+    FROM opx GROUP BY 1, 2, 3, 4, 5
     """,
-    doc="Resize stage (mapInPandas): binary in -> fixed 32x32-byte "
-    "binary out, the PIL.resize slot.  The oracle rebuilds the "
-    "cycle-and-truncate payload with repeat+substring and checks both "
-    "the exact-length contract and the content md5.",
+    doc="REAL resize over REAL pixels: synthesize_pgm writes genuine "
+    "binary PGM files, resize_box decodes them and area-average "
+    "(box-filter) downsamples by 2 — each output pixel is "
+    "floor(2x2-block sum / 4), exact integers end to end, ragged "
+    "odd edges cropped (the floor-dims contract of every production "
+    "thumbnailer).  The oracle replays EVERY OUTPUT PIXEL from the "
+    "fixture's pixel formula (p(i) = (id*31 + i*7) % 256 at the four "
+    "source coordinates) without parsing bytes: agreement proves "
+    "encoder, parser, and the resize kernel jointly.  This retires "
+    "the round-6 'resize is a hash stub' caveat — the PIL.resize "
+    "slot now runs on rasters.  100 TB shape: zero-shuffle "
+    "mapInPandas scan, vectorized numpy per Arrow batch.",
 )
-def mm_resize_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hana_bq_beam_connector_spark.operators.multimodal import resize_stub
+def mm_resize_box_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.multimodal import resize_box
 
     d = load_table(spark, sf_dir, "documents")
-    resized = resize_stub(documents_as_media(d), width=32, height=32)
-    return resized.select(
-        "media_id",
-        "width",
-        "height",
-        F.octet_length("payload").cast("long").alias("payload_len"),
-        F.md5("payload").alias("payload_md5"),
-    )
+    return resize_box(synthesize_pgm(d), factor=2)
 
 
 _FEAT_DIM = 16
@@ -244,18 +262,30 @@ def _duck_feat_dot(a: str, b: str) -> str:
     )
 
 
-_DUCK_FEATURES = (
-    "list_transform(range(0, 16), j -> "
-    f"(CAST({_hex_byte('hx', 'j')} AS DOUBLE) - 127.5) / 127.5)"
-)
-
-
 @register(
     "mm_feature_topk",
     f"""
-    WITH fv AS (
-      SELECT doc_id AS media_id, {_DUCK_FEATURES} AS features
-      FROM (SELECT doc_id, sha256(text) AS hx FROM documents)
+    WITH d AS (
+      SELECT doc_id, (8 + doc_id % 9) * (8 + doc_id % 7) AS npix
+      FROM documents
+    ),
+    hist AS (
+      SELECT d.doc_id, d.npix,
+             ((d.doc_id * 31 + s.i * 7) % 256) // 16 AS bin,
+             COUNT(*) AS cnt
+      FROM d CROSS JOIN (SELECT unnest(range(0, 224)) AS i) s
+      WHERE s.i < d.npix GROUP BY 1, 2, 3
+    ),
+    fv AS (
+      SELECT b.doc_id AS media_id, list(b.share ORDER BY b.j) AS features
+      FROM (
+        SELECT d.doc_id, j.j,
+          CAST(COALESCE(h.cnt, 0) AS DOUBLE) / CAST(d.npix AS DOUBLE)
+            AS share
+        FROM d CROSS JOIN (
+          SELECT unnest(range(0, {_FEAT_DIM})) AS j) j
+        LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = j.j
+      ) b GROUP BY 1
     ),
     unitf AS (
       SELECT media_id,
@@ -277,18 +307,21 @@ _DUCK_FEATURES = (
       ) AS rank FROM scored
     ) WHERE rank <= 3
     """,
-    doc="Feature-extract -> similarity composition: the encoder STUB "
-    "(SHA-256-derived 16-dim vectors) emits array<double> features "
-    "that flow straight into the shared cosine top-k operator — "
-    "multimodal ingest and text/embedding ANN share one vector "
-    "pipeline (the 100 TB shape: encode once, broadcast queries, "
-    "never cross-join).  The oracle replays digest bytes, "
-    "normalization fold and ranking bit-for-bit.",
+    doc="Feature-extract -> similarity composition over REAL pixels: "
+    "raster_hist_features decodes the genuine PGM payloads and emits "
+    "16-bin intensity-histogram share vectors (each share one IEEE "
+    "division of two exact integers) that flow straight into the "
+    "shared cosine top-k operator — multimodal ingest and "
+    "text/embedding ANN share one vector pipeline (the 100 TB shape: "
+    "encode once, broadcast queries, never cross-join).  The oracle "
+    "replays the histogram from the fixture's pixel formula, the "
+    "normalization fold, and the ranking bit-for-bit — this retires "
+    "the round-6 'features are hash stubs' caveat.",
 )
 def mm_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hana_bq_beam_connector_spark.operators._common import persist_reused
     from hana_bq_beam_connector_spark.operators.multimodal import (
-        feature_embed,
+        raster_hist_features,
     )
     from hana_bq_beam_connector_spark.operators.similarity import cosine_topk
 
@@ -298,7 +331,7 @@ def mm_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas stage — at scale that doubles the single most
     # expensive step of the pipeline (the model forward pass).
     feats = persist_reused(
-        feature_embed(documents_as_media(d), dim=_FEAT_DIM)
+        raster_hist_features(synthesize_pgm(d), bins=_FEAT_DIM)
     )
     queries = feats.where(F.col("media_id") < 10)
     return cosine_topk(
@@ -638,3 +671,54 @@ def mm_wav_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return wav_frame_features(synthesize_wav(d))
+
+
+@register(
+    "mm_jpeg_raster_moments",
+    """
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 4 AS nbx, 2 + doc_id % 3 AS nby
+      FROM documents
+    ),
+    b AS (
+      SELECT d.doc_id, d.nbx, d.nby,
+             (d.doc_id * 31 + s.b * 17) % 256 AS v
+      FROM d CROSS JOIN (SELECT unnest(range(0, 20)) AS b) s
+      WHERE s.b < d.nbx * d.nby
+    )
+    SELECT doc_id AS media_id,
+      CAST(64 * COUNT(*) AS BIGINT) AS n_pixels,
+      CAST(64 * SUM(v) AS BIGINT) AS px_sum,
+      CAST(64 * SUM(v * v) AS BIGINT) AS px_sum_sq,
+      CAST(64 * SUM(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS b0,
+      CAST(64 * SUM(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END)
+        AS BIGINT) AS b1,
+      CAST(64 * SUM(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END)
+        AS BIGINT) AS b2,
+      CAST(64 * SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END)
+        AS BIGINT) AS b3
+    FROM b GROUP BY 1
+    """,
+    doc="REAL feature moments over the LOSSY decode path: "
+    "synthesize_jpeg's baseline JFIF payloads run through the full "
+    "Huffman+IDCT decode, then raster_moments reduces the decoded "
+    "pixels to the exact-integer sufficient statistics a curation "
+    "filter needs — n, Σp, Σp² (mean/variance) and four coarse "
+    "intensity-bin counts (near-black / blown-out / low-contrast "
+    "flags).  The block-constant fixture corpus makes decode(encode) "
+    "the identity, so each 8x8 block contributes 64 copies of "
+    "v(b) = (id*31 + b*17) % 256 and the oracle replays every moment "
+    "from doc_id alone — proving codec AND featurizer jointly.  "
+    "100 TB shape: zero-shuffle mapInPandas scan; features are "
+    "O(1) per image, rasters never leave the scanning task.",
+)
+def mm_jpeg_raster_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _parse_jpeg,
+        raster_moments,
+        synthesize_jpeg,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return raster_moments(synthesize_jpeg(d), parse=_parse_jpeg)

@@ -483,13 +483,18 @@ def stat_spearman_qty_discount(
                 + 1
                 - (F.sum("c").over(w_all) + 1)
             ).alias("cr"),
+            F.count(F.lit(1)).over(w_all).alias("nd"),
         )
 
     rx = rank_table("l_quantity").select(
-        F.col("v").alias("vx"), F.col("cr").alias("crx")
+        F.col("v").alias("vx"),
+        F.col("cr").alias("crx"),
+        F.col("nd").alias("ndx"),
     )
     ry = rank_table("l_discount").select(
-        F.col("v").alias("vy"), F.col("cr").alias("cry")
+        F.col("v").alias("vy"),
+        F.col("cr").alias("cry"),
+        F.col("nd").alias("ndy"),
     )
     dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     m = (
@@ -497,6 +502,8 @@ def stat_spearman_qty_discount(
         .join(F.broadcast(ry), li["l_discount"] == ry["vy"])
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.max("ndx").alias("ndx"),
+            F.max("ndy").alias("ndy"),
             F.sum(dec("crx") * dec("cry"))
             .cast("decimal(38,0)")
             .alias("sxy"),
@@ -508,11 +515,15 @@ def stat_spearman_qty_discount(
             .alias("syy"),
         )
     )
-    # Every-mode scale guard: past n ~ 4.6e12 the DECIMAL(38,0)
+    # Every-mode scale guards: past n ~ 4.6e12 the DECIMAL(38,0)
     # moments exceed their exactness bound (|moment| <= n^3 <= 10^38)
     # — ANSI raises on the sum, but a non-ANSI session would return a
-    # silent NULL.  raise_error fires regardless of session mode; at
-    # every realistic SF the branch is never taken, so the oracle
+    # silent NULL.  And the whole formulation PREMISES low cardinality:
+    # the cum-count rank table runs through a single-task unpartitioned
+    # window, so a high-cardinality column would silently funnel its
+    # distinct frame through one task — refuse loudly at 1e4 distinct
+    # values instead.  raise_error fires regardless of session mode; at
+    # every realistic SF neither branch is taken, so the oracle
     # comparison is unaffected.
     rho = (
         "CAST(sxy AS DOUBLE)"
@@ -521,7 +532,12 @@ def stat_spearman_qty_discount(
     return m.select(
         "n",
         F.expr(
-            "CASE WHEN n > 4600000000000 THEN raise_error("
+            "CASE WHEN ndx > 10000 OR ndy > 10000 THEN raise_error("
+            "'stat_spearman_qty_discount: the rank-factorization "
+            "formulation needs <= 1e4 DISTINCT values per column "
+            "(single-task cum-count window); quantize the column into "
+            "bands or shard by group before ranking') "
+            "WHEN n > 4600000000000 THEN raise_error("
             "'stat_spearman_qty_discount: exact DECIMAL(38,0) rank "
             "moments need n <= ~4.6e12 rows (|moment| <= n^3); shard "
             "by group, sample, or quantize ranks before going wider') "
@@ -726,6 +742,7 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = r.agg(
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum(F.col("c") - F.col("c1")).cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
         F.sum(
             F.col("c1").cast("decimal(19,0)")
             * F.col("cr2").cast("decimal(19,0)")
@@ -739,6 +756,7 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = m.select(
         "n1",
         "n2",
+        "nd",
         (
             F.col("r1_2")
             - F.col("n1").cast("decimal(19,0)") * (F.col("n1") + 1)
@@ -756,10 +774,17 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(n1 + n2 AS DOUBLE)"
         " * (CAST(n1 + n2 AS DOUBLE) - 1))))"
     )
-    # Loud envelope guard (decimal exactness: n^3 within DECIMAL(36)):
-    # past ~1e12 rows shard by group before ranking.
+    # Loud envelope guards: decimal exactness (n^3 within DECIMAL(36),
+    # past ~1e12 rows shard by group before ranking) AND the
+    # low-cardinality premise (the cum-count window is single-task —
+    # refuse past 1e4 distinct values instead of silently funneling
+    # the distinct frame through one task).
     guarded_z = (
-        "CASE WHEN n1 + n2 >= 1000000000000 THEN raise_error("
+        "CASE WHEN nd > 10000 THEN raise_error("
+        "'stat_mannwhitney_u: the rank-factorization formulation "
+        "needs <= 1e4 DISTINCT values (single-task cum-count window); "
+        "quantize into bands or shard by group before ranking') "
+        "WHEN n1 + n2 >= 1000000000000 THEN raise_error("
         "'stat_mannwhitney_u: exact decimal rank moments need "
         "n <= ~1e12 rows; shard by group before ranking') "
         f"ELSE {z} END"
@@ -835,6 +860,7 @@ def stat_gini_coefficient_qty(
     m = r.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.max("v").cast("bigint").alias("max_v"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
         F.sum(F.col("v").cast("decimal(19,0)") * F.col("c"))
         .cast("decimal(38,0)")
         .alias("sx"),
@@ -857,7 +883,12 @@ def stat_gini_coefficient_qty(
         " - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE)"
     )
     guarded = (
-        "CASE WHEN n >= 1000000000000 OR max_v >= 1000000000000 THEN "
+        "CASE WHEN nd > 10000 THEN raise_error("
+        "'stat_gini_coefficient_qty: the rank-factorization "
+        "formulation needs <= 1e4 DISTINCT values (single-task "
+        "cum-count window); quantize into bands or shard by group "
+        "before ranking') "
+        "WHEN n >= 1000000000000 OR max_v >= 1000000000000 THEN "
         "raise_error('stat_gini_coefficient_qty: exact decimal rank "
         "moments need n < 1e12 rows and values < 1e12; shard by "
         "group or rescale the measure before going wider') "

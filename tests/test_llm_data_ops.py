@@ -371,33 +371,66 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert len(exact & ivf) / len(exact) >= 0.7
 
 
-def test_resize_stub_exact_length_and_determinism(spark):
+def test_resize_box_matches_naive_python(spark):
+    """resize_box vs a per-pixel pure-Python box filter on the same
+    decoded rasters — an oracle-independent reference for the kernel
+    (crop of ragged odd edges included: PGM dims 8..16 x 8..14 hit
+    odd widths AND odd heights)."""
     from hana_bq_beam_connector_spark.operators.multimodal import (
-        documents_as_media,
-        resize_stub,
+        resize_box,
+        synthesize_pgm,
     )
 
-    d = load_table(spark, SF, "documents").limit(50)
-    r1 = resize_stub(documents_as_media(d), width=8, height=8).collect()
-    r2 = resize_stub(documents_as_media(d), width=8, height=8).collect()
-    assert all(len(bytes(r["payload"])) == 64 for r in r1)
-    assert {(r["media_id"], bytes(r["payload"])) for r in r1} == {
-        (r["media_id"], bytes(r["payload"])) for r in r2
+    d = load_table(spark, SF, "documents").limit(60)
+    got = {
+        r["media_id"]: r.asDict()
+        for r in resize_box(synthesize_pgm(d), factor=2).collect()
     }
+    for mid in got:
+        w, h = 8 + mid % 9, 8 + mid % 7
+        px = [(mid * 31 + i * 7) % 256 for i in range(w * h)]
+        ow, oh = w // 2, h // 2
+        q = [
+            (
+                px[(2 * r) * w + 2 * c]
+                + px[(2 * r) * w + 2 * c + 1]
+                + px[(2 * r + 1) * w + 2 * c]
+                + px[(2 * r + 1) * w + 2 * c + 1]
+            )
+            // 4
+            for r in range(oh)
+            for c in range(ow)
+        ]
+        row = got[mid]
+        assert (row["in_width"], row["in_height"]) == (w, h)
+        assert (row["width"], row["height"]) == (ow, oh)
+        assert row["px_sum"] == sum(q)
+        assert row["px_min"] == min(q)
+        assert row["px_max"] == max(q)
 
 
-def test_feature_embed_feeds_similarity(spark):
+def test_raster_hist_features_feed_similarity(spark):
+    """Real histogram features: shares match a pure-Python histogram
+    of the fixture pixels, sum to ~1, and flow into the shared cosine
+    top-k operator unchanged."""
     from hana_bq_beam_connector_spark.operators.multimodal import (
-        documents_as_media,
-        feature_embed,
+        raster_hist_features,
+        synthesize_pgm,
     )
     from hana_bq_beam_connector_spark.operators.similarity import cosine_topk
 
     d = load_table(spark, SF, "documents").limit(100)
-    feats = feature_embed(documents_as_media(d), dim=16)
-    row = feats.first()
-    assert len(row["features"]) == 16
-    assert all(-1.0 <= x <= 1.0 for x in row["features"])
+    feats = raster_hist_features(synthesize_pgm(d), bins=16)
+    rows = feats.collect()
+    for r in rows[:20]:
+        mid = r["media_id"]
+        w, h = 8 + mid % 9, 8 + mid % 7
+        px = [(mid * 31 + i * 7) % 256 for i in range(w * h)]
+        want = [
+            sum(1 for p in px if p // 16 == j) / (w * h) for j in range(16)
+        ]
+        assert r["features"] == want
+        assert abs(sum(r["features"]) - 1.0) < 1e-12
     topk = cosine_topk(
         feats.where(F.col("media_id") < 5),
         feats,
@@ -408,6 +441,35 @@ def test_feature_embed_feeds_similarity(spark):
     out = topk.collect()
     assert len(out) == 5 * 3
     assert all(r["cand_id"] != r["query_id"] for r in out)
+
+
+def test_raster_moments_jpeg_matches_naive(spark):
+    """raster_moments over the JPEG decode path vs the block-constant
+    fixture arithmetic (64 copies of v(b) per 8x8 block)."""
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _parse_jpeg,
+        raster_moments,
+        synthesize_jpeg,
+    )
+
+    d = load_table(spark, SF, "documents").limit(40)
+    got = {
+        r["media_id"]: r.asDict()
+        for r in raster_moments(
+            synthesize_jpeg(d), parse=_parse_jpeg
+        ).collect()
+    }
+    for mid in got:
+        nbx, nby = 2 + mid % 4, 2 + mid % 3
+        vs = [(mid * 31 + b * 17) % 256 for b in range(nbx * nby)]
+        row = got[mid]
+        assert row["n_pixels"] == 64 * len(vs)
+        assert row["px_sum"] == 64 * sum(vs)
+        assert row["px_sum_sq"] == 64 * sum(v * v for v in vs)
+        for j in range(4):
+            assert row[f"b{j}"] == 64 * sum(
+                1 for v in vs if v // 64 == j
+            )
 
 
 def test_near_dup_clusters_transitive(spark):
@@ -451,9 +513,10 @@ def test_near_dup_clusters_reliable_checkpoint(spark, tmp_path):
 
 _MM_GOLDEN_SF0001 = {
     "mm_decode_image_meta": (500, "5056914ad9800bb6e72540e088919bf1"),
-    "mm_resize_shapes": (500, "a96fe30288549128a0db56500e7a038f"),
+    "mm_resize_box_stats": (500, "361a0dc3a83146ad6748136538d4b2ac"),
     "mm_frame_sample": (2000, "e6b766b8cc7e472bd6b2e9891ed954e5"),
-    "mm_feature_topk": (30, "3edf4d61ff109cb57738627ed789d306"),
+    "mm_feature_topk": (30, "93ea26835b1980d9db00ad26e1117f77"),
+    "mm_jpeg_raster_moments": (500, "0fb27c05760962629f537853424757f9"),
 }
 
 
@@ -461,8 +524,9 @@ _MM_GOLDEN_SF0001 = {
 def test_multimodal_golden_hashes(spark, sf_dir, name):
     """The multimodal queries are pinned by golden value-hashes at
     sf0.001 in addition to their DuckDB oracles — a second,
-    oracle-independent regression gate over the stub arithmetic.  (Hashes are a pure function of the
-    seed-42 testdata and the deterministic MD5 stubs.)"""
+    oracle-independent regression gate.  (Hashes are a pure function
+    of the seed-42 testdata and the deterministic codec / resize /
+    feature arithmetic.)"""
     import hashlib
     import os
 

@@ -1432,3 +1432,147 @@ def test_stream_srm_monitor_equals_batch(spark, stream_dir, tmp_path):
         for r in stream_srm_monitor(spark, SF).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_apply_cdc_crash_between_stage_and_swap(
+    spark, tmp_path, monkeypatch
+):
+    """Induced crash INSIDE the publish protocol: batch 2's epoch
+    directory is fully staged but the process dies before the pointer
+    swap (os.replace raises).  Readers must keep seeing batch 1's
+    snapshot — never a torn one — and a restart from the same
+    checkpoint must replay batch 2 and converge to the exact batch
+    result."""
+    import os as _os
+
+    from hana_bq_beam_connector_spark.plans.cdc import apply_cdc
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        read_cdc_snapshot,
+        stream_apply_cdc,
+    )
+
+    src = tmp_path / "crash_cdc_in"
+    src.mkdir()
+    schema = "k long, v string, op string"
+    batch1 = [(1, "a", "I"), (2, "b", "I"), (3, "c", "I")]
+    batch2 = [(2, "B", "U"), (3, None, "D"), (9, "i", "I")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+
+    def make_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+
+    snap_dir = str(tmp_path / "crash_snap")
+    ckpt = str(tmp_path / "crash_ckpt")
+
+    real_replace = _os.replace
+    swaps = {"n": 0}
+
+    def crashing_replace(s, d):
+        if str(d).endswith("CURRENT"):
+            swaps["n"] += 1
+            if swaps["n"] == 2:  # die mid-publish of the SECOND batch
+                raise OSError("injected crash before pointer swap")
+        return real_replace(s, d)
+
+    monkeypatch.setattr(_os, "replace", crashing_replace)
+    q = stream_apply_cdc(make_stream(), snap_dir, key="k", checkpoint=ckpt)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+
+    # Torn-snapshot check: the staged-but-unswapped epoch must be
+    # invisible — the pointer still names batch 1's epoch, and reading
+    # through it yields exactly the after-batch-1 state.
+    monkeypatch.setattr(_os, "replace", real_replace)
+    got_mid = {
+        (r["k"], r["v"])
+        for r in read_cdc_snapshot(spark, snap_dir).collect()
+    }
+    assert got_mid == {(1, "a"), (2, "b"), (3, "c")}
+    with open(f"{snap_dir}/CURRENT") as fh:
+        assert fh.read().strip().endswith("v0")
+    assert _os.path.isdir(f"{snap_dir}/v1")  # staged orphan epoch
+
+    # Restart from the same checkpoint: batch 2 never committed, so it
+    # replays, overwrites its own orphan epoch, and swaps cleanly.
+    q2 = stream_apply_cdc(make_stream(), snap_dir, key="k", checkpoint=ckpt)
+    q2.awaitTermination()
+    got = {
+        (r["k"], r["v"])
+        for r in read_cdc_snapshot(spark, snap_dir).collect()
+    }
+    base0 = spark.createDataFrame([], "k long, v string")
+    want_df = apply_cdc(
+        apply_cdc(base0, spark.createDataFrame(batch1, schema), "k"),
+        spark.createDataFrame(batch2, schema),
+        "k",
+    )
+    want = {(r["k"], r["v"]) for r in want_df.collect()}
+    assert got == want == {(1, "a"), (2, "B"), (9, "i")}
+
+
+def test_compact_dedup_index_crash_before_rename(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Induced crash in the compactor: the merged directory is staged
+    at the dotted temp path but the process dies before os.rename.
+    The sources must survive untouched (no data loss), the temp must
+    be invisible to the sink's batch_* listing, and a re-run must
+    clear the stale temp and converge."""
+    import os as _os
+
+    from hana_bq_beam_connector_spark.streaming.sinks import (
+        compact_dedup_index,
+    )
+
+    root = tmp_path / "idx" / "sh"
+    root.mkdir(parents=True)
+    rows1 = [(1, 11), (2, 22)]
+    rows2 = [(3, 33)]
+    spark.createDataFrame(rows1, "doc_id long, h long").write.parquet(
+        str(root / "batch_0")
+    )
+    spark.createDataFrame(rows2, "doc_id long, h long").write.parquet(
+        str(root / "batch_1")
+    )
+
+    real_rename = _os.rename
+
+    def crashing_rename(s, d):
+        if "/batch_compacted_" in str(d).replace("\\", "/"):
+            raise OSError("injected crash before compaction rename")
+        return real_rename(s, d)
+
+    monkeypatch.setattr(_os, "rename", crashing_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        compact_dedup_index(spark, str(tmp_path / "idx"))
+
+    # Crash aftermath: all sources intact, temp staged but dotted
+    # (invisible to any 'batch_*' listing), no half-written dest.
+    monkeypatch.setattr(_os, "rename", real_rename)
+    entries = sorted(_os.listdir(root))
+    assert "batch_0" in entries and "batch_1" in entries
+    assert ".tmp_compacted_1" in entries
+    assert not any(e.startswith("batch_compacted") for e in entries)
+
+    # Re-run converges: stale temp cleared, sources folded into the
+    # compacted dir, and the row multiset is preserved exactly.
+    stats = compact_dedup_index(spark, str(tmp_path / "idx"))
+    assert stats["sh"] == 2
+    entries = sorted(_os.listdir(root))
+    assert "batch_compacted_1" in entries
+    assert ".tmp_compacted_1" not in entries
+    assert "batch_0" not in entries and "batch_1" not in entries
+    got = sorted(
+        (r["doc_id"], r["h"])
+        for r in spark.read.parquet(str(root / "batch_compacted_1")).collect()
+    )
+    assert got == [(1, 11), (2, 22), (3, 33)]

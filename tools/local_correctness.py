@@ -35,8 +35,21 @@ def main() -> int:
         else os.path.join(REPO, "CORRECTNESS_local.json")
     )
     # Plain session on purpose — mirrors the driver harness, which does
-    # not apply our session.py confs.
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    # not apply our session.py confs.  SPARK_GRAFT_ANSI=1 runs the same
+    # full-registry comparison under spark.sql.ansi.enabled=true — the
+    # determinism doctrine claims every-session-mode behavior (guards
+    # raise regardless of ANSI; no query result may shift), and this
+    # flag turns that claim into an artifact
+    # (CORRECTNESS_local_ansi.json) instead of per-guard unit tests.
+    builder = SparkSession.builder.master("local[8]")
+    if os.environ.get("SPARK_GRAFT_ANSI") == "1":
+        builder = builder.config("spark.sql.ansi.enabled", "true")
+    spark = builder.getOrCreate()
+    if os.environ.get("SPARK_GRAFT_ANSI") == "1":
+        # getOrCreate may have attached to an existing session; make
+        # the mode unconditional either way.
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true"
     con = duckdb_connection(sf_dir)
 
     results: dict[str, dict] = {}
