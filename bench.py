@@ -140,6 +140,8 @@ HEADLINE = [
     # round-7 additions
     "mm_resize_box_stats",        # REAL box-filter resize over rasters
     "mm_jpeg_raster_moments",     # REAL moments over JPEG decode path
+    "mm_wav_downsample_stats",    # REAL audio decimation (box sums)
+    "mm_resized_feature_topk",    # decode->resize->re-encode->feat->ANN
 ]
 
 

@@ -488,6 +488,131 @@ def raster_hist_features(
     return media.mapInPandas(fe, schema=_FEATURES_SCHEMA)
 
 
+def resize_box_payload(
+    media: DataFrame, factor: int = 2, parse=_parse_pgm
+) -> DataFrame:
+    """Box-filter downsample that RE-ENCODES the resized raster as a
+    genuine PGM payload — the thumbnail-store shape (decode → resize
+    → write back a real image), and the composition glue that lets
+    any raster consumer (``raster_hist_features``, ``raster_moments``,
+    ``decode_pgm``) run on resized output through the same codec
+    contract it uses for originals.  Same kernel as
+    :func:`resize_box`; output frame matches the media-table shape
+    (media_id, payload, media_type, byte_len)."""
+    if factor < 1:
+        raise ValueError(f"resize factor must be >= 1, got {factor}")
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                a = _raster_array(bytes(payload), parse)
+                h, w = a.shape
+                oh, ow = h // factor, w // factor
+                if oh == 0 or ow == 0:
+                    raise ValueError(
+                        f"image {w}x{h} smaller than box factor {factor}"
+                    )
+                q = (
+                    a[: oh * factor, : ow * factor]
+                    .reshape(oh, factor, ow, factor)
+                    .sum(axis=(1, 3))
+                    // (factor * factor)
+                ).astype(np.uint8)
+                ids.append(media_id)
+                payloads.append(
+                    b"P5\n%d %d\n255\n" % (ow, oh) + q.tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "media_type": "image/x-portable-graymap",
+                    "byte_len": [len(p) for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(
+        rs,
+        schema=StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("payload", BinaryType()),
+                StructField("media_type", StringType()),
+                StructField("byte_len", LongType()),
+            ]
+        ),
+    )
+
+
+_WAV_DECIMATE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate_in", LongType()),
+        StructField("sample_rate_out", LongType()),
+        StructField("n_in", LongType()),
+        StructField("n_out", LongType()),
+        StructField("abs_sum", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def wav_decimate_box(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio downsample over DECODED samples — the audio twin of
+    :func:`resize_box`: each output sample is the SUM of ``factor``
+    consecutive PCM16 samples (an unnormalized box/anti-alias
+    accumulator — integer-exact, no division, so the SQL oracle
+    replays every output sample; a playback path would shift right by
+    log2(factor)).  Ragged tails crop (``n_out = n_in // factor``)
+    and the nominal rate divides by ``factor``.  Emits exact stats of
+    the decimated stream; vectorized numpy per Arrow batch."""
+    if factor < 1:
+        raise ValueError(f"decimation factor must be >= 1, got {factor}")
+
+    def dc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k.name: [] for k in _WAV_DECIMATE_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    ch, width, rate, n = (
+                        w.getnchannels(),
+                        w.getsampwidth(),
+                        w.getframerate(),
+                        w.getnframes(),
+                    )
+                    if ch != 1 or width != 2:
+                        raise ValueError(
+                            f"wav_decimate_box: media {media_id} is "
+                            f"{ch}ch/{8 * width}-bit; only mono PCM16 "
+                            "is supported"
+                        )
+                    pcm = struct.unpack(f"<{n}h", w.readframes(n))
+                a = np.asarray(pcm, dtype=np.int64)
+                n_out = n // factor
+                q = a[: n_out * factor].reshape(n_out, factor).sum(axis=1)
+                rows["media_id"].append(media_id)
+                rows["sample_rate_in"].append(rate)
+                rows["sample_rate_out"].append(rate // factor)
+                rows["n_in"].append(n)
+                rows["n_out"].append(n_out)
+                rows["abs_sum"].append(int(np.abs(q).sum()))
+                rows["peak"].append(
+                    int(np.abs(q).max()) if n_out else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(dc, schema=_WAV_DECIMATE_SCHEMA)
+
+
 def raster_moments(media: DataFrame, parse=_parse_pgm) -> DataFrame:
     """REAL raster moments + coarse histogram over DECODED pixels:
     n, Σp, Σp² (the exact-integer sufficient statistics for mean and

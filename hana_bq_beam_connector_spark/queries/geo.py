@@ -155,6 +155,16 @@ def geo_bbox_segment_profile(
 
 _R = 2000  # neighbor radius; cell size == radius -> 3x3 neighborhood
 _R2 = _R * _R
+# Density envelope: a fixed-radius neighbor join is Θ(density²) in
+# BOTH candidates and TRUE OUTPUT — at k points per cell, each cell
+# contributes ~9k²/2 candidate pairs, so 10× the density means ~100×
+# the work AND ~100× the answer (measured: the sf10 spot sweep, 10×
+# points in the same area, ran 103.9× sf1 wall — flat cost per
+# output pair, quadratic pair count).  Past ~256 points/cell the
+# regime is wrong for this grid, so refuse loudly (the repo's
+# envelope doctrine) instead of silently burning a cluster on a
+# quadratic answer.
+_CELL_CAP = 256
 
 
 @register(
@@ -188,9 +198,16 @@ _R2 = _R * _R
     "test (pure BIGINT) keeps true pairs only.  Each pair is found "
     "exactly once (the 3x3 neighborhood of a contains b's unique "
     "cell at most once; k_a < k_b de-mirrors).  Cost O(9n) shuffled "
-    "rows + per-cell candidate verification — never O(n^2); a "
-    "degenerate all-points-one-cell distribution degrades THAT "
-    "cell's task only, and AQE skew-split (session.py) re-plans it.",
+    "rows + per-cell candidate verification — never all-pairs; but "
+    "per-cell work (and the TRUE answer) is Θ(points-per-cell²), so "
+    "a density envelope guard raises loudly past 256 points/cell "
+    "(~300k candidates/cell) naming the remedies — shrink the "
+    "cell/radius, pre-aggregate to cell centroids, or cap per-cell "
+    "candidates.  The sf10 spot sweep measured exactly this regime: "
+    "10× density in a fixed area = 103.9× wall, flat per OUTPUT "
+    "pair; the guard turns that silent quadratic burn into a "
+    "refusal.  A degenerate all-points-one-cell distribution is the "
+    "same guard, not a hung task.",
 )
 def geo_grid_neighbor_pairs(
     spark: SparkSession, sf_dir: str
@@ -218,7 +235,31 @@ def geo_grid_neighbor_pairs(
         (F.col("cx") + F.col("o.dx")).alias("jx"),
         (F.col("cy") + F.col("o.dy")).alias("jy"),
     )
-    a, b = probe.alias("a"), p.alias("b")
+    # Per-cell population (O(cells) rows, map-side combined) rides a
+    # broadcast join onto the build side; the guard wraps a column
+    # every probe consumes, so an overdense cell raises during the
+    # scan — in every session mode — not after it already burned.
+    cell_counts = p.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("cell_n")
+    )
+    b_guarded = (
+        p.join(F.broadcast(cell_counts), ["cx", "cy"])
+        .select(
+            "k",
+            "x",
+            "y",
+            F.expr(
+                f"CASE WHEN cell_n > {_CELL_CAP} THEN raise_error("
+                "'geo_grid_neighbor_pairs: cell population exceeds "
+                f"{_CELL_CAP} — per-cell pair work is quadratic in "
+                "density; shrink the cell/radius (re-grid), "
+                "pre-aggregate to cell centroids, or cap per-cell "
+                "candidates before going denser') ELSE cx END"
+            ).alias("cx"),
+            "cy",
+        )
+    )
+    a, b = probe.alias("a"), b_guarded.alias("b")
     dist = (F.col("a.x") - F.col("b.x")) * (
         F.col("a.x") - F.col("b.x")
     ) + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y"))

@@ -291,3 +291,33 @@ def test_jpeg_byte_corruption_never_hangs_or_malforms(
     except (ValueError, struct.error):
         return  # loud rejection is the preferred outcome
     assert len(out) == w2 * h2 and w2 > 0 and h2 > 0
+
+
+def test_jpeg_fill_bytes_before_marker_tolerated():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker code.  Insert fill runs before segment markers of a valid
+    stream (after SOI, which the two-byte magic check owns) — the
+    decode must be unaffected (round-6 advisor finding: the marker
+    walk previously misread the fill byte as a marker and the next
+    two bytes as a segment length)."""
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _jpeg_encode_raster,
+        _parse_jpeg,
+    )
+
+    w, h, raster = _block_constant_raster(2, 1, [7, 200])
+    data = _jpeg_encode_raster(w, h, raster)
+    assert _parse_jpeg(data) == (w, h, raster)
+    # inject fill bytes before every marker in the header region:
+    # scan for 0xFF <marker!=0x00> pairs outside entropy data — the
+    # header is everything up to (and including) the SOS segment.
+    sos = data.index(b"\xff\xda")
+    out = bytearray(data[:2])  # keep SOI intact
+    i = 2
+    while i < sos:
+        if data[i] == 0xFF:
+            out += b"\xff\xff\xff"  # three fill bytes, then marker
+        out.append(data[i])
+        i += 1
+    out += data[sos:]
+    assert _parse_jpeg(bytes(out)) == (w, h, raster)

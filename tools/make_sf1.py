@@ -22,8 +22,24 @@ real 10× corpus would — bigger, not pathological:
   cross-copy vectors decorrelate;
 * region/nation stay as-is (dimension tables a 10× corpus shares).
 
-Usage: python tools/make_sf1.py [src_dir] [out_dir] [factor]
-Defaults: /root/testdata/sf0.1 → <repo>/.scale/sf1 ×10.
+Usage: python tools/make_sf1.py [src_dir] [out_dir] [factor] [tag]
+Defaults: /root/testdata/sf0.1 → <repo>/.scale/sf1 ×10, tag "c".
+
+CHAINING to a second decade (sf1 → sf10) requires a DIFFERENT ``tag``
+(e.g. "d") and relies on two round-7 fixes, both found by the sf10
+spot sweep:
+
+* text/brand suffixes must not collide across decades: with one tag,
+  copy 0 of the second decade × copy a of the first yields the same
+  suffix chain as copy a × copy 0 (``w_ca``) — ~9% exact-twin
+  documents, a synthesis artifact that inflates every dedup pair
+  count.  Distinct tags (``w_ca_db``) make chains injective.
+* circular shifts alone CANNOT decorrelate 100 copies of a 64-dim
+  vector (pigeonhole: only 64 rotations exist), so chained decades
+  produced exact-twin embeddings whenever shift sums collided mod 64.
+  Each copy now ALSO applies a per-copy deterministic ±1 sign mask
+  (SHA-256-derived, still an orthogonal transform — within-copy
+  geometry exact) so (mask, rotation) pairs never repeat.
 """
 
 from __future__ import annotations
@@ -80,8 +96,26 @@ def _strides(spark: SparkSession, src: str) -> dict[str, int]:
     return out
 
 
+def _sign_mask(tag: str, i: int, dim: int = 64) -> list[int]:
+    """Per-copy deterministic ±1 mask (an orthogonal reflection):
+    SHA-256(tag:i) bits → ±1 per component.  Copy 0 keeps the
+    identity so the first copy is always the untouched source."""
+    import hashlib
+
+    if i == 0:
+        return [1] * dim
+    digest = hashlib.sha256(f"{tag}:{i}".encode()).digest()
+    return [
+        1 - 2 * ((digest[k // 8] >> (k % 8)) & 1) for k in range(dim)
+    ]
+
+
 def _copy(
-    table: str, df: DataFrame, i: int, strides: dict[str, int]
+    table: str,
+    df: DataFrame,
+    i: int,
+    strides: dict[str, int],
+    tag: str = "c",
 ) -> DataFrame:
     out = df
     for fam, cols in KEY_FAMILIES.items():
@@ -92,32 +126,46 @@ def _copy(
                 )
     if table == "documents" and i > 0:
         # Per-copy vocabulary: word_c3 — disjoint shingles per copy.
+        # The tag must differ per chained decade or suffix chains
+        # collide (w + "_c3" == w_c3) and create exact-twin documents.
         out = out.withColumn(
             "text",
             F.array_join(
                 F.transform(
                     F.split(F.col("text"), " "),
-                    lambda w: F.concat(w, F.lit(f"_c{i}")),
+                    lambda w: F.concat(w, F.lit(f"_{tag}{i}")),
                 ),
                 " ",
             ),
         ).withColumn("n_chars", F.length("text").cast("long"))
     if table == "part" and i > 0:
         out = out.withColumn(
-            "p_brand", F.concat(F.col("p_brand"), F.lit(f"_c{i}"))
+            "p_brand", F.concat(F.col("p_brand"), F.lit(f"_{tag}{i}"))
         )
     if table == "embeddings" and i > 0:
-        # Circular shift = orthogonal transform: within-copy geometry
-        # exact, cross-copy decorrelated.
+        # Circular shift + per-copy ±1 sign mask: BOTH are orthogonal
+        # (within-copy geometry exact); the mask is what keeps chained
+        # decades twin-free — 64 rotations alone cannot decorrelate
+        # 100 copies (pigeonhole), measured as exact-twin vectors and
+        # a quadratic pair blow-up in the first sf10 spot sweep.
         s = (2 * i) % 64
+        emb = F.col("embedding")
         if s:
-            out = out.withColumn(
-                "embedding",
-                F.concat(
-                    F.slice("embedding", s + 1, 64 - s),
-                    F.slice("embedding", 1, s),
-                ),
+            emb = F.concat(
+                F.slice("embedding", s + 1, 64 - s),
+                F.slice("embedding", 1, s),
             )
+        mask = _sign_mask(tag, i)
+        # Mask literals carry the embedding's own element type so the
+        # multiply never widens array<float> to array<double> (a
+        # silent schema drift every downstream query would inherit).
+        elem_t = df.schema["embedding"].dataType.elementType.simpleString()
+        mask_arr = F.array(
+            *[F.lit(float(m)).cast(elem_t) for m in mask]
+        )
+        out = out.withColumn(
+            "embedding", F.zip_with(emb, mask_arr, lambda x, m: x * m)
+        )
     return out
 
 
@@ -129,6 +177,7 @@ def main() -> int:
         else os.path.join(REPO, ".scale", "sf1")
     )
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else FACTOR
+    tag = sys.argv[4] if len(sys.argv) > 4 else "c"
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -144,7 +193,9 @@ def main() -> int:
             shutil.copyfile(f"{src}/{table}.parquet", dst)
             continue
         df = spark.read.parquet(f"{src}/{table}.parquet")
-        copies = [_copy(table, df, i, strides) for i in range(factor)]
+        copies = [
+            _copy(table, df, i, strides, tag) for i in range(factor)
+        ]
         union = copies[0]
         for c in copies[1:]:
             union = union.unionByName(c)

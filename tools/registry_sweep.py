@@ -51,6 +51,18 @@ def main() -> int:
     spark = get_spark(app_name="registry_sweep")
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry()
+    # SPARK_GRAFT_SWEEP_ONLY=a,b,c restricts the sweep to named
+    # queries (the sf10 spot-sweep uses this for the highest-risk
+    # subset).  Unknown names fail loudly — a typo'd spot sweep that
+    # silently runs 0 queries would still write a plausible artifact.
+    only = os.environ.get("SPARK_GRAFT_SWEEP_ONLY")
+    if only:
+        wanted = [n for n in only.split(",") if n]
+        unknown = sorted(set(wanted) - set(specs))
+        if unknown:
+            print(f"unknown query names: {unknown}", file=sys.stderr)
+            return 2
+        specs = {k: v for k, v in specs.items() if k in set(wanted)}
 
     def sweep(sf_dir: str) -> dict:
         res: dict[str, object] = {}
@@ -61,9 +73,19 @@ def main() -> int:
                     "overwrite"
                 ).save()
                 res[name] = round(time.perf_counter() - t0, 3)
+                print(
+                    f"  {sf_dir.rstrip('/').rsplit('/', 1)[-1]} "
+                    f"{name}: {res[name]}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
             except Exception as e:  # noqa: BLE001 - loud guards expected
                 res[name] = f"FAIL:{type(e).__name__}"
-                print(f"FAIL {name}: {type(e).__name__}", file=sys.stderr)
+                print(
+                    f"FAIL {name}: {type(e).__name__}",
+                    file=sys.stderr,
+                    flush=True,
+                )
             spark.catalog.clearCache()
         return res
 

@@ -14,7 +14,10 @@ Runs, in order (each step exclusive — no concurrent Spark):
 The sf1 registry sweep (tools/registry_sweep.py, ~1 h) is NOT
 included — run it when plans changed, or rely on `pytest -m sweep`.
 
-Usage: python tools/round_close.py [--skip-bench]
+Usage: python tools/round_close.py [--skip-bench] [--ansi]
+--ansi appends a full-registry ANSI-mode correctness pass
+(SPARK_GRAFT_ANSI=1 -> CORRECTNESS_local_ansi.json), locking the
+every-session-mode determinism doctrine at the final registry.
 Exit nonzero the moment any step fails.
 """
 
@@ -27,18 +30,23 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(argv: list[str], out_path: str | None = None) -> None:
+def run(
+    argv: list[str],
+    out_path: str | None = None,
+    env_extra: dict[str, str] | None = None,
+) -> None:
     print(f"==> {' '.join(argv)}", flush=True)
+    env = {**os.environ, **env_extra} if env_extra else None
     if out_path:
         # Write to a temp file and replace on success: truncating the
         # real artifact before the subprocess runs would destroy the
         # previous good copy on any failure (round-6 review finding).
         tmp = out_path + ".tmp"
         with open(tmp, "w") as fh:
-            subprocess.run(argv, check=True, cwd=REPO, stdout=fh)
+            subprocess.run(argv, check=True, cwd=REPO, stdout=fh, env=env)
         os.replace(tmp, out_path)
     else:
-        subprocess.run(argv, check=True, cwd=REPO)
+        subprocess.run(argv, check=True, cwd=REPO, env=env)
 
 
 def main() -> int:
@@ -62,6 +70,16 @@ def main() -> int:
         steps = [s for s in steps if "bench.py" not in s[0]]
     for argv, out_path in steps:
         run(argv, out_path)
+    if "--ansi" in sys.argv:
+        run(
+            [
+                py,
+                "tools/local_correctness.py",
+                "/root/testdata/sf0.01",
+                os.path.join(REPO, "CORRECTNESS_local_ansi.json"),
+            ],
+            env_extra={"SPARK_GRAFT_ANSI": "1"},
+        )
     print("round_close: all artifacts regenerated")
     return 0
 
