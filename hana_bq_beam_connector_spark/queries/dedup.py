@@ -364,23 +364,51 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_embedding_pairs_sql(
-    threshold: float = 0.4, n_planes: int = 4, n_tables: int = 8
+    threshold: float = 0.4,
+    n_tables: int = 8,
+    target_bucket_size: int = 64,
 ) -> str:
+    """DuckDB replay of embedding_near_dup_pairs with
+    ``n_planes="auto"``: the plane count is computed IN SQL with the
+    identical formula the Spark operator evaluates in Python
+    (max(4, ceil(log2(max(2, n / target))))) — both sides take
+    ceil(log2) of the same exact-integer-derived double, so the
+    chosen plane count (and therefore every bucket id) agrees.  The
+    bucket fold is dynamic in np: Σ_{p<np} (1<<p)·[plane_dot > 0],
+    with the global plane index t·np + p inlined into the plane
+    formula — nested lambdas over a correlated scalar, the same
+    shape the SimHash oracle already exercises."""
     from hana_bq_beam_connector_spark.queries.similarity import (
-        _duck_bucket,
         _duck_dot,
         _duck_unit_cte,
     )
 
-    per_table = "\n      UNION ALL\n      ".join(
-        f"SELECT vec_id, {_duck_bucket('embedding', n_planes, t)} AS bucket, "
-        f"{t} AS table_id FROM embeddings"
-        for t in range(n_tables)
+    plane_dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, 65), i -> "
+        "CAST(e.embedding[i] AS DOUBLE) * "
+        "CAST((((t.t * pa.np + p) * 37 + (i - 1) * 101) % 13) - 6 "
+        "AS DOUBLE))), (acc, v) -> acc + v)"
+    )
+    bucket = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(0, pa.np), p -> "
+        f"CASE WHEN {plane_dot} > 0 "
+        "THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)), "
+        "(acc, v) -> acc + v)"
     )
     return f"""
     WITH {_duck_unit_cte()},
+    pa AS (
+      SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(2.0,
+               COUNT(*) / {target_bucket_size}.0))) AS INTEGER)) AS np
+      FROM embeddings
+    ),
     banded AS (
-      {per_table}
+      SELECT e.vec_id, t.t AS table_id, {bucket} AS bucket
+      FROM embeddings e
+      CROSS JOIN pa
+      CROSS JOIN (SELECT unnest(range(0, {n_tables})) AS t) t
     ),
     cand AS (
       SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
@@ -399,10 +427,17 @@ def _duck_embedding_pairs_sql(
 @register(
     "dedup_embedding_cosine",
     _duck_embedding_pairs_sql(),
-    doc="Embedding-cosine near-dup pairs (semantic dedup): 8-table x "
-    "4-plane LSH blocks the pair space, exact double-fold cosine "
-    ">= 0.4 verifies — equi-joins only, no cross product; recall vs "
-    "the exhaustive pair scan asserted in tests.",
+    doc="Embedding-cosine near-dup pairs (semantic dedup): 8-table "
+    "AUTO-plane LSH blocks the pair space (planes = max(4, "
+    "ceil(log2(n/64))) hold expected bucket occupancy ~constant, so "
+    "candidate volume stays LINEAR in n — the round-7 sf10 spot "
+    "sweep caught the previous fixed-4-plane version going "
+    "quadratic: 16 buckets at any corpus size means within-bucket "
+    "pairs grow n²), exact double-fold cosine >= 0.4 verifies — "
+    "equi-joins only, no cross product; recall vs the exhaustive "
+    "pair scan asserted in tests.  The oracle computes the SAME "
+    "plane count in SQL from the same count, so the dynamic choice "
+    "is itself oracle-gated.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hana_bq_beam_connector_spark.operators.dedup import (
@@ -410,7 +445,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, dim=64, threshold=0.4)
+    return embedding_near_dup_pairs(
+        e, dim=64, threshold=0.4, n_planes="auto", target_bucket_size=64
+    )
 
 
 @register(
@@ -549,7 +586,9 @@ def dedup_semantic_not_lexical(
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(e, dim=64, threshold=0.4)
+    pairs = embedding_near_dup_pairs(
+        e, dim=64, threshold=0.4, n_planes="auto", target_bucket_size=64
+    )
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     da = d.select(
@@ -791,13 +830,18 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_duck_minhash_ctes()},
     dl AS (SELECT doc_id, lang FROM documents),
+    ks AS (
+      SELECT GREATEST(10, CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT)) AS k
+      FROM documents
+    ),
     truth AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM xs a
       JOIN xs b ON a.doc_id < b.doc_id
       JOIN dl la ON la.doc_id = a.doc_id
       JOIN dl lb ON lb.doc_id = b.doc_id AND la.lang = lb.lang
-      WHERE a.doc_id % 10 = 0
+      CROSS JOIN ks
+      WHERE a.doc_id % ks.k = 0
         AND CAST(len(list_intersect(a.hashes, b.hashes)) AS DOUBLE)
           / CAST(len(list_distinct(list_concat(a.hashes, b.hashes)))
                  AS DOUBLE) >= 0.8
@@ -807,7 +851,8 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM verified v
       JOIN dl la ON la.doc_id = v.id_a
       JOIN dl lb ON lb.doc_id = v.id_b AND la.lang = lb.lang
-      WHERE v.id_a % 10 = 0
+      CROSS JOIN ks
+      WHERE v.id_a % ks.k = 0
     ),
     merged AS (
       SELECT CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth,
@@ -826,13 +871,20 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="MinHash-LSH recall audit (the dedup twin of "
     "sim_ann_recall_report): ground truth is exact shingle-set "
-    "Jaccard >= 0.8 on a deterministic 10% left-sample blocked by "
-    "lang (brute force stays bounded: sample x same-lang block, "
-    "never all-pairs); candidates are the production LSH pipeline "
-    "restricted to the same universe.  Full-outer merge -> one-row "
-    "report (truth/candidate/hit counts + recall as one IEEE "
-    "division).  This measures exactly what banding loses — with "
-    "16 hashes / 4 bands, expected recall at j=0.8 is ~0.93; a "
+    "Jaccard >= 0.8 on a deterministic FIXED-SIZE left-sample "
+    "(doc_id % K == 0 with K = max(10, ceil(n/5000)) — ~5000 sampled "
+    "queries at any corpus size) blocked by lang; candidates are the "
+    "production LSH pipeline restricted to the same universe.  The "
+    "adaptive divisor is the round-7 fix for the second quadratic "
+    "the sf10 spot sweep exposed: a CONSTANT-FRACTION sample against "
+    "a fixed-cardinality lang block is still Θ(n²) pair work (the "
+    "sf1 ratio 7.39 slid under the 12x bar; sf10 hung).  K is "
+    "computed from the same COUNT(*) by both engines, so the "
+    "data-dependent sample is itself oracle-gated — and unchanged at "
+    "the driver/bench SFs (n ≤ 50k keeps K = 10).  Full-outer merge "
+    "-> one-row report (truth/candidate/hit counts + recall as one "
+    "IEEE division).  This measures exactly what banding loses — "
+    "with 16 hashes / 4 bands, expected recall at j=0.8 is ~0.93; a "
     "regression here means the banding parameters drifted.",
 )
 def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -845,6 +897,14 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
+    # Fixed-SIZE truth sample: the divisor scales with the corpus so
+    # the brute-force truth side stays ~5000 queries x same-lang
+    # block — linear in n — instead of a constant fraction against a
+    # fixed-cardinality block (Θ(n²), the sf10 hang).  Same formula
+    # the oracle evaluates from the same count.
+    import math
+
+    k_div = max(10, math.ceil(d.count() / 5000.0))
     # ONE shingle pass feeds both the exact-truth brute force and the
     # LSH pipeline (signatures + both verify sides) — without the
     # shared persist the shingle stage executes twice.
@@ -854,7 +914,7 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    a = hashed.where(F.col("doc_id") % 10 == 0).select(
+    a = hashed.where(F.col("doc_id") % k_div == 0).select(
         F.col("doc_id").alias("id_a"),
         F.col("lang").alias("lang_a"),
         F.col("shingle_hashes").alias("sh_a"),
@@ -890,7 +950,7 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shingle_hashes").alias("sh_b"),
     )
     lsh = (
-        cands.where(F.col("id_a") % 10 == 0)
+        cands.where(F.col("id_a") % k_div == 0)
         .join(sets_a, "id_a")
         .join(sets_b, "id_b")
         .where(

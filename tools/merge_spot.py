@@ -1,0 +1,92 @@
+"""Merge spot-sweep chunk files into REGISTRY_sf10_spot.json.
+
+The sf10 spot sweep ran as chunks (the first full attempt exceeded a
+90-minute window); later chunks supersede earlier rows for queries
+re-measured after the round-7 plan rewrites / synthesis fixes.
+
+Usage: python tools/merge_spot.py chunk1.json chunk2.json ...
+(later files win per query)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+NOTES = {
+    "metric": "registry_sf10_spot",
+    "what": "the ~21 highest-risk queries (worst sf1 ratios + the "
+    "heaviest dedup/sim/rec members) at sf1 vs sf10 (lineitem 60M "
+    "rows), 12x wall-ratio limit — the second measured scale decade",
+    "notes": [
+        "geo_grid_neighbor_pairs records FAIL:loud-guard BY DESIGN: "
+        "a fixed-radius neighbor join's candidate space and true "
+        "answer are quadratic in points-per-cell (measured 103.9x "
+        "wall at 10x density before the guard, flat per OUTPUT "
+        "pair); the round-7 density envelope guard (256 points/cell) "
+        "refuses this regime loudly instead of burning a cluster.",
+        "documents.text BYTES grow 13.3x per decade (the per-copy "
+        "word suffix lengthens tokens), so text-byte-bound queries "
+        "(simhash, bpe) should be ratio-read against 13.3, not 10.",
+        "sf10 is synthesized by tools/make_sf1.py chaining with a "
+        "distinct tag + per-copy sign masks (round-7 fixes) so no "
+        "exact-twin documents or embeddings exist across decades.",
+    ],
+}
+
+
+def main() -> int:
+    rows: dict[str, dict] = {}
+    meta = None
+    for path in sys.argv[1:]:
+        d = json.load(open(path))
+        meta = d
+        rows.update(d["queries"])
+    limit = meta["ratio_limit"]
+    over = {
+        k: v["ratio"]
+        for k, v in rows.items()
+        if v["ratio"] and v["ratio"] > limit
+    }
+    failed = [
+        k for k, v in rows.items() if isinstance(v["big_s"], str)
+    ]
+    record = {
+        **NOTES,
+        "base_sf_dir": meta["base_sf_dir"],
+        "big_sf_dir": meta["big_sf_dir"],
+        "ratio_limit": limit,
+        "n_queries": len(rows),
+        "within_limit": sum(
+            1
+            for v in rows.values()
+            if v["ratio"] and v["ratio"] <= limit
+        ),
+        "over_limit": dict(
+            sorted(over.items(), key=lambda kv: -kv[1])
+        ),
+        "failed_loudly": failed,
+        "queries": dict(sorted(rows.items())),
+    }
+    out = os.path.join(REPO, "REGISTRY_sf10_spot.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(
+        json.dumps(
+            {
+                "n": record["n_queries"],
+                "within": record["within_limit"],
+                "over_limit": record["over_limit"],
+                "failed_loudly": failed,
+                "out": out,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
