@@ -558,21 +558,24 @@ def embedding_near_dup_pairs(
     grows with n, and within-bucket pairs grow with its SQUARE — the
     r4 sf1.0 smoke measured 76× wall at 10× data with n_planes=4
     (current sweep: REGISTRY_sf1_sweep.json).  Pass ``n_planes="auto"``
-    to size planes from
-    the corpus: ``max(4, ceil(log2(n / target_bucket_size)))`` keeps
-    expected occupancy ~constant, so candidate volume stays
-    ~n · n_tables · target_bucket_size — linear in n.  Costs one
-    count() job; more planes lower per-table recall, so raise
-    ``n_tables`` together with corpus size when recall is pinned
-    (the recall audit query measures exactly this trade).
+    to size planes from the corpus with PURE INTEGER arithmetic:
+    ``q = max(2, ceil_div(n, target_bucket_size))``, planes =
+    ``max(4, (q-1).bit_length())``.  Since 2^k is an integer,
+    2^k >= n/target  ⟺  2^k >= ceil_div(n, target), so this equals
+    the textbook ``max(4, ceil(log2(max(2, n/target))))`` at every n
+    — but with no transcendental in a hash-gated path (a 1-ULP libm
+    disagreement at an exact power-of-two boundary would flip the
+    plane count and every bucket id across engines; integers can't
+    disagree).  Keeps expected occupancy ~constant, so candidate
+    volume stays ~n · n_tables · target_bucket_size — linear in n.
+    Costs one count() job; more planes lower per-table recall, so
+    raise ``n_tables`` together with corpus size when recall is
+    pinned (the recall audit query measures exactly this trade).
     """
-    import math
-
     if n_planes == "auto":
         n = df.count()
-        n_planes = max(
-            4, math.ceil(math.log2(max(2, n / target_bucket_size)))
-        )
+        q = max(2, -(-n // target_bucket_size))
+        n_planes = max(4, (q - 1).bit_length())
     elif not isinstance(n_planes, int):
         raise ValueError(f"n_planes must be int or 'auto', got {n_planes!r}")
     from hana_bq_beam_connector_spark.operators.similarity import (

@@ -370,9 +370,11 @@ def _duck_embedding_pairs_sql(
 ) -> str:
     """DuckDB replay of embedding_near_dup_pairs with
     ``n_planes="auto"``: the plane count is computed IN SQL with the
-    identical formula the Spark operator evaluates in Python
-    (max(4, ceil(log2(max(2, n / target))))) — both sides take
-    ceil(log2) of the same exact-integer-derived double, so the
+    identical PURE-INTEGER formula the Spark operator evaluates in
+    Python — q = max(2, ceil_div(n, target)); np = max(4,
+    bit_length(q-1)), where bit_length is a shift-compare fold.  No
+    transcendental (no LOG2) anywhere in the hash-gated path: integer
+    shifts cannot carry a cross-engine ULP disagreement, so the
     chosen plane count (and therefore every bucket id) agrees.  The
     bucket fold is dynamic in np: Σ_{p<np} (1<<p)·[plane_dot > 0],
     with the global plane index t·np + p inlined into the plane
@@ -400,9 +402,15 @@ def _duck_embedding_pairs_sql(
     return f"""
     WITH {_duck_unit_cte()},
     pa AS (
-      SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(2.0,
-               COUNT(*) / {target_bucket_size}.0))) AS INTEGER)) AS np
-      FROM embeddings
+      SELECT CAST(GREATEST(CAST(4 AS BIGINT),
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, 63), p ->
+            CASE WHEN ((qv - 1) >> p) > 0
+                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, v) -> acc + v)) AS INTEGER) AS np
+      FROM (SELECT GREATEST(CAST(2 AS BIGINT),
+              (COUNT(*) + {target_bucket_size - 1}) // {target_bucket_size}
+            ) AS qv FROM embeddings) q
     ),
     banded AS (
       SELECT e.vec_id, t.t AS table_id, {bucket} AS bucket
@@ -429,7 +437,8 @@ def _duck_embedding_pairs_sql(
     _duck_embedding_pairs_sql(),
     doc="Embedding-cosine near-dup pairs (semantic dedup): 8-table "
     "AUTO-plane LSH blocks the pair space (planes = max(4, "
-    "ceil(log2(n/64))) hold expected bucket occupancy ~constant, so "
+    "bit_length(ceil_div(n,64)-1)), a pure-integer ceil-log2, holds "
+    "expected bucket occupancy ~constant, so "
     "candidate volume stays LINEAR in n — the round-7 sf10 spot "
     "sweep caught the previous fixed-4-plane version going "
     "quadratic: 16 buckets at any corpus size means within-bucket "
@@ -831,7 +840,7 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_duck_minhash_ctes()},
     dl AS (SELECT doc_id, lang FROM documents),
     ks AS (
-      SELECT GREATEST(10, CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT)) AS k
+      SELECT GREATEST(CAST(10 AS BIGINT), (COUNT(*) + 4999) // 5000) AS k
       FROM documents
     ),
     truth AS (
@@ -900,11 +909,10 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-SIZE truth sample: the divisor scales with the corpus so
     # the brute-force truth side stays ~5000 queries x same-lang
     # block — linear in n — instead of a constant fraction against a
-    # fixed-cardinality block (Θ(n²), the sf10 hang).  Same formula
-    # the oracle evaluates from the same count.
-    import math
-
-    k_div = max(10, math.ceil(d.count() / 5000.0))
+    # fixed-cardinality block (Θ(n²), the sf10 hang).  Same
+    # pure-integer ceil-div the oracle evaluates from the same count
+    # (r8: no float division in a sample-gating path).
+    k_div = max(10, -(-d.count() // 5000))
     # ONE shingle pass feeds both the exact-truth brute force and the
     # LSH pipeline (signatures + both verify sides) — without the
     # shared persist the shingle stage executes twice.
