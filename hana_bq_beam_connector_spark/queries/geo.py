@@ -235,21 +235,28 @@ def geo_grid_neighbor_pairs(
         (F.col("cx") + F.col("o.dx")).alias("jx"),
         (F.col("cy") + F.col("o.dy")).alias("jy"),
     )
-    # Per-cell population (O(cells) rows, map-side combined) rides a
-    # broadcast join onto the build side; the guard wraps a column
-    # every probe consumes, so an overdense cell raises during the
-    # scan — in every session mode — not after it already burned.
-    cell_counts = p.groupBy("cx", "cy").agg(
-        F.count(F.lit(1)).alias("cell_n")
+    # Per-cell population is a distributed map-side-combined agg, but
+    # only the VIOLATING cells (> cap) ride the broadcast — expected
+    # empty, so the guard is O(violations), never O(occupied cells):
+    # a sparse planet-scale extent can hold billions of occupied
+    # cells, and broadcasting them all would OOM the driver before
+    # the guard protected anything (ADVICE r7).  The left join keys
+    # every point against the (tiny) bad-cell set; the guard wraps a
+    # column every probe consumes, so an overdense cell raises during
+    # the scan — in every session mode — not after it already burned.
+    bad_cells = (
+        p.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+        .where(F.col("cell_n") > _CELL_CAP)
     )
     b_guarded = (
-        p.join(F.broadcast(cell_counts), ["cx", "cy"])
+        p.join(F.broadcast(bad_cells), ["cx", "cy"], "left")
         .select(
             "k",
             "x",
             "y",
             F.expr(
-                f"CASE WHEN cell_n > {_CELL_CAP} THEN raise_error("
+                "CASE WHEN cell_n IS NOT NULL THEN raise_error("
                 "'geo_grid_neighbor_pairs: cell population exceeds "
                 f"{_CELL_CAP} — per-cell pair work is quadratic in "
                 "density; shrink the cell/radius (re-grid), "

@@ -85,12 +85,23 @@ def ts_hourly_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Each real bucket owns the half-open hour range up to its
     # successor (the last bucket owns only itself — the grid ends at
     # hi, matching the spine oracle's [lo, hi] span exactly).
+    # sum_value is forward-filled ACROSS real buckets first (same
+    # window spec — one WindowExec, no extra shuffle): if a bucket's
+    # own sum is NULL (an all-NULL-value hour), the oracle's
+    # LAST_VALUE IGNORE NULLS carries the previous bucket's sum
+    # through it, so the explode must carry the filled value, not the
+    # bucket's own.  On non-null data this is the identical double.
     expanded = hourly.withColumn(
         "nxt", F.lead("hour_us").over(w)
+    ).withColumn(
+        "ffill_sum",
+        F.last("sum_value", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     ).select(
         "user_id",
         "cnt",
-        "sum_value",
+        F.col("ffill_sum").alias("sum_value"),
         F.col("hour_us").alias("bucket_us"),
         F.explode(
             F.sequence(

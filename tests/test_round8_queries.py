@@ -95,3 +95,97 @@ def test_recall_k_divisor_integer_ceil_div():
             f"(COUNT(*) + 4999) // 5000) FROM range({n})"
         ).fetchone()
         assert sql == py, n
+
+
+_HOUR_US = 3_600_000_000
+
+
+@pytest.fixture(scope="module")
+def null_hour_sf_dir(tmp_path_factory):
+    """A fake sf_dir whose events table has an ALL-NULL-value hour in
+    the middle of a gap (user 1) and a leading all-NULL hour (user 2)
+    — the regime ADVICE r7 flagged: the oracle's LAST_VALUE IGNORE
+    NULLS carries the previous bucket's sum ACROSS a null-sum bucket,
+    so the spine-free rewrite must forward-fill across real buckets,
+    not emit the bucket's own NULL for its owned range."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _ts(hour: int, off_us: int = 0) -> "pd.Timestamp":
+        return pd.Timestamp(hour * _HOUR_US + off_us, unit="us")
+
+    rows = [
+        # user 1: real sums at h0 and h5, an all-NULL hour at h2
+        (1, _ts(0, 10), 1, "click", 1.0, "{}"),
+        (2, _ts(0, 20), 1, "click", 2.0, "{}"),
+        (3, _ts(2, 10), 1, "click", None, "{}"),
+        (4, _ts(2, 20), 1, "click", None, "{}"),
+        (5, _ts(5, 10), 1, "click", 7.5, "{}"),
+        # user 2: leading NULL hour, then a real sum
+        (6, _ts(1, 10), 2, "view", None, "{}"),
+        (7, _ts(3, 10), 2, "view", 4.25, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    table = pa.Table.from_pandas(
+        pdf,
+        schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        ),
+        preserve_index=False,
+    )
+    d = str(tmp_path_factory.mktemp("null_hour_sf"))
+    pq.write_table(table, f"{d}/events.parquet")
+    return d
+
+
+def test_gapfill_ffill_carries_across_null_sum_bucket(
+    spark, null_hour_sf_dir
+):
+    from hana_bq_beam_connector_spark.queries import registry
+
+    spec = registry()["ts_hourly_gapfill_ffill"]
+    sdf = spec.fn(spark, null_hour_sf_dir)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(str(r[c]) for c in scols) for r in sdf.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_hour_sf_dir}/events.parquet')"
+    )
+    rel = con.execute(spec.oracle)
+    ocols_raw = [dd[0] for dd in rel.description]
+    idx = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
+    ocols = [ocols_raw[i] for i in idx]
+    orows = sorted(
+        tuple(str(r[i]) for i in idx) for r in rel.fetchall()
+    )
+    con.close()
+    assert scols == ocols
+    assert srows == orows
+    # And the semantics themselves: user 1's null-sum hour 2 (and the
+    # gap hours it owns) must carry hour 0's sum (3.0), not NULL;
+    # user 2's leading-null hours stay NULL until the first real sum.
+    by_key = {
+        (r["user_id"], r["hour_us"]): r["filled_sum"]
+        for r in sdf.collect()
+    }
+    assert by_key[(1, 2 * _HOUR_US)] == 3.0
+    assert by_key[(1, 3 * _HOUR_US)] == 3.0
+    assert by_key[(1, 5 * _HOUR_US)] == 7.5
+    assert by_key[(2, 1 * _HOUR_US)] is None
+    assert by_key[(2, 2 * _HOUR_US)] is None
+    assert by_key[(2, 3 * _HOUR_US)] == 4.25

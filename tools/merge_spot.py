@@ -43,6 +43,14 @@ def main() -> int:
     meta = None
     for path in sys.argv[1:]:
         d = json.load(open(path))
+        # Chunks measured under different limits or sf dirs must not
+        # silently merge into one artifact claiming a single protocol.
+        for key in ("ratio_limit", "base_sf_dir", "big_sf_dir"):
+            if meta is not None and d[key] != meta[key]:
+                raise SystemExit(
+                    f"chunk metadata mismatch: {path} has "
+                    f"{key}={d[key]!r}, earlier chunks {meta[key]!r}"
+                )
         meta = d
         rows.update(d["queries"])
     limit = meta["ratio_limit"]
