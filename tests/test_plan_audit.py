@@ -293,3 +293,114 @@ def test_drift_decile_shift_plan_shape(spark, sf_dir):
     assert f["broadcast_joins"] + f["shuffle_joins"] == 0
     assert f["windows"] == 2
     assert f["exchanges"] <= 3
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide single-task funnel audit (round-8, verdict-r7 ask #7).
+#
+# `Exchange SinglePartition` is the plan signature of a single-TASK
+# stage.  Two regimes are acceptable at 100 TB:
+#
+#   * a global SCALAR aggregate fed by map-side partial aggregation —
+#     the single partition receives one pre-reduced row per upstream
+#     partition, bounded by cluster width, not data size;
+#   * a single-partition Sort/Window whose INPUT is provably small —
+#     an already-reduced frame (bands, days, classes, distinct prices),
+#     a loud cardinality guard, or an explicitly documented demo whose
+#     docstring names the production-scale alternative.
+#
+# Every windowed single-task funnel must appear below with its reason;
+# a NEW query that introduces one fails this audit until it is either
+# bounded, guarded, or consciously allowlisted.  The check is one-way
+# (extra = fail): plan shapes vary with SF (static broadcast demotion
+# can absorb a funnel at tiny inputs), so an entry absent at the test
+# SF is not an error.
+
+# name -> "kind: reason"; kinds: bounded | guarded | demo
+_SINGLE_TASK_WINDOWS = {
+    "agg_benford_first_digit": "bounded: share window over the 9-row "
+    "first-digit frame",
+    "agg_histogram_equidepth": "demo: global NTILE is the textbook "
+    "equi-depth formulation; docstring names the scale path "
+    "(approxQuantile boundaries + range join, plans/chunking.py)",
+    "agg_pareto_frontier": "bounded: running-max window over one row "
+    "per DISTINCT retail price (pre-reduced by a hash agg)",
+    "agg_rfm_segments": "demo: NTILE quartiles over the per-customer "
+    "frame; docstring names the approx-quantile-threshold scale path",
+    "curation_corpus_composition": "bounded: unpartitioned window over "
+    "the O(source x lang) grouped frame",
+    "drift_ks_price": "bounded: cumulative window over the O(bands) "
+    "cell frame (fixed 1000-wide price grid)",
+    "drift_tvd_total": "bounded: window over the O(bands) cell frame",
+    "drift_wasserstein_price": "bounded: ECDF-gap window over the "
+    "O(bands) cell frame",
+    "etl_backfill_plan": "bounded: gaps-and-islands over the O(days) "
+    "populated-day frame",
+    "etl_chunk_plan_exact": "demo: the reference's own full-window "
+    "boundary sampling (HanaToBQ.java:57) kept for parity; docstring "
+    "names the sketch planner as the production path",
+    "rec_coverage_popularity_bias": "bounded: NTILE over the O(catalog "
+    "items) support frame — catalog grows with SKUs, not with the "
+    "interaction log",
+    "sample_class_balanced": "bounded: min-count window over the "
+    "O(languages) counts frame",
+    "stat_gini_coefficient_qty": "guarded: 1e4-distinct cardinality "
+    "raise_error on the rank-factorization frame "
+    "(tests/test_round7_queries.py proves it fires)",
+    "stat_mannwhitney_u": "guarded: same 1e4-distinct guard",
+    "stat_spearman_qty_discount": "guarded: same guard on BOTH rank "
+    "frames",
+    "ts_session_concurrency": "bounded: running concurrency over the "
+    "per-DAY pre-aggregated boundary frame (O(days))",
+}
+
+
+def test_single_task_funnels_are_enumerated(spark, sf_dir):
+    import re
+
+    specs = registry()
+    windowed: dict[str, int] = {}
+    unexplained: list[str] = []
+    for name in sorted(specs):
+        if name in _SKIP_EXECUTING:
+            continue
+        plan = (
+            specs[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        lines = plan.splitlines()
+        n_window_funnels = 0
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            # a scalar funnel has its global HashAggregate(keys=[])
+            # consumer within a few lines above the exchange
+            ctx = "\n".join(lines[max(0, i - 6) : i])
+            if re.search(r"HashAggregate\(keys=\[\]", ctx):
+                continue
+            if re.search(r"\bSort\b|\bWindow\b", ctx):
+                n_window_funnels += 1
+            else:
+                unexplained.append(f"{name}: line {i}: {line.strip()[:80]}")
+        if n_window_funnels:
+            windowed[name] = n_window_funnels
+        spark.catalog.clearCache()
+    assert not unexplained, (
+        "Exchange SinglePartition with neither a scalar-aggregate nor "
+        f"a Sort/Window consumer — classify it: {unexplained}"
+    )
+    extra = sorted(set(windowed) - set(_SINGLE_TASK_WINDOWS))
+    assert not extra, (
+        "NEW single-task window funnel(s) — bound the input, add a "
+        f"loud guard, or allowlist with a reason: {extra}"
+    )
+    # demo entries must keep naming their production-scale alternative
+    for name, reason in _SINGLE_TASK_WINDOWS.items():
+        if reason.startswith("demo:"):
+            doc = (registry()[name].doc or "").lower()
+            assert any(
+                k in doc for k in ("approx", "scale path", "sketch", "chunking")
+            ), f"{name}: demo docstring must name the scale alternative"
