@@ -18,16 +18,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 NOTES = {
     "metric": "registry_sf10_spot",
-    "what": "the ~21 highest-risk queries (worst sf1 ratios + the "
-    "heaviest dedup/sim/rec members) at sf1 vs sf10 (lineitem 60M "
-    "rows), 12x wall-ratio limit — the second measured scale decade",
+    "what": "the ~30 highest-risk queries (worst sf1 ratios + the "
+    "heaviest dedup/sim/rec/er members + the four round-7-rewritten "
+    "queries re-measured POST-fix + the four new mm_ queries + the "
+    "streaming batch faces) at sf1 vs sf10 (lineitem 60M rows), 12x "
+    "wall-ratio limit — the second measured scale decade",
     "notes": [
+        "later chunks supersede earlier rows: the gapfill/interp/"
+        "embedding-LSH/recall rows are post-rewrite measurements "
+        "(chunk b), replacing chunk a's pre-fix captures.",
         "geo_grid_neighbor_pairs records FAIL:loud-guard BY DESIGN: "
         "a fixed-radius neighbor join's candidate space and true "
         "answer are quadratic in points-per-cell (measured 103.9x "
         "wall at 10x density before the guard, flat per OUTPUT "
-        "pair); the round-7 density envelope guard (256 points/cell) "
-        "refuses this regime loudly instead of burning a cluster.",
+        "pair); the density envelope guard (256 points/cell, "
+        "O(violations) broadcast since round 8) refuses this regime "
+        "loudly instead of burning a cluster.",
         "documents.text BYTES grow 13.3x per decade (the per-copy "
         "word suffix lengthens tokens), so text-byte-bound queries "
         "(simhash, bpe) should be ratio-read against 13.3, not 10.",
