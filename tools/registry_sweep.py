@@ -51,6 +51,15 @@ def main() -> int:
     spark = get_spark(app_name="registry_sweep")
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry()
+    # JVM/codegen + Python-worker warmup (same recipe as bench.py) so
+    # the alphabetically-first query's base_s isn't charged ~5s of
+    # session startup — matters most for small spot-sweep chunks where
+    # one skewed base flips a ratio verdict.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    spark.range(nshuf * 2, numPartitions=nshuf).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).write.format("noop").mode("overwrite").save()
     # SPARK_GRAFT_SWEEP_ONLY=a,b,c restricts the sweep to named
     # queries (the sf10 spot-sweep uses this for the highest-risk
     # subset).  Unknown names fail loudly — a typo'd spot sweep that

@@ -32,6 +32,15 @@ def main() -> int:
     spark = get_spark(app_name="sweep_patch")
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry()
+    # JVM/codegen + Python-worker warmup (same recipe as bench.py):
+    # without it the FIRST patched query's base_s absorbs ~5s of
+    # session startup, silently skewing its ratio in the merged
+    # artifact (observed: gapfill base_s 6.4s cold vs 1.6s warm).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    spark.range(nshuf * 2, numPartitions=nshuf).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     def run(name: str, sf_dir: str):
         t0 = time.perf_counter()
