@@ -52,12 +52,34 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 def keep_first_by_key(
     df: DataFrame, key: list[str], order: list[Column]
 ) -> DataFrame:
-    """Deterministic survivor per key: rank by ``order``, keep rank 1."""
-    w = Window.partitionBy(*key).orderBy(*order)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    """Deterministic survivor per key, as an ARGMIN aggregate.
+
+    Keep-first is argmin, not ranking: ``min_by(struct(other cols),
+    struct(order))`` folds with a partial map-side combine and never
+    sorts a group, so it scales identically whether the key has two
+    values or two billion — the previous rank-and-filter window
+    sorted n/|keys| rows in one task per key, which for constant-
+    cardinality keys like (lang, source) is the few-huge-groups
+    regime the round-8 sweep measured at 164s/60M rows on the
+    weighted median.  Output rows and schema are identical to the
+    window spelling.
+
+    ``order`` must be plain ascending, non-null column expressions
+    forming a total order per key (struct comparison is lexicographic,
+    ascending only; a SortOrder from ``.asc()/.desc()`` is not an
+    expression and cannot ride a struct — negate numerics to
+    descend).  Ties would make the survivor arbitrary in BOTH
+    spellings, so callers already pass a unique tiebreak.
+    """
+    others = [c for c in df.columns if c not in set(key)]
+    picked = df.groupBy(*key).agg(
+        F.min_by(F.struct(*others), F.struct(*order)).alias("__first")
+    )
+    return picked.select(
+        *[
+            F.col(c) if c in set(key) else F.col(f"__first.{c}").alias(c)
+            for c in df.columns
+        ]
     )
 
 
@@ -588,10 +610,77 @@ def embedding_near_dup_pairs(
     banded = _persist(
         lsh_banded(base, id_col, vec_col, dim, n_planes, n_tables)
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
+    # Capacity refinement (round 8): LSH occupancy is SKEWED on real
+    # embedding distributions — the sf10 sweep measured a worst
+    # bucket of 3131 vectors against a mean of 52 (within-bucket
+    # pairs ride the SQUARE, 500M candidates, 78 GB of spill), and
+    # the heavy buckets are NOISE, not true near-dup clusters
+    # (sampled mean pairwise cos 0.065 inside the worst bucket).  A
+    # bucket with occupancy c > target splits with
+    # R = min(16, bit_length(ceil_div(c, target) - 1)) extra planes
+    # — pure integer, just enough bits to land back at ~target, and
+    # buckets already <= target keep R = 0 by the same formula.  The
+    # refinement plane indices live in a reserved block
+    # (n_tables*n_planes + table*16 + r), so they are independent of
+    # the banding planes.  Only heavy-bucket members re-join their
+    # vectors (broadcast heavy list, O(violating rows)); candidate
+    # volume is then ~n·n_tables·target under ANY skew.  The oracle
+    # replays the same counts, the same R formula, and the same
+    # reserved planes in SQL.
+    bit_len = (
+        "aggregate(sequence(0, 62), 0, (acc, pp) -> acc + "
+        "IF(shiftright(cast(qd as bigint), pp) > 0, 1, 0))"
+    )
+    heavy = (
+        banded.groupBy("table_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > target_bucket_size)
+        .withColumn(
+            "qd",
+            F.expr(
+                f"(c + {target_bucket_size - 1}) div {target_bucket_size} - 1"
+            ),
+        )
+        .withColumn("rbits", F.least(F.expr(bit_len), F.lit(16)))
+        .select("table_id", "bucket", "rbits")
+    )
+    tagged = banded.join(
+        F.broadcast(heavy), on=["table_id", "bucket"], how="left"
+    )
+    light = tagged.where(F.col("rbits").isNull()).select(
+        id_col, "table_id", "bucket", F.lit(0).cast("long").alias("extra")
+    )
+    from hana_bq_beam_connector_spark.operators.similarity import (
+        _plane_dot,
+    )
+
+    # _plane_dot splices ``p`` textually, so a column-expression
+    # string gives the per-row reserved plane index.
+    refine_plane = _plane_dot(
+        vec_col, f"({n_tables} * {n_planes} + table_id * 16 + rr)", dim
+    )
+    heavy_rows = (
+        tagged.where(F.col("rbits").isNotNull())
+        .join(base, on=id_col)
+        .withColumn(
+            "extra",
+            F.expr(
+                "aggregate(sequence(0, rbits - 1), cast(0 as bigint), "
+                f"(acc, rr) -> acc + IF({refine_plane} > 0, "
+                "shiftleft(cast(1 as bigint), rr), cast(0 as bigint)))"
+            ),
+        )
+        .select(id_col, "table_id", "bucket", "extra")
+    )
+    refined = light.unionByName(heavy_rows)
+    a = refined.select(
+        F.col(id_col).alias("id_a"), "table_id", "bucket", "extra"
+    )
+    b = refined.select(
+        F.col(id_col).alias("id_b"), "table_id", "bucket", "extra"
+    )
     cand = (
-        a.join(b, on=["table_id", "bucket"])
+        a.join(b, on=["table_id", "bucket", "extra"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

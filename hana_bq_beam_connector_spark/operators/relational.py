@@ -339,3 +339,135 @@ def bloom_prefilter(
         hit = F.getbit(byte_val, F.pmod(p, F.lit(8))) == 1
         cond = hit if cond is None else (cond & hit)
     return big.where(cond)
+
+
+def two_phase_scan(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[Column],
+    vals: dict[str, Column],
+    slices: int | None = None,
+) -> DataFrame:
+    """Distributed running aggregates over FEW, HUGE groups.
+
+    ``SUM(v) OVER (PARTITION BY g ORDER BY o ROWS UNBOUNDED
+    PRECEDING)`` hash-partitions by ``g`` alone: with a constant-
+    cardinality ``g`` (lang=5, event_type=5, l_returnflag=3) every
+    group is ONE task sorting n/|g| rows — the few-huge-groups regime
+    the round-8 sf10 sweep measured at 164s on 60M rows.  This is the
+    classic two-phase parallel prefix scan instead:
+
+    1. ``repartitionByRange`` on (part, order) — each task holds a
+       contiguous, size-balanced slice of every group's global order
+       (the same exchange a global sort uses; boundaries come from
+       Spark's range sampler and cannot affect values);
+    2. slice-local running aggregates via a window keyed by
+       (slice id, part) — bounded by the slice size, never by the
+       group;
+    3. per-(part, slice) totals form a summary frame of
+       O(|groups| x slices) rows; a tiny window over it turns them
+       into per-slice offsets, broadcast-joined back.
+
+    Rows and values are identical to the one-window spelling whenever
+    ``order_cols`` is a TOTAL order within each group (every call
+    site already carries a unique tiebreak — without one, even the
+    naive window's per-row running values are tie-order arbitrary).
+
+    ``vals`` maps output column name -> summable column expression
+    (use exact types: longs / decimals).  Each named output is the
+    RUNNING (inclusive) sum of its expression in (part, order) order.
+    ``slices`` defaults to spark.sql.shuffle.partitions.
+    """
+    from hana_bq_beam_connector_spark.operators._common import (
+        persist_reused,
+    )
+
+    sess = df.sparkSession
+    n_slices = slices or int(
+        sess.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    keys = [F.col(c) for c in part_cols] + list(order_cols)
+    # The sliced frame feeds TWO branches (the offsets summary and
+    # the final join), and the slice id comes from the range
+    # sampler's boundaries.  Those boundaries are only guaranteed
+    # identical if both branches read the SAME materialization: under
+    # AQE each exchange subtree is re-optimized independently, so an
+    # unpersisted lineage can range-sample different upstream splits
+    # per branch and assign DIFFERENT slice ids to the same row —
+    # offsets then misalign and ranks silently shift (caught by the
+    # driver-contract run on ts_outlier_mad: mad picked a neighbor
+    # row).  persist_reused materializes once; every branch reads the
+    # one slicing.  This is the same concurrent-branch trap SCALE.md
+    # documents for self-joins.
+    ranged = persist_reused(
+        df.repartitionByRange(n_slices, *keys).withColumn(
+            "__slice", F.spark_partition_id()
+        )
+    )
+    local_w = (
+        Window.partitionBy("__slice", *part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged
+    for name, expr in vals.items():
+        local = local.withColumn(f"__run_{name}", F.sum(expr).over(local_w))
+    # Summary frame: one row per (part, slice) — O(|groups| x slices).
+    # Slice totals are direct sums of the value expressions (NOT the
+    # max of the running column, which is only the slice total when
+    # every summand is non-negative).
+    totals = local.groupBy(*part_cols, "__slice").agg(
+        *[
+            F.sum(expr).alias(f"__tot_{name}")
+            for name, expr in vals.items()
+        ]
+    )
+    off_w = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__slice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        *part_cols,
+        "__slice",
+        *[
+            (
+                F.sum(f"__tot_{name}").over(off_w) - F.col(f"__tot_{name}")
+            ).alias(f"__off_{name}")
+            for name in vals
+        ],
+    )
+    joined = local.join(
+        F.broadcast(offsets), on=[*part_cols, "__slice"], how="inner"
+    )
+    out = joined.select(
+        *[
+            c
+            for c in df.columns
+        ],
+        *[
+            (F.col(f"__run_{name}") + F.col(f"__off_{name}")).alias(name)
+            for name in vals
+        ],
+    )
+    return out
+
+
+def two_phase_rank(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[Column],
+    out: str = "rn",
+    slices: int | None = None,
+) -> DataFrame:
+    """ROW_NUMBER over few, huge groups without a per-group sort task:
+    the running COUNT(1) under :func:`two_phase_scan`.  Identical
+    values to ``row_number() OVER (PARTITION BY part ORDER BY
+    order)`` given a total ``order_cols`` (see two_phase_scan)."""
+    return two_phase_scan(
+        df,
+        part_cols,
+        order_cols,
+        {out: F.lit(1).cast("long")},
+        slices=slices,
+    )

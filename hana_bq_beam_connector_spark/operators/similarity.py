@@ -21,8 +21,20 @@ from hana_bq_beam_connector_spark.operators._common import spread
 from hana_bq_beam_connector_spark.operators.relational import topk_per_group
 
 # Deterministic pseudo-random hyperplanes: plane p, component i
-# (0-based) = ((p*37 + i*101) % 13) - 6 ∈ [-6, 6].  Computable inline
-# in both engines — no plane table to ship.
+# (0-based) = (((p*73856093) XOR (i*19349663)) % 13) - 6 ∈ [-6, 6].
+# Computable inline in both engines — no plane table to ship.
+#
+# The mix MUST be non-linear in (p, i): the original linear family
+# ((p*37 + i*101) % 13 - 6) is PERIODIC in p with period 13 — only 13
+# distinct planes exist, so "independent" multi-table LSH blocks were
+# near-identical partitions and capacity-refinement bits were exact
+# copies of the original bits (caught by the round-8 sf10 sweep:
+# dedup_embedding_cosine filled 78 GB of spill from 500M candidate
+# pairs; the worst bucket held 3131 vectors and refused to split).
+# The XOR of two coprime multiplicative mixes gives 208/208 distinct
+# planes over the index range we use, pairwise |cos| mean 0.099, and
+# the same sf10 corpus's candidate volume drops 8x with worst bucket
+# 559 before refinement even starts.
 N_PLANES = 8
 
 
@@ -126,7 +138,8 @@ def _plane_dot(vec_col: str, p: int, dim: int) -> str:
     return (
         f"aggregate(sequence(1, {dim}), cast(0.0 as double), "
         f"(acc, i) -> acc + cast(element_at({vec_col}, i) as double) * "
-        f"cast((({p} * 37 + (i - 1) * 101) % 13) - 6 as double))"
+        f"cast(((({p} * cast(73856093 as bigint)) ^ "
+        f"((i - 1) * cast(19349663 as bigint))) % 13) - 6 as double))"
     )
 
 

@@ -399,7 +399,11 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decorrelates this into the same window-rank-filter plan the "
     "DataFrame top-k uses — the test that the engine's SQL surface "
     "accepts the idiom, not just its DataFrame equivalent.  Ties "
-    "break on name so the emitted pair set is deterministic.",
+    "break on name so the emitted pair set is deterministic.  "
+    "Scale note: the decorrelated window partitions by the FIXED "
+    "25-value nation key; the production spelling of this shape is "
+    "topk_per_group_skewed (operators/relational.py), which caps "
+    "each group on salted subtasks first.",
 )
 def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lv")

@@ -93,7 +93,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10)
     )
     survivors = keep_first_by_key(
-        kept, key=["fp"], order=[F.col("doc_id").asc()]
+        kept, key=["fp"], order=[F.col("doc_id")]
     )
     split = (
         F.when(F.col("bucket") < 80, "train")
@@ -182,27 +182,36 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Deterministic global training shuffle: content-hash key -> "
     "64 shuffle buckets -> in-bucket rank.  Reproducible on any "
-    "input layout (pure function of doc_id, no RNG) and scalable: "
-    "64 independent window partitions instead of one global "
-    "ROW_NUMBER sort (a single-partition window is the classic "
-    "driver-melting anti-pattern at 10^9 rows); readers consume "
+    "input layout (pure function of doc_id, no RNG).  The bucket "
+    "count is CONSTANT, so the in-bucket rank comes from "
+    "two_phase_rank — 64 window partitions still means n/64 rows "
+    "per task at 10^9 rows; the two-phase rank's per-task input is "
+    "bounded by the range-slice size instead.  Readers consume "
     "buckets in order for a full epoch permutation.",
 )
 def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from hana_bq_beam_connector_spark.operators.relational import (
+        two_phase_rank,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id",
         F.expr(spark_polyhash("cast(doc_id as string)")).alias("k"),
+        F.pmod(
+            F.expr(spark_polyhash("cast(doc_id as string)")), F.lit(64)
+        ).cast("long").alias("shuffle_bucket"),
     )
-    w = Window.partitionBy(F.pmod(F.col("k"), F.lit(64))).orderBy(
-        F.col("k"), F.col("doc_id")
+    ranked = two_phase_rank(
+        keyed,
+        ["shuffle_bucket"],
+        [F.col("k"), F.col("doc_id")],
+        out="pos_in_bucket",
     )
-    return keyed.select(
+    return ranked.select(
         "doc_id",
-        F.pmod(F.col("k"), F.lit(64)).cast("long").alias("shuffle_bucket"),
-        F.row_number().over(w).cast("long").alias("pos_in_bucket"),
+        "shuffle_bucket",
+        F.col("pos_in_bucket").cast("long").alias("pos_in_bucket"),
     )
 
 
@@ -234,16 +243,21 @@ _DUCK_QSCORE = (
     "language by percent_rank instead of a fixed threshold — the "
     "curation policy that survives distribution drift (a fixed 0.75 "
     "bar deletes whole low-resource languages; a quantile bar keeps "
-    "every language's best 75%).  One window shuffle on lang; "
-    "percent_rank = (rank-1)/(n-1) is the same IEEE division both "
-    "engines.  At 100 TB the per-lang sort is the cost — for "
-    "coarse cutoffs swap in approx_percentile thresholds computed in "
-    "one sketch pass and broadcast back as a plain filter.",
+    "every language's best 75%).  percent_rank = (rank-1)/(n-1) is "
+    "the same IEEE division both engines — but lang is constant-"
+    "cardinality, so the rank is NOT a per-lang window sort (n/5 "
+    "rows in one task at any scale): ties share a rank, so rank() "
+    "factors through the per-(lang, score) group — aggregate counts "
+    "per distinct score, two_phase_scan the tiny ordered score frame "
+    "for cumulative counts (rank = cum - cnt + 1), and equi-join the "
+    "qualifying scores back.  Same rows, same doubles.",
 )
 def curation_quality_quantile_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql.window import Window
+    from hana_bq_beam_connector_spark.operators.relational import (
+        two_phase_scan,
+    )
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
@@ -251,12 +265,30 @@ def curation_quality_quantile_filter(
     scored = quality_features(d, "text").select(
         "doc_id", "lang", "quality_score"
     )
-    w = Window.partitionBy("lang").orderBy("quality_score")
-    return (
-        scored.withColumn("pr", F.percent_rank().over(w))
-        .where(F.col("pr") >= 0.25)
-        .select("doc_id", "lang", "quality_score", "pr")
+    per_score = scored.groupBy("lang", "quality_score").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
+    cum = two_phase_scan(
+        per_score,
+        ["lang"],
+        [F.col("quality_score")],
+        {"cum_cnt": F.col("cnt")},
+    )
+    n_by = per_score.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    ranked = cum.join(F.broadcast(n_by), "lang").select(
+        "lang",
+        "quality_score",
+        F.when(F.col("n") == 1, F.lit(0.0))
+        .otherwise(
+            (F.col("cum_cnt") - F.col("cnt")).cast("double")
+            / (F.col("n") - 1).cast("double")
+        )
+        .alias("pr"),
+    )
+    qualifying = ranked.where(F.col("pr") >= 0.25)
+    return scored.join(
+        qualifying, ["lang", "quality_score"]
+    ).select("doc_id", "lang", "quality_score", "pr")
 
 
 @register(
@@ -284,28 +316,31 @@ def curation_quality_quantile_filter(
     "fixed sample, not arrival order) and greedily taken while the "
     "EXCLUSIVE running size is under the per-lang budget — so the "
     "budget is always met or minimally overshot by one doc, and the "
-    "selection is identical on any run/layout.  One window shuffle on "
-    "lang.  At 100 TB the prefix sum windows a hot language onto one "
-    "task: pre-cap candidates first with topk_per_group_skewed (only "
-    "the budget/min_doc_size best-priority docs can possibly fit) so "
-    "the prefix-sum window sees a bounded sliver, same exactness.",
+    "selection is identical on any run/layout.  lang is constant-"
+    "cardinality, so the exclusive prefix sum comes from "
+    "two_phase_scan (range-partitioned slice-local running sums + "
+    "offsets; chars_before = inclusive cum - own size) — never a "
+    "per-lang window over n/5 rows in one task.",
 )
 def curation_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from hana_bq_beam_connector_spark.operators.relational import (
+        two_phase_scan,
+    )
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
     pri = F.expr(spark_polyhash("cast(doc_id as string)"))
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(pri.asc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    cum = two_phase_scan(
+        d.withColumn("__pri", pri),
+        ["lang"],
+        [F.col("__pri"), F.col("doc_id")],
+        {"cum_chars": F.col("n_chars")},
     )
     return (
-        d.withColumn(
+        cum.withColumn(
             "chars_before",
-            F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("long"),
+            (F.col("cum_chars") - F.col("n_chars")).cast("long"),
         )
         .where(F.col("chars_before") < 20000)
         .select("doc_id", "lang", "n_chars", "chars_before")

@@ -28,6 +28,9 @@ from hana_bq_beam_connector_spark.operators.dedup import (
     shingle_hashes,
     simhash,
 )
+from hana_bq_beam_connector_spark.operators.relational import (
+    two_phase_rank,
+)
 from hana_bq_beam_connector_spark.queries import register
 from hana_bq_beam_connector_spark.sources.files import load_table
 
@@ -61,14 +64,18 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     """,
     doc="Keep-first-by-key dedup: deterministic earliest doc per "
-    "(lang, source) via rank-and-filter.",
+    "(lang, source) as an argmin aggregate (min_by) — keep-first "
+    "never needs a rank window: the agg folds map-side and scales "
+    "identically for 100 keys or 10^9 (the rank-and-filter spelling "
+    "sorted n/|keys| rows in one task per key; (lang, source) has "
+    "100 values at ANY corpus size).",
 )
 def dedup_keep_first_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return keep_first_by_key(
         d.select("doc_id", "lang", "source"),
         key=["lang", "source"],
-        order=[F.col("doc_id").asc()],
+        order=[F.col("doc_id")],
     )
 
 
@@ -230,9 +237,9 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "itself is an equi-join on (lang, bucket) touching O(n*W) "
     "candidates — never a rank-range filter over a lang-wide hash "
     "join.  The oracle keeps the simple rank-range form (it needs "
-    "to be correct, not fast).  Scale note: the rank window sorts "
-    "each lang block in one task; at 100 TB the rank would come "
-    "from a range-partitioned two-phase sort, same semantics.",
+    "to be correct, not fast).  The rank itself is two_phase_rank "
+    "(range-partitioned slice-local row_number + offsets) — no task "
+    "ever sorts a whole lang block, at any corpus size.",
 )
 def dedup_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     W = 10
@@ -241,11 +248,13 @@ def dedup_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.array_distinct(F.split(F.col("text"), " ")).alias("ws"),
     )
-    key = F.array_join(F.array_sort("ws"), " ")
-    win = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
-    r = d.withColumn("rn", F.row_number().over(win)).withColumn(
-        "bkt", F.expr(f"(rn - 1) DIV {W}")
-    )
+    # Two-phase rank: lang is constant-cardinality, so the SNM rank
+    # must not sort a whole lang block in one task (the docstring's
+    # promised range-partitioned sort, now the shipped plan).
+    keyed = d.withColumn("__key", F.array_join(F.array_sort("ws"), " "))
+    r = two_phase_rank(
+        keyed, ["lang"], [F.col("__key"), F.col("doc_id")], out="rn"
+    ).drop("__key").withColumn("bkt", F.expr(f"(rn - 1) DIV {W}"))
     a = r.select(
         F.col("doc_id").alias("id_a"),
         F.col("lang").alias("lang_a"),
@@ -389,7 +398,8 @@ def _duck_embedding_pairs_sql(
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_transform(range(1, 65), i -> "
         "CAST(e.embedding[i] AS DOUBLE) * "
-        "CAST((((t.t * pa.np + p) * 37 + (i - 1) * 101) % 13) - 6 "
+        "CAST(((xor((t.t * pa.np + p) * CAST(73856093 AS BIGINT), "
+        "(i - 1) * CAST(19349663 AS BIGINT))) % 13) - 6 "
         "AS DOUBLE))), (acc, v) -> acc + v)"
     )
     bucket = (
@@ -418,11 +428,47 @@ def _duck_embedding_pairs_sql(
       CROSS JOIN pa
       CROSS JOIN (SELECT unnest(range(0, {n_tables})) AS t) t
     ),
+    -- capacity refinement: occupancy c > target splits its bucket
+    -- with R = min(16, bit_length(ceil_div(c, target) - 1)) reserved
+    -- planes — the identical pure-integer formula the operator runs.
+    heavy AS (
+      SELECT table_id, bucket,
+        LEAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, 63), pp ->
+            CASE WHEN ((((c + {target_bucket_size - 1})
+                         // {target_bucket_size}) - 1) >> pp) > 0
+                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+          (acc, v) -> acc + v), CAST(16 AS BIGINT)) AS rbits
+      FROM (
+        SELECT table_id, bucket, COUNT(*) AS c
+        FROM banded GROUP BY table_id, bucket
+      ) WHERE c > {target_bucket_size}
+    ),
+    refined AS (
+      SELECT b.vec_id, b.table_id, b.bucket,
+        CASE WHEN h.rbits IS NULL THEN CAST(0 AS BIGINT)
+        ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, CAST(h.rbits AS INTEGER)), rr ->
+            CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, 65), i ->
+                CAST(e.embedding[i] AS DOUBLE) *
+                CAST(((xor(({n_tables} * pa.np + b.table_id * 16 + rr)
+                           * CAST(73856093 AS BIGINT),
+                           (i - 1) * CAST(19349663 AS BIGINT))) % 13) - 6
+                     AS DOUBLE))), (acc, v) -> acc + v) > 0
+            THEN (CAST(1 AS BIGINT) << rr) ELSE CAST(0 AS BIGINT) END)),
+          (acc, v) -> acc + v) END AS extra
+      FROM banded b
+      LEFT JOIN heavy h
+        ON b.table_id = h.table_id AND b.bucket = h.bucket
+      JOIN embeddings e ON e.vec_id = b.vec_id
+      CROSS JOIN pa
+    ),
     cand AS (
       SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-      FROM banded x
-      JOIN banded y ON x.table_id = y.table_id AND x.bucket = y.bucket
-       AND x.vec_id < y.vec_id
+      FROM refined x
+      JOIN refined y ON x.table_id = y.table_id AND x.bucket = y.bucket
+       AND x.extra = y.extra AND x.vec_id < y.vec_id
     )
     SELECT id_a, id_b, {_duck_dot('ea.uv', 'eb.uv')} AS cos_sim
     FROM cand
@@ -494,10 +540,11 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_name"
     )
-    win = Window.partitionBy("c_nationkey").orderBy("c_name", "c_custkey")
-    r = c.withColumn("rn", F.row_number().over(win)).withColumn(
-        "bkt", F.expr(f"(rn - 1) DIV {W}")
-    )
+    # nation is FIXED 25-cardinality — rank via two_phase_rank, never
+    # a per-nation window sorting n/25 rows in one task.
+    r = two_phase_rank(
+        c, ["c_nationkey"], [F.col("c_name"), F.col("c_custkey")], out="rn"
+    ).withColumn("bkt", F.expr(f"(rn - 1) DIV {W}"))
     a = r.select(
         F.col("c_custkey").alias("id_a"),
         F.col("c_nationkey").alias("nk_a"),
@@ -726,11 +773,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.size("gs") > 0)
     )
-    key = F.array_join(F.array_sort("gs"), "|")
-    win = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
-    r = d.withColumn("rn", F.row_number().over(win)).withColumn(
-        "bkt", F.expr(f"(rn - 1) DIV {W}")
-    )
+    # Two-phase rank — same constant-cardinality-lang reasoning as
+    # dedup_ngram_jaccard_sample above.
+    keyed = d.withColumn("__key", F.array_join(F.array_sort("gs"), "|"))
+    r = two_phase_rank(
+        keyed, ["lang"], [F.col("__key"), F.col("doc_id")], out="rn"
+    ).drop("__key").withColumn("bkt", F.expr(f"(rn - 1) DIV {W}"))
     a = r.select(
         F.col("doc_id").alias("id_a"),
         F.col("lang").alias("lang_a"),

@@ -231,14 +231,24 @@ def agg_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
     doc="Exact weighted median of extended price per return flag, "
-    "weighted by quantity: cumulative exact-decimal weight along the "
-    "(price, key) order, first crossing of half the total weight.  "
-    "The 2*cum >= tot compare is decimal-exact — no float boundary "
-    "ambiguity.  Partitioning is per group, so this spelling fits "
-    "when groups are plentiful; for few huge groups the scale path "
-    "is a two-phase bucket histogram (find the crossing bucket from "
-    "O(buckets) partials, then exact-scan just that bucket) — same "
-    "answer, bounded sort.",
+    "weighted by quantity — two-phase bucket histogram, because "
+    "lineitem has THREE return flags at any scale: the naive "
+    "per-group window sorts n/3 rows per task (measured 164s at "
+    "sf10, 60M rows).  Phase 1 folds the fact table to per-(flag, "
+    "price/64-bucket) exact-decimal weight partials (one map-side-"
+    "combined shuffle, O(price-domain/64) rows), a tiny bucket "
+    "window finds each flag's crossing bucket and the cumulative "
+    "weight BEFORE it, and phase 2 re-scans only the crossing "
+    "bucket's rows (broadcast semi-filter) for the exact per-row "
+    "crossing.  The answer is provably the naive spelling's: rows "
+    "sorted by price have monotone cumulative weight, so the first "
+    "crossing row lies in the first bucket whose end-cumulative "
+    "crosses half — MIN(price) over in-bucket rows with "
+    "2*(prior + cum_in) >= tot is the same price the full sort "
+    "would pick.  Bucket id floor(price/64) divides by a power of "
+    "two (exact in IEEE); all weight sums stay decimal-exact.  The "
+    "oracle keeps the one-window naive SQL — same rows, same "
+    "doubles, different plan.",
 )
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -246,18 +256,61 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
     )
     wq = F.col("l_quantity").cast("decimal(18,2)")
-    cum = Window.partitionBy("l_returnflag").orderBy(
+    bucket = F.floor(F.col("l_extendedprice") / F.lit(64.0)).alias("bucket")
+    # Phase 1: exact weight per (flag, price bucket) — the only
+    # full-table shuffle, partial-aggregated map-side.
+    hist = li.select("l_returnflag", bucket, wq.alias("w")).groupBy(
+        "l_returnflag", "bucket"
+    ).agg(F.sum("w").alias("bw"))
+    cum_b = Window.partitionBy("l_returnflag").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_b = Window.partitionBy("l_returnflag")
+    ranked_b = hist.select(
+        "l_returnflag",
+        "bucket",
+        (F.sum("bw").over(cum_b) - F.col("bw")).alias("prior_w"),
+        F.sum("bw").over(cum_b).alias("cum_bw"),
+        F.sum("bw").over(tot_b).alias("tot_w"),
+    )
+    # First bucket whose end-cumulative crosses half the total; the
+    # struct MIN orders by bucket id, carrying that bucket's prior
+    # cumulative and the flag's total along.
+    crossing = (
+        ranked_b.where(F.lit(2) * F.col("cum_bw") >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(F.min(F.struct("bucket", "prior_w", "tot_w")).alias("c"))
+        .select(
+            F.col("l_returnflag").alias("c_flag"),
+            F.col("c.bucket").alias("c_bucket"),
+            F.col("c.prior_w").alias("prior_w"),
+            F.col("c.tot_w").alias("tot_w"),
+        )
+    )
+    # Phase 2: exact crossing inside the one crossing bucket per flag
+    # (O(rows-per-bucket) window input, never O(group)).
+    in_bucket = li.join(
+        F.broadcast(crossing),
+        (li["l_returnflag"] == F.col("c_flag"))
+        & (
+            F.floor(li["l_extendedprice"] / F.lit(64.0))
+            == F.col("c_bucket")
+        ),
+    ).select(
+        li["l_returnflag"],
+        "l_extendedprice",
+        wq.alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+        "prior_w",
+        "tot_w",
+    )
+    cum_in = Window.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tot = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum(wq).over(cum).alias("cum_w"),
-        F.sum(wq).over(tot).alias("tot_w"),
-    )
     return (
-        ranked.where(F.lit(2) * F.col("cum_w") >= F.col("tot_w"))
+        in_bucket.withColumn("cum_w", F.col("prior_w") + F.sum("w").over(cum_in))
+        .where(F.lit(2) * F.col("cum_w") >= F.col("tot_w"))
         .groupBy("l_returnflag")
         .agg(F.min("l_extendedprice").cast("double").alias("weighted_median"))
     )
@@ -292,25 +345,30 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "PRECEDING cumulative share is still under 80%, so the crossing "
     "part is included.  The 5·cum < 4·tot compare is decimal-exact "
     "(no 0.8 float threshold at the boundary).  Phase 1 reduces the "
-    "fact table to one row per (flag, part) before any window, so "
-    "the per-flag sort input is the part domain, not the table — "
-    "same two-phase discipline as the skyline.",
+    "fact table to one row per (flag, part) before any cumulative "
+    "work — but the part DOMAIN grows with the corpus and there are "
+    "only three flags, so the running revenue comes from "
+    "two_phase_scan over the (r DESC, partkey) order (range-"
+    "partitioned slice-local sums + offsets), never a per-flag "
+    "window sorting the whole part domain in one task; totals ride "
+    "a broadcast agg.",
 )
 def agg_pareto_cut_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators.relational import (
+        two_phase_scan,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_returnflag", "l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
     )
-    cum_w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("r").desc(), "l_partkey"
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tot_w = Window.partitionBy("l_returnflag")
-    ranked = rev.select(
-        "l_returnflag",
-        "r",
-        F.sum("r").over(cum_w).alias("cum"),
-        F.sum("r").over(tot_w).alias("tot"),
-    )
+    tot_by = rev.groupBy("l_returnflag").agg(F.sum("r").alias("tot"))
+    ranked = two_phase_scan(
+        rev,
+        ["l_returnflag"],
+        [F.col("r").desc(), F.col("l_partkey")],
+        {"cum": F.col("r")},
+    ).join(F.broadcast(tot_by), "l_returnflag")
     return ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_parts_total"),
         F.sum(

@@ -112,12 +112,18 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Sequence packing for training (fixed 1024-token budget): "
     "contiguous greedy packing by running token count within each "
-    "lang shard — one window shuffle on lang, linear scan, fully "
-    "deterministic (doc_id order), so every run/world-size produces "
-    "identical packs.  The assignment is what a dataloader shards on.",
+    "lang shard — fully deterministic (doc_id order), so every "
+    "run/world-size produces identical packs.  The running sum comes "
+    "from two_phase_scan (range-partition the per-lang doc_id order, "
+    "slice-local prefix sums, tiny offset frame) because lang is "
+    "constant-cardinality: a plain per-lang window would scan n/5 "
+    "rows in one task at any scale.  The assignment is what a "
+    "dataloader shards on.",
 )
 def pack_sequences_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from hana_bq_beam_connector_spark.operators.relational import (
+        two_phase_scan,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
@@ -125,12 +131,9 @@ def pack_sequences_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = two_phase_scan(
+        t, ["lang"], [F.col("doc_id")], {"cum_tokens": F.col("n_tokens")}
     )
-    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return c.select(
         "doc_id",
         "lang",
@@ -207,22 +210,31 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Class-balanced downsampling: every language keeps exactly "
     "min-class-count documents, chosen by hash-priority rank "
     "(polyhash(doc_id) order, ties by doc_id) — deterministic across "
-    "runs and layouts, no RNG.  The minority count attaches to the "
-    "tiny per-lang counts frame via an unpartitioned window (rows = "
-    "#languages, by construction small) and broadcast-equi-joins back "
-    "onto the ranked documents — no nested-loop scalar cross.  "
-    "id_checksum pins the exact selected set, not just its size.",
+    "runs and layouts, no RNG.  The per-lang rank comes from "
+    "two_phase_rank (lang is constant-cardinality — a plain window "
+    "would sort n/5 rows in one task); the minority count attaches "
+    "to the tiny per-lang counts frame via an unpartitioned window "
+    "(rows = #languages, by construction small) and broadcast-equi-"
+    "joins back onto the ranked documents — no nested-loop scalar "
+    "cross.  id_checksum pins the exact selected set, not just its "
+    "size.",
 )
 def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    rk = F.row_number().over(
-        Window.partitionBy("lang").orderBy(
-            F.expr(spark_polyhash("cast(doc_id as string)")), "doc_id"
-        )
+    from hana_bq_beam_connector_spark.operators.relational import (
+        two_phase_rank,
     )
-    ranked = d.select("doc_id", "lang", rk.alias("rk"))
+
+    d = load_table(spark, sf_dir, "documents")
+    pri = d.select(
+        "doc_id",
+        "lang",
+        F.expr(spark_polyhash("cast(doc_id as string)")).alias("__pri"),
+    )
+    ranked = two_phase_rank(
+        pri, ["lang"], [F.col("__pri"), F.col("doc_id")], out="rk"
+    ).select("doc_id", "lang", "rk")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     mn = F.min("n").over(
         Window.orderBy(F.lit(1)).rowsBetween(

@@ -154,7 +154,8 @@ def _duck_plane_dot(vec: str, p: int) -> str:
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(range(1, {DIM} + 1), "
         f"i -> CAST({vec}[i] AS DOUBLE) * "
-        f"CAST((({p} * 37 + (i - 1) * 101) % 13) - 6 AS DOUBLE))), "
+        f"CAST(((xor({p} * CAST(73856093 AS BIGINT), "
+        f"(i - 1) * CAST(19349663 AS BIGINT))) % 13) - 6 AS DOUBLE))), "
         f"(acc, v) -> acc + v)"
     )
 

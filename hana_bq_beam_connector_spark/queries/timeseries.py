@@ -151,34 +151,25 @@ def ts_hourly_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type, bucket_us
     """,
     doc="OHLC downsample (financial-style resample): 6-hour candles "
-    "per event_type.  Open/close are selected by symmetric "
-    "row_number with a (ts, event_id) tie-break — portable across "
-    "engines where first_value/arg_min tie rules differ; high/low "
-    "are plain min/max.  One window shuffle on the (type, bucket) "
-    "key, then a hash aggregate on the same key (no second "
-    "exchange — the partitioning is reused).",
+    "per event_type.  Open/close are ARGMIN/ARGMAX of value along "
+    "the total (ts, event_id) order — min_by/max_by over a struct "
+    "key folds with a partial map-side combine, so a candle never "
+    "sorts its rows (the previous symmetric-row_number spelling "
+    "sorted every (type, bucket) group twice; per-candle row count "
+    "grows with event DENSITY, the same axis the geo sweep finding "
+    "burned on).  One hash aggregate, zero windows.  The oracle "
+    "keeps the engine-portable row_number SQL — with a total "
+    "tie-break the selected rows are identical.",
 )
 def ts_ohlc_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_us(spark, sf_dir).select("event_type", "event_id", "ts", "value")
     b = ev.withColumn("bucket_us", F.expr(f"ts - ts % {_SIX_H_US}"))
-    wa = Window.partitionBy("event_type", "bucket_us").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    wd = Window.partitionBy("event_type", "bucket_us").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    r = b.select(
-        "event_type",
-        "bucket_us",
-        "value",
-        F.row_number().over(wa).alias("rn_a"),
-        F.row_number().over(wd).alias("rn_d"),
-    )
-    return r.groupBy("event_type", "bucket_us").agg(
-        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_value"),
+    tkey = F.struct(F.col("ts"), F.col("event_id"))
+    return b.groupBy("event_type", "bucket_us").agg(
+        F.min_by("value", tkey).alias("open_value"),
         F.max("value").alias("high_value"),
         F.min("value").alias("low_value"),
-        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_value"),
+        F.max_by("value", tkey).alias("close_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -223,21 +214,24 @@ def ts_ohlc_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Robust outlier detection per series: lower-median and MAD "
     "(median absolute deviation) picked EXACTLY via row_number (the "
     "interpolation-free discrete quantile, deterministic under ties "
-    "by event_id), then |v - med| > 3·MAD flags outliers.  Two "
-    "window scans + one broadcastable per-group stats join — no "
-    "global sort, resistant to the heavy tails that break "
-    "mean/stddev z-scores.",
+    "by event_id), then |v - med| > 3·MAD flags outliers.  events "
+    "has FIVE event types at any scale, so the rank comes from "
+    "two_phase_rank (range-partition the (value, event_id) order, "
+    "slice-local row_number, tiny offset frame) instead of a "
+    "one-task-per-type window sort of n/5 rows; group counts ride a "
+    "plain broadcast agg instead of COUNT(*) OVER.  Values identical "
+    "to the oracle's one-window SQL — the order is total.",
 )
 def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = events_us(spark, sf_dir).select("event_type", "value", "event_id")
-    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
-    r = v.select(
-        "event_type",
-        "value",
-        F.row_number().over(wv).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    from hana_bq_beam_connector_spark.operators.relational import (
+        two_phase_rank,
     )
+
+    v = events_us(spark, sf_dir).select("event_type", "value", "event_id")
+    n_by = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    r = two_phase_rank(
+        v, ["event_type"], [F.col("value"), F.col("event_id")], out="rn"
+    ).join(F.broadcast(n_by), "event_type")
     med = r.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
         "event_type", F.col("value").alias("med")
     )
@@ -247,14 +241,9 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "med",
     )
-    wa = Window.partitionBy("event_type").orderBy("adev", "event_id")
-    r2 = d.select(
-        "event_type",
-        "adev",
-        "med",
-        F.row_number().over(wa).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+    r2 = two_phase_rank(
+        d, ["event_type"], [F.col("adev"), F.col("event_id")], out="rn"
+    ).join(F.broadcast(n_by), "event_type")
     mad = r2.where(
         F.col("rn") == F.expr("(n + 1) div 2")
     ).select("event_type", "med", F.col("adev").alias("mad"))

@@ -404,3 +404,114 @@ def test_single_task_funnels_are_enumerated(spark, sf_dir):
             assert any(
                 k in doc for k in ("approx", "scale path", "sketch", "chunking")
             ), f"{name}: demo docstring must name the scale alternative"
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide FEW-HUGE-GROUPS window audit (round 8).
+#
+# `Exchange SinglePartition` catches unpartitioned funnels, but a
+# window PARTITIONED BY a constant-cardinality column is the same
+# pathology wearing a disguise: lineitem has 3 return flags, events 5
+# types, documents 5 langs at ANY scale, so `... OVER (PARTITION BY
+# lang ORDER BY ...)` over a corpus-sized frame sorts n/5 rows in ONE
+# task forever (the round-8 sf10 sweep measured the weighted median at
+# 164s/60M rows exactly this way).  Every window whose partition keys
+# are ALL drawn from the constant-cardinality column set below must be
+# enumerated with its boundedness reason; the unbounded ones are
+# rewritten over two_phase_scan / two_phase_rank / argmin aggregates
+# (operators/relational.py, operators/dedup.py keep_first_by_key).
+
+_CONST_CARD_COLS = {
+    "lang",
+    "source",
+    "event_type",
+    "l_returnflag",
+    "l_linestatus",
+    "o_orderstatus",
+    "split",
+    "c_nationkey",
+    "s_nationkey",
+    "n_nationkey",
+    "n_regionkey",
+}
+
+# name -> reason the surviving const-card-partitioned window is bounded
+_CONST_CARD_WINDOWS = {
+    "agg_pareto_cut_8020": "two_phase offsets frame: O(slices x flags)",
+    "agg_weighted_median": "bucket-histogram windows: O(price-domain/64) "
+    "rows per flag, never O(rows); phase-2 window input is one bucket",
+    "curation_budget_mixture": "two_phase offsets frame: O(slices x langs)",
+    "curation_quality_quantile_filter": "two_phase offsets frame over the "
+    "per-(lang, distinct score) counts",
+    "dedup_containment_pairs": "two_phase offsets frame: O(slices x langs)",
+    "dedup_ngram_jaccard_sample": "two_phase offsets frame: "
+    "O(slices x langs)",
+    "pack_sequences_by_budget": "two_phase offsets frame: "
+    "O(slices x langs)",
+    "sample_class_balanced": "two_phase offsets frame: O(slices x langs)",
+    "ts_outlier_mad": "two_phase offsets frames (x2): O(slices x types)",
+    "ts_ewma_hourly": "bounded: O(hours) per-type hourly frame",
+    "ts_multi_grain_rollup": "bounded: O(grain buckets) pre-aggregated "
+    "frame per type",
+    "agg_histogram_equiwidth": "bounded: share window over the "
+    "O(buckets) histogram frame",
+    "agg_mode_per_group": "bounded: rank window over the "
+    "O(nations x priorities) count frame (both domains fixed)",
+    "dedup_levenshtein_pairs": "two_phase offsets frame: "
+    "O(slices x nations)",
+    "subquery_lateral_topk": "demo: SQL-surface test that LATERAL "
+    "decorrelates; docstring names topk_per_group_skewed as the "
+    "scale path for the same shape",
+    "curation_source_cap": "bounded: phase-2 re-rank of "
+    "topk_per_group_skewed sees <= k*64 survivors per source by "
+    "construction (phase 1 truncates on salted subgroups)",
+    "ts_cusum_changepoint": "bounded: O(hours) per-type hourly frame "
+    "(both the cumulative and the argmax windows)",
+    "ts_rolling_median_24h": "bounded: O(hours) per-type hourly frame, "
+    "constant 24-row frames",
+    "drift_decile_shift_price": "bounded: window over the O(deciles) "
+    "frame",
+}
+
+
+def test_const_cardinality_windows_are_enumerated(spark, sf_dir):
+    import re
+
+    specs = registry()
+    flagged: dict[str, list[str]] = {}
+    for name in sorted(specs):
+        if name in _SKIP_EXECUTING:
+            continue
+        plan = (
+            specs[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for line in plan.splitlines():
+            if "Window" not in line:
+                continue
+            m = re.search(
+                r"\], \[([^\[\]]*)\], \[[^\[\]]*\]\s*$", line
+            )
+            if not m or not m.group(1).strip():
+                continue  # unpartitioned windows: SinglePartition audit
+            cols = {
+                c.strip().split("#")[0]
+                for c in m.group(1).split(",")
+                if c.strip()
+            }
+            if cols and cols <= _CONST_CARD_COLS:
+                flagged.setdefault(name, []).append(sorted(cols).__repr__())
+        spark.catalog.clearCache()
+    extra = sorted(set(flagged) - set(_CONST_CARD_WINDOWS))
+    assert not extra, (
+        "NEW window partitioned ONLY by constant-cardinality columns "
+        "— its per-task input is O(n/constant) at every scale.  "
+        "Rewrite over two_phase_scan/two_phase_rank (or an argmin "
+        "aggregate), or allowlist with a boundedness reason: "
+        f"{ {k: flagged[k] for k in extra} }"
+    )
+    stale = sorted(set(_CONST_CARD_WINDOWS) - set(specs))
+    assert not stale, f"allowlist names unknown queries: {stale}"
