@@ -970,20 +970,34 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # The truth join MUST NOT key on lang alone: lang has FIVE values
+    # at any scale, so a plain equi-join lands each lang's whole
+    # (panel x block) comparison — shingle arrays included — on ONE
+    # reducer task (the round-8 sf10 sweep sat 26+ minutes on a
+    # single 100%-CPU straggler exactly here).  Deterministic salt:
+    # the block side takes s = xxhash64(id) % 32, the panel side
+    # replicates to all 32 salts — same pair set, same Jaccards,
+    # 5x32 balanced tasks instead of 5.
+    _SALT = 32
     a = hashed.where(F.col("doc_id") % k_div == 0).select(
         F.col("doc_id").alias("id_a"),
         F.col("lang").alias("lang_a"),
         F.col("shingle_hashes").alias("sh_a"),
+        F.explode(
+            F.array(*[F.lit(s) for s in range(_SALT)])
+        ).alias("salt_a"),
     )
     b = hashed.select(
         F.col("doc_id").alias("id_b"),
         F.col("lang").alias("lang_b"),
         F.col("shingle_hashes").alias("sh_b"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(_SALT)).alias("salt_b"),
     )
     truth = (
         a.join(
             b,
             (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("salt_a") == F.col("salt_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
         .where(jaccard("sh_a", "sh_b") >= 0.8)

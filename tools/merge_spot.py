@@ -18,15 +18,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 NOTES = {
     "metric": "registry_sf10_spot",
-    "what": "the ~30 highest-risk queries (worst sf1 ratios + the "
+    "what": "the ~44 highest-risk queries (worst sf1 ratios + the "
     "heaviest dedup/sim/rec/er members + the four round-7-rewritten "
     "queries re-measured POST-fix + the four new mm_ queries + the "
-    "streaming batch faces) at sf1 vs sf10 (lineitem 60M rows), 12x "
-    "wall-ratio limit — the second measured scale decade",
+    "streaming batch faces + the round-8 few-huge-groups rewrites "
+    "and the refined-LSH queries) at sf1 vs sf10 (lineitem 60M "
+    "rows), 12x wall-ratio limit — the second measured scale decade",
     "notes": [
-        "later chunks supersede earlier rows: the gapfill/interp/"
-        "embedding-LSH/recall rows are post-rewrite measurements "
-        "(chunk b), replacing chunk a's pre-fix captures.",
+        "every row measures the round-8 code: the spine-free "
+        "gap-fill/interp, auto-plane + capacity-refined LSH with the "
+        "non-degenerate XOR plane family, the two-phase bucket-"
+        "histogram weighted median, and the two_phase_scan/rank "
+        "few-huge-groups rewrites.",
         "geo_grid_neighbor_pairs records FAIL:loud-guard BY DESIGN: "
         "a fixed-radius neighbor join's candidate space and true "
         "answer are quadratic in points-per-cell (measured 103.9x "
