@@ -659,20 +659,37 @@ def pq_encode_codebook(
     )
 
     def _assign(codebook: DataFrame) -> DataFrame:
+        # One row PER SUBVECTOR, not per (subvector, codeword): the
+        # join-then-min spelling materialized n·m·ks rows (204.8M at
+        # sf10 for ks=64 — measured spilling; the encode stage
+        # dominated sim_pq_topk's 29.8x sf10 ratio).  Instead the
+        # codebook folds to ks-element arrays per subspace (m tiny
+        # rows, broadcast), and each subvector computes its argmin
+        # with an in-expression fold over that array — identical
+        # (dist, code) ordering to min(struct(dist, code)): strict
+        # less-than keeps the first (= lowest code, array pre-sorted
+        # by code) on exact ties.  Zero extra rows, no shuffle: the
+        # argmin never leaves the projection.
+        cb_by_s = codebook.groupBy("s").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(code, cw))), "
+                "x -> x)"
+            ).alias("cws")
+        )
+        argmin = (
+            "aggregate(cws, "
+            "named_struct('dist', cast('Infinity' as double), "
+            "'code', cast(-1 as bigint)), "
+            f"(acc, cwx) -> IF({_l2sq_fold('sv', 'cwx.cw')} < acc.dist, "
+            f"named_struct('dist', {_l2sq_fold('sv', 'cwx.cw')}, "
+            "'code', cast(cwx.code as bigint)), acc))"
+        )
         return (
-            sub.join(F.broadcast(codebook), "s")
+            sub.join(F.broadcast(cb_by_s), "s")
+            .withColumn("__best", F.expr(argmin))
             .select(
-                "__id",
-                "s",
-                "sv",
-                F.struct(
-                    F.expr(_l2sq_fold("sv", "cw")).alias("dist"),
-                    F.col("code").alias("code"),
-                ).alias("dc"),
+                "__id", "s", F.col("__best.code").alias("code"), "sv"
             )
-            .groupBy("__id", "s")
-            .agg(F.min("dc").alias("best"), F.first("sv").alias("sv"))
-            .select("__id", "s", F.col("best.code").alias("code"), "sv")
         )
 
     # Lloyd refinement per subspace: recompute each codeword as the
