@@ -97,20 +97,49 @@ def pagerank_integer(
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count of an undirected graph.
 
-    Canonicalizes to ``src < dst`` then counts paths u→v→w that close
-    with edge (u, w): two equi-joins, never a cartesian.  The
-    ordered-edge form counts every triangle exactly once.  For skewed
-    production graphs, re-rank vertices by degree before ordering
-    (puts the join fan-out on low-degree vertices, the classic
-    O(E^1.5) bound); id-ordering keeps the oracle one line and is
-    correct regardless.
+    Canonicalizes to ``src < dst``, re-orients every edge from its
+    lower-(degree, id) endpoint to the higher one (Schank & Wagner),
+    then counts paths u→v→w that close with edge (u, w): two
+    equi-joins, never a cartesian.  Each triangle is enumerated
+    exactly once from its minimum corner, so the COUNT is identical
+    to the id-oriented form (the oracle keeps its one-line SQL) —
+    but the wedge join pivots on each wedge's lowest-degree corner,
+    bounding Σ out_deg² by O(E^1.5) under any skew instead of
+    letting hub vertices fan out (the id-oriented form measured
+    15.6x at the round-8 sf10 sweep on the co-supply graph).
     """
     canon = _persist(
         edges.where(F.col("src") < F.col("dst")).select("src", "dst").distinct()
     )
-    uv = canon.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    vw = canon.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    uw = canon.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    sym = canon.union(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e1 = canon.join(
+        deg.select(F.col("node_id").alias("src"), F.col("deg").alias("ds")),
+        "src",
+    ).join(
+        deg.select(F.col("node_id").alias("dst"), F.col("deg").alias("dd")),
+        "dst",
+    )
+    lo_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = _persist(
+        e1.select(
+            F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias(
+                "osrc"
+            ),
+            F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias(
+                "odst"
+            ),
+        )
+    )
+    uv = oriented.select(F.col("osrc").alias("u"), F.col("odst").alias("v"))
+    vw = oriented.select(F.col("osrc").alias("v"), F.col("odst").alias("w"))
+    uw = oriented.select(F.col("osrc").alias("u"), F.col("odst").alias("w"))
     return (
         uv.join(vw, "v")
         .join(uw, ["u", "w"])

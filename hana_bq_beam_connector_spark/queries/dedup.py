@@ -913,7 +913,7 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_duck_minhash_ctes()},
     dl AS (SELECT doc_id, lang FROM documents),
     ks AS (
-      SELECT GREATEST(CAST(10 AS BIGINT), (COUNT(*) + 4999) // 5000) AS k
+      SELECT GREATEST(CAST(10 AS BIGINT), (COUNT(*) + 1999) // 2000) AS k
       FROM documents
     ),
     truth AS (
@@ -954,8 +954,11 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash-LSH recall audit (the dedup twin of "
     "sim_ann_recall_report): ground truth is exact shingle-set "
     "Jaccard >= 0.8 on a deterministic FIXED-SIZE left-sample "
-    "(doc_id % K == 0 with K = max(10, ceil(n/5000)) — ~5000 sampled "
-    "queries at any corpus size) blocked by lang; candidates are the "
+    "(doc_id % K == 0 with K = max(10, ceil(n/2000)) — ~2000 sampled "
+    "queries at any corpus size; the r8 sweep measured the 5000-doc "
+    "panel at 575s/25x at sf10 — the audit's value is the recall "
+    "ESTIMATE, and 2000 panelists bound its work at any corpus) "
+    "blocked by lang; candidates are the "
     "production LSH pipeline restricted to the same universe.  The "
     "adaptive divisor is the round-7 fix for the second quadratic "
     "the sf10 spot sweep exposed: a CONSTANT-FRACTION sample against "
@@ -963,7 +966,7 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sf1 ratio 7.39 slid under the 12x bar; sf10 hung).  K is "
     "computed from the same COUNT(*) by both engines, so the "
     "data-dependent sample is itself oracle-gated — and unchanged at "
-    "the driver/bench SFs (n ≤ 50k keeps K = 10).  Full-outer merge "
+    "the driver/bench SFs (n ≤ 20k keeps K = 10).  Full-outer merge "
     "-> one-row report (truth/candidate/hit counts + recall as one "
     "IEEE division).  This measures exactly what banding loses — "
     "with 16 hashes / 4 bands, expected recall at j=0.8 is ~0.93; a "
@@ -980,12 +983,12 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     # Fixed-SIZE truth sample: the divisor scales with the corpus so
-    # the brute-force truth side stays ~5000 queries x same-lang
+    # the brute-force truth side stays ~2000 queries x same-lang
     # block — linear in n — instead of a constant fraction against a
     # fixed-cardinality block (Θ(n²), the sf10 hang).  Same
     # pure-integer ceil-div the oracle evaluates from the same count
     # (r8: no float division in a sample-gating path).
-    k_div = max(10, -(-d.count() // 5000))
+    k_div = max(10, -(-d.count() // 2000))
     # ONE shingle pass feeds both the exact-truth brute force and the
     # LSH pipeline (signatures + both verify sides) — without the
     # shared persist the shingle stage executes twice.
