@@ -770,6 +770,16 @@ def pq_topk(
     folds in subspace order (collect → sort → fold) so scores are
     bit-reproducible; production would use plain SUM (≤1 ulp drift)
     — same plan, cheaper agg.
+
+    Scale note (round-8 sf10 sweep): the encode argmin is an
+    interpreted higher-order fold (n·m rows x ks codewords x
+    sub_dim multiply-adds) — linear in n, but the interpreter
+    constant dominates at 10^5+ vectors (the join-explosion spelling
+    it replaced materialized n·m·ks rows and spilled).  When the
+    encode stage itself is the bottleneck, the production moves are
+    a vectorized Arrow encode (mapInPandas: numpy argmin over the
+    broadcast codebook — same codes) or an offline-trained codebook
+    reused across runs; both keep this operator's scoring path.
     """
     sub_dim = dim // m
     corpus_u = unit(
