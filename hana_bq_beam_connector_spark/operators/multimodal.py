@@ -1172,6 +1172,16 @@ def _lzw_encode(indices: bytes) -> bytes:
         run = bytes([b])
     if run:
         emit(table[run], width)
+        # The decoder eagerly adds a table entry after EVERY decoded
+        # data code and widens when that add lands on 2^w - 1 — even
+        # when the next code on the wire is EOI.  Mirror that bump
+        # here so EOI is written at the width the decoder will read
+        # it with.  (At this point the encoder's next_code already
+        # equals the decoder's post-add count: the decoder skips the
+        # add after the FIRST code, the encoder skips it after the
+        # LAST, so the two ledgers agree at stream end.)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(_GIF_EOI, width)
     if bitcnt:
         out.append(bitbuf & 0xFF)

@@ -115,6 +115,24 @@ def test_gif_whole_file_roundtrip_any_raster(w, h, rnd):
     assert _parse_gif(data) == (w, h, raster)
 
 
+def test_lzw_width_boundary_at_stream_end():
+    """Round-8 regression (deterministic): a distinct-pair raster
+    whose FINAL data code makes the decoder's eager table-add land
+    exactly on 2^w - 1.  The decoder then widens before reading EOI;
+    the encoder's tail emit used to skip the matching bookkeeping and
+    wrote EOI at the old width → ``LZW stream truncated before EOI``.
+    L = 254 puts the decoder's post-add next_code at 257 + 254 = 511
+    = 2^9 - 1; the surrounding lengths cover the ±1 boundaries, and
+    the later blocks cover the 1023 and 2047 boundaries."""
+    for L in (
+        list(range(250, 260))
+        + list(range(762, 772))
+        + list(range(1786, 1796))
+    ):
+        raster = bytes((i * 7 + (i * i) % 11) % 256 for i in range(L))
+        assert _lzw_decode(_lzw_encode(raster), L) == raster
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     st.integers(min_value=1, max_value=30),
