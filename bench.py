@@ -17,6 +17,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hana_bq_beam_connector_spark.operators._common import (
+    release_session_pins,
+)
 from hana_bq_beam_connector_spark.queries import registry  # noqa: E402
 from hana_bq_beam_connector_spark.session import get_spark  # noqa: E402
 
@@ -205,6 +208,7 @@ def main() -> None:
         # Release per-query persisted stages: leaving them pinned
         # charges later queries for this query's cache memory.
         spark.catalog.clearCache()
+        release_session_pins()
 
     print(
         json.dumps(

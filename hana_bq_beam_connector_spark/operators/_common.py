@@ -26,6 +26,31 @@ def persist_reused(df: DataFrame) -> DataFrame:
     return out
 
 
+# Frames persist_reused() inside a lazily-returned operator (e.g.
+# two_phase_scan's ranged slicing) cannot unpersist before the CALLER
+# materializes the output — so they register here, and harnesses
+# release them between queries.  spark.catalog.clearCache() also
+# clears them (same CacheManager), but long sessions that don't
+# clearCache (the driver contract runs 270 queries in one session)
+# would otherwise accumulate corpus-sized cached frames.
+_SESSION_PINS: list[DataFrame] = []
+
+
+def pin_until_release(df: DataFrame) -> DataFrame:
+    """persist_reused + register for :func:`release_session_pins`."""
+    out = persist_reused(df)
+    _SESSION_PINS.append(out)
+    return out
+
+
+def release_session_pins() -> None:
+    """Unpersist every frame pinned via :func:`pin_until_release`.
+    Safe to call between queries — outputs already materialized by
+    then; a pin released early merely recomputes."""
+    while _SESSION_PINS:
+        _SESSION_PINS.pop().unpersist()
+
+
 def plan_reset(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     """Truncate iterative-lineage to a leaf: reliable ``checkpoint``
     when a dir is given (blocks live on the checkpoint FS, so a lost

@@ -71,6 +71,18 @@ def keep_first_by_key(
     descend).  Ties would make the survivor arbitrary in BOTH
     spellings, so callers already pass a unique tiebreak.
     """
+    for c in order:
+        # .asc()/.desc() wrap a SortOrder, which is not a value
+        # expression: inside struct() it only fails deep in analysis
+        # with an opaque error.  Fail loudly here instead.
+        r = repr(c)
+        if " ASC NULLS" in r or " DESC NULLS" in r:
+            raise ValueError(
+                "keep_first_by_key order must be plain ascending "
+                "value expressions (argmin over a struct); got a "
+                f"SortOrder {r} — negate numerics / flip strings to "
+                "descend, see docstring"
+            )
     others = [c for c in df.columns if c not in set(key)]
     picked = df.groupBy(*key).agg(
         F.min_by(F.struct(*others), F.struct(*order)).alias("__first")

@@ -347,6 +347,7 @@ def two_phase_scan(
     order_cols: list[Column],
     vals: dict[str, Column],
     slices: int | None = None,
+    range_cols: list[Column] | None = None,
 ) -> DataFrame:
     """Distributed running aggregates over FEW, HUGE groups.
 
@@ -377,16 +378,34 @@ def two_phase_scan(
     (use exact types: longs / decimals).  Each named output is the
     RUNNING (inclusive) sum of its expression in (part, order) order.
     ``slices`` defaults to spark.sql.shuffle.partitions.
+
+    NULL partition values are kept as a normal group, exactly like
+    the one-window spelling (the offset rejoin is null-safe).
+
+    ``range_cols``: optional REPLACEMENT sort key for the range
+    exchange only — the local window still orders by the full
+    ``order_cols``.  Use when an order column is unbounded (multi-MB
+    document keys): ``repartitionByRange``'s sampler collects sampled
+    keys to the DRIVER, so range on a bounded prefix instead.  The
+    contract: ``range_cols`` must be a monotone COARSENING of
+    ``order_cols`` within each partition — whenever
+    range_key(a) < range_key(b), the full order must also put a
+    before b (a prefix of the first order expression qualifies).
+    Rows with EQUAL range keys always land in one slice
+    (RangePartitioner maps equal keys to one partition), where the
+    full-key window orders them; ranks are therefore unchanged.
     """
     from hana_bq_beam_connector_spark.operators._common import (
-        persist_reused,
+        pin_until_release,
     )
 
     sess = df.sparkSession
     n_slices = slices or int(
         sess.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    keys = [F.col(c) for c in part_cols] + list(order_cols)
+    keys = [F.col(c) for c in part_cols] + list(
+        range_cols if range_cols is not None else order_cols
+    )
     # The sliced frame feeds TWO branches (the offsets summary and
     # the final join), and the slice id comes from the range
     # sampler's boundaries.  Those boundaries are only guaranteed
@@ -399,7 +418,11 @@ def two_phase_scan(
     # row).  persist_reused materializes once; every branch reads the
     # one slicing.  This is the same concurrent-branch trap SCALE.md
     # documents for self-joins.
-    ranged = persist_reused(
+    # pin_until_release = persist_reused + session-pin registry, so
+    # sweep harnesses can unpersist between queries (a single query
+    # may call two_phase_scan twice — ts_outlier_mad — and a 270-
+    # query session would otherwise accumulate corpus-sized caches).
+    ranged = pin_until_release(
         df.repartitionByRange(n_slices, *keys).withColumn(
             "__slice", F.spark_partition_id()
         )
@@ -437,16 +460,26 @@ def two_phase_scan(
             for name in vals
         ],
     )
-    joined = local.join(
-        F.broadcast(offsets), on=[*part_cols, "__slice"], how="inner"
-    )
+    # Null-safe rejoin: a NULL partition value is a normal group in
+    # the one-window spelling (and in the windows above); a plain
+    # equi-join here would silently drop its rows.  EqualNullSafe is
+    # still a hash-join key for Catalyst, so the broadcast plan is
+    # unchanged.
+    loc = local.alias("__tps_l")
+    off = offsets.alias("__tps_o")
+    cond = F.col("__tps_l.__slice") == F.col("__tps_o.__slice")
+    for c in part_cols:
+        cond = cond & F.col(f"__tps_l.{c}").eqNullSafe(
+            F.col(f"__tps_o.{c}")
+        )
+    joined = loc.join(F.broadcast(off), on=cond, how="inner")
     out = joined.select(
+        *[F.col(f"__tps_l.{c}") for c in df.columns],
         *[
-            c
-            for c in df.columns
-        ],
-        *[
-            (F.col(f"__run_{name}") + F.col(f"__off_{name}")).alias(name)
+            (
+                F.col(f"__tps_l.__run_{name}")
+                + F.col(f"__tps_o.__off_{name}")
+            ).alias(name)
             for name in vals
         ],
     )
@@ -459,15 +492,18 @@ def two_phase_rank(
     order_cols: list[Column],
     out: str = "rn",
     slices: int | None = None,
+    range_cols: list[Column] | None = None,
 ) -> DataFrame:
     """ROW_NUMBER over few, huge groups without a per-group sort task:
     the running COUNT(1) under :func:`two_phase_scan`.  Identical
     values to ``row_number() OVER (PARTITION BY part ORDER BY
-    order)`` given a total ``order_cols`` (see two_phase_scan)."""
+    order)`` given a total ``order_cols`` (see two_phase_scan;
+    ``range_cols`` forwards the bounded-range-key contract)."""
     return two_phase_scan(
         df,
         part_cols,
         order_cols,
         {out: F.lit(1).cast("long")},
         slices=slices,
+        range_cols=range_cols,
     )

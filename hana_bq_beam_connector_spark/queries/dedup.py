@@ -252,8 +252,19 @@ def dedup_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must not sort a whole lang block in one task (the docstring's
     # promised range-partitioned sort, now the shipped plan).
     keyed = d.withColumn("__key", F.array_join(F.array_sort("ws"), " "))
+    # Range-exchange on a bounded PREFIX of the multi-KB sort key:
+    # repartitionByRange's sampler ships sampled keys to the driver,
+    # and the slicing is cached — full documents as range keys become
+    # driver-memory and cache pressure at exactly the scale the
+    # two-phase rewrite targets.  Equal prefixes land in one slice;
+    # the slice-local window still orders by the FULL key, so ranks
+    # are unchanged (two_phase_scan's range_cols contract).
     r = two_phase_rank(
-        keyed, ["lang"], [F.col("__key"), F.col("doc_id")], out="rn"
+        keyed,
+        ["lang"],
+        [F.col("__key"), F.col("doc_id")],
+        out="rn",
+        range_cols=[F.substring("__key", 1, 128)],
     ).drop("__key").withColumn("bkt", F.expr(f"(rn - 1) DIV {W}"))
     a = r.select(
         F.col("doc_id").alias("id_a"),
@@ -801,8 +812,14 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two-phase rank — same constant-cardinality-lang reasoning as
     # dedup_ngram_jaccard_sample above.
     keyed = d.withColumn("__key", F.array_join(F.array_sort("gs"), "|"))
+    # Bounded range-key prefix — same driver-memory/cache reasoning
+    # as dedup_ngram_jaccard_sample above (range_cols contract).
     r = two_phase_rank(
-        keyed, ["lang"], [F.col("__key"), F.col("doc_id")], out="rn"
+        keyed,
+        ["lang"],
+        [F.col("__key"), F.col("doc_id")],
+        out="rn",
+        range_cols=[F.substring("__key", 1, 128)],
     ).drop("__key").withColumn("bkt", F.expr(f"(rn - 1) DIV {W}"))
     a = r.select(
         F.col("doc_id").alias("id_a"),

@@ -85,16 +85,23 @@ def test_duckdb_pa_cte_matches_python(n):
     assert np_sql == _int_planes(n, target), n
 
 
-def test_recall_k_divisor_integer_ceil_div():
-    """K = max(10, ceil_div(n, 5000)) — integer in both engines; the
-    Python and DuckDB expressions agree around the 5000 multiples."""
-    for n in (1, 4999, 5000, 5001, 49_999, 50_000, 50_001, 10**6):
-        py = max(10, -(-n // 5000))
+@pytest.mark.parametrize("div", [2000, 5000])
+def test_recall_k_divisor_integer_ceil_div(div):
+    """K = max(10, ceil_div(n, div)) — integer in both engines; the
+    Python and DuckDB expressions agree around the div multiples.
+    Both shipped divisors are pinned: 2000 (dedup_lsh_recall_report's
+    truth panel since round 8) and 5000 (dedup_simhash_pairs' panel),
+    each exercised at n = div·k ± 1 boundaries."""
+    ns = [1, 10**6]
+    for k in (1, 3, 10, 25):
+        ns += [div * k - 1, div * k, div * k + 1]
+    for n in ns:
+        py = max(10, -(-n // div))
         (sql,) = duckdb.sql(
             f"SELECT GREATEST(CAST(10 AS BIGINT), "
-            f"(COUNT(*) + 4999) // 5000) FROM range({n})"
+            f"(COUNT(*) + {div - 1}) // {div}) FROM range({n})"
         ).fetchone()
-        assert sql == py, n
+        assert sql == py, (div, n)
 
 
 _HOUR_US = 3_600_000_000

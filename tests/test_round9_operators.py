@@ -1,0 +1,87 @@
+"""Round-9 operator contracts (ADVICE round 8):
+
+- two_phase_scan keeps a NULL partition value as a normal group
+  (null-safe offset rejoin) — the one-window spelling's behavior;
+- range_cols (bounded range-key prefix) leaves ranks unchanged vs the
+  one-window spelling ordering by the full key;
+- keep_first_by_key rejects SortOrder expressions loudly, up front.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.operators.dedup import keep_first_by_key
+from hana_bq_beam_connector_spark.operators.relational import (
+    two_phase_rank,
+    two_phase_scan,
+)
+
+
+def test_two_phase_scan_keeps_null_partition_group(spark):
+    rows = [(None, i, 1) for i in range(1, 8)] + [
+        ("g", i, 10) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "grp string, o int, v int").withColumn(
+        "v", F.col("v").cast("long")
+    )
+    got = two_phase_scan(
+        df, ["grp"], [F.col("o")], {"run": F.col("v")}, slices=4
+    )
+    want = df.withColumn(
+        "run",
+        F.sum("v").over(
+            Window.partitionBy("grp")
+            .orderBy("o")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, want.collect()), key=str
+    )
+    # the NULL group's rows are present, with correct running sums
+    nulls = {(r.o, r.run) for r in got.where(F.col("grp").isNull()).collect()}
+    assert nulls == {(i, i) for i in range(1, 8)}
+
+
+def test_two_phase_rank_range_prefix_matches_full_key(spark):
+    # many keys sharing long prefixes: the bounded range prefix (8
+    # chars here) collides heavily, yet ranks must equal the
+    # one-window spelling ordering by the FULL key.
+    rows = [
+        ("L%d" % (i % 3), "prefix%02d-%04d" % (i % 5, (i * 37) % 100), i)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "lang string, key string, id int")
+    got = two_phase_rank(
+        df,
+        ["lang"],
+        [F.col("key"), F.col("id")],
+        out="rn",
+        slices=6,
+        range_cols=[F.substring("key", 1, 8)],
+    )
+    want = df.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy("key", "id")
+        ),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_keep_first_by_key_rejects_sortorder(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x")], "k string, o int, payload string"
+    )
+    with pytest.raises(ValueError, match="SortOrder"):
+        keep_first_by_key(df, ["k"], [F.col("o").desc()])
+    with pytest.raises(ValueError, match="SortOrder"):
+        keep_first_by_key(df, ["k"], [F.col("o").asc()])
+    # plain expressions still work
+    out = keep_first_by_key(df, ["k"], [F.col("o")])
+    assert out.collect()[0].payload == "x"

@@ -24,6 +24,9 @@ sys.path.insert(0, REPO)
 
 from pyspark.sql import SparkSession  # noqa: E402
 
+from hana_bq_beam_connector_spark.operators._common import (
+    release_session_pins,
+)
 from hana_bq_beam_connector_spark.queries import registry  # noqa: E402
 
 # Round-4 bench top-10 (BENCH_r04), the verdict's named heavy set.
@@ -78,6 +81,7 @@ def main() -> int:
         ).save()
         dt = time.perf_counter() - t0
         spark.catalog.clearCache()
+        release_session_pins()
         return round(dt, 3)
 
     results: dict[str, dict] = {}
@@ -114,6 +118,7 @@ def main() -> int:
             "pairs": n_pairs,
         }
         spark.catalog.clearCache()
+        release_session_pins()
     auto["ratio"] = (
         round(auto["sf1"]["s"] / auto["sf0.1"]["s"], 2)
         if auto["sf0.1"]["s"]

@@ -25,8 +25,13 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
+from hana_bq_beam_connector_spark.operators._common import (  # noqa: E402
+    release_session_pins,
+)
+
 fails = []
 for name, fn in sorted(qs.items()):
+    release_session_pins()  # drop frames pinned by the previous query
     sdf = fn(spark, sf)
     scols = sorted(sdf.columns)
     srows = sorted([tuple(str(r[c]) for c in scols) for r in sdf.collect()])

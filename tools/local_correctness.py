@@ -54,7 +54,12 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     failures = []
+    from hana_bq_beam_connector_spark.operators._common import (
+        release_session_pins,
+    )
+
     for name, spec in sorted(registry().items()):
+        release_session_pins()  # drop frames pinned by the last query
         try:
             if spec.oracle is None:
                 n = spec.fn(spark, sf_dir).count()

@@ -24,6 +24,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from hana_bq_beam_connector_spark.operators._common import (
+    release_session_pins,
+)
 from hana_bq_beam_connector_spark.queries import registry  # noqa: E402
 from hana_bq_beam_connector_spark.session import get_spark  # noqa: E402
 
@@ -96,6 +99,7 @@ def main() -> int:
                     flush=True,
                 )
             spark.catalog.clearCache()
+            release_session_pins()
         return res
 
     base, big = sweep(base_dir), sweep(big_dir)

@@ -16,6 +16,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from hana_bq_beam_connector_spark.operators._common import (
+    release_session_pins,
+)
 from hana_bq_beam_connector_spark.queries import registry  # noqa: E402
 from hana_bq_beam_connector_spark.session import get_spark  # noqa: E402
 
@@ -53,6 +56,7 @@ def main() -> int:
             return f"FAIL:{type(e).__name__}"
         finally:
             spark.catalog.clearCache()
+            release_session_pins()
 
     for name in names:
         bv = run(name, base_dir)
