@@ -14,8 +14,17 @@ centroid id; the plumbing (bucket → per-bucket self-join) is shared.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from hana_bq_beam_connector_spark.operators._common import spread
 from hana_bq_beam_connector_spark.operators.relational import topk_per_group
@@ -124,10 +133,14 @@ def cosine_topk(
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
-def _plane_dot(vec_col: str, p: int, dim: int) -> str:
+def _plane_dot(vec_col: str, p: int | str, dim: int) -> str:
     """Spark expr: dot(vec, plane_p) with the inline plane formula.
     ``p`` is the *global* plane index — multi-table LSH uses
-    consecutive index blocks as independent tables.
+    consecutive index blocks as independent tables.  ``p`` is spliced
+    TEXTUALLY into the returned SQL fragment, so besides a Python int
+    it may be any integer-valued SQL expression string (dedup's
+    embedding refinement splices a per-row plane-index expression);
+    a string caller must pre-parenthesize anything with operators.
 
     Deliberately a fold, NOT an unrolled sum: a banding projection
     evaluates n_tables × n_planes of these at once (32 for the dedup
@@ -138,7 +151,7 @@ def _plane_dot(vec_col: str, p: int, dim: int) -> str:
     return (
         f"aggregate(sequence(1, {dim}), cast(0.0 as double), "
         f"(acc, i) -> acc + cast(element_at({vec_col}, i) as double) * "
-        f"cast(((({p} * cast(73856093 as bigint)) ^ "
+        f"cast((((({p}) * cast(73856093 as bigint)) ^ "
         f"((i - 1) * cast(19349663 as bigint))) % 13) - 6 as double))"
     )
 
@@ -628,10 +641,11 @@ def pq_encode_codebook(
     * codebook: (s, code, cw array<double>) — m·ks rows, KBs, built
       once and broadcast everywhere it is used;
     * codes: (id, s, code) — each vector's nearest codeword per
-      subspace.  The argmin is ``min(struct(dist, code))`` — a plain
-      partial-aggregable MIN, so encoding is one map-side-combined
-      shuffle of (id, s)-keyed partials, never a window sort over the
-      corpus×ks candidate rows.
+      subspace.  The argmin is a vectorized numpy scan inside
+      ``mapInPandas`` over the broadcast-by-closure codebook — a
+      NARROW map over the corpus scan (zero shuffles, zero extra
+      rows), Arrow-batched at C speed; see ``_assign`` for the
+      bit-parity argument vs the oracle's fold.
 
     At 10^10 vectors the stored code is m bytes (+ nothing else)
     versus dim·8 for raw doubles — with dim=64, m=8 that is a 64×
@@ -650,61 +664,91 @@ def pq_encode_codebook(
             "s", "code", F.expr(_sub_slice("__v", "s", sub_dim)).alias("cw")
         )
     )
-    sub = corpus_u.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-        F.col(vec_col).alias("__v"),
-    ).select(
-        "__id", "s", F.expr(_sub_slice("__v", "s", sub_dim)).alias("sv")
-    )
-
     def _assign(codebook: DataFrame) -> DataFrame:
-        # One row PER SUBVECTOR, not per (subvector, codeword): the
+        # Vectorized Arrow encode (round 9).  History: the original
         # join-then-min spelling materialized n·m·ks rows (204.8M at
-        # sf10 for ks=64 — measured spilling; the encode stage
-        # dominated sim_pq_topk's 29.8x sf10 ratio).  Instead the
-        # codebook folds to ks-element arrays per subspace (m tiny
-        # rows, broadcast), and each subvector computes its argmin
-        # with an in-expression fold over that array — identical
-        # (dist, code) ordering to min(struct(dist, code)): strict
-        # less-than keeps the first (= lowest code, array pre-sorted
-        # by code) on exact ties.  Zero extra rows, no shuffle: the
-        # argmin never leaves the projection.
-        cb_by_s = codebook.groupBy("s").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(code, cw))), "
-                "x -> x)"
-            ).alias("cws")
-        )
-        # Fold with an unrolled distance: the l2 is spelled as
-        # sub_dim explicit multiply-adds (left-to-right, the fold's
-        # exact IEEE order) instead of a zip_with+aggregate nest —
-        # inside an interpreted lambda the nest allocates an array
-        # and runs ~5 interpreter steps per component.  A
-        # transform+array_min spelling was measured SLOWER (364s vs
-        # 250s at sf10): materializing 64 (dist, code) structs per
-        # row costs more than evaluating the distance twice on the
-        # <= 6 codewords that actually improve the running best.
-        terms = " + ".join(
-            f"((element_at(sv, {i}) - element_at(cwx.cw, {i})) * "
-            f"(element_at(sv, {i}) - element_at(cwx.cw, {i})))"
-            for i in range(1, sub_dim + 1)
-        )
-        argmin = (
-            "aggregate(cws, "
-            "named_struct('dist', cast('Infinity' as double), "
-            "'code', cast(-1 as bigint)), "
-            f"(acc, cwx) -> IF(({terms}) < acc.dist, "
-            f"named_struct('dist', ({terms}), "
-            "'code', cast(cwx.code as bigint)), acc))"
-        )
-        return (
-            sub.join(F.broadcast(cb_by_s), "s")
-            .withColumn("__best", F.expr(argmin))
-            .select(
-                "__id", "s", F.col("__best.code").alias("code"), "sv"
+        # sf10 for ks=64 — measured spilling); round 8 folded the
+        # argmin into an in-expression Catalyst fold (zero extra
+        # rows, no shuffle) but the INTERPRETED lambda constant
+        # (n·m × ks codewords × sub_dim multiply-adds through the
+        # expression interpreter) still measured 32.6× wall at 10×
+        # data.  This is the production move the round-8 docstring
+        # named: collect the tiny codebook to the driver (m·ks rows,
+        # KBs — a bounded driver-side collect, same class as the
+        # Bloom bitmap and IVF probe cells), close over its numpy
+        # matrices, and argmin whole Arrow batches at C speed in
+        # mapInPandas.  Zero shuffles (narrow map over the corpus
+        # scan); the subvector explode AND the broadcast join both
+        # disappear.
+        #
+        # Bit-parity with the round-8 fold (the DuckDB oracle
+        # replays it): the distance accumulates COMPONENT-MAJOR —
+        # d += (sv_i - cw_i)^2 for i in subspace order — which is
+        # the fold's exact left-associated IEEE order (the leading
+        # 0.0 + t1 is exact: squares are never -0.0); codewords are
+        # scanned in ascending code order and np.argmin keeps the
+        # FIRST minimum, matching the fold's strict less-than that
+        # keeps the lowest code on exact ties.  Codes may be sparse
+        # after Lloyd refinement (empty cells drop), so the code ids
+        # ride alongside the matrix instead of being positional.
+        import numpy as np
+
+        by_s: dict[int, list] = {}
+        for r in codebook.select("s", "code", "cw").collect():
+            by_s.setdefault(int(r["s"]), []).append(
+                (int(r["code"]), list(r["cw"]))
             )
+        mats = {}
+        for s_key, items in by_s.items():
+            items.sort()
+            mats[s_key] = (
+                np.array([c for c, _ in items], dtype=np.int64),
+                np.array([w for _, w in items], dtype=np.float64),
+            )
+
+        out_schema = StructType(
+            [
+                StructField("__id", corpus_u.schema[id_col].dataType),
+                StructField("s", IntegerType()),
+                StructField("code", LongType()),
+                StructField("sv", ArrayType(DoubleType())),
+            ]
         )
+
+        def encode(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf[id_col].to_numpy()
+                vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                n = len(ids)
+                id_out, s_out, code_out, sv_out = [], [], [], []
+                for s_key in range(m):
+                    codes_arr, cw = mats[s_key]
+                    vs = vecs[:, s_key * sub_dim : (s_key + 1) * sub_dim]
+                    d = np.zeros((n, len(codes_arr)))
+                    for i in range(sub_dim):
+                        diff = vs[:, i : i + 1] - cw[None, :, i]
+                        d += diff * diff
+                    best = codes_arr[np.argmin(d, axis=1)]
+                    id_out.append(ids)
+                    s_out.append(np.full(n, s_key, dtype=np.int32))
+                    code_out.append(best)
+                    sv_out.append(vs)
+                yield pd.DataFrame(
+                    {
+                        "__id": np.concatenate(id_out),
+                        "s": np.concatenate(s_out),
+                        "code": np.concatenate(code_out),
+                        "sv": [
+                            row
+                            for block in sv_out
+                            for row in block.tolist()
+                        ],
+                    }
+                )
+
+        return corpus_u.mapInPandas(encode, schema=out_schema)
 
     # Lloyd refinement per subspace: recompute each codeword as the
     # mean of its assigned subvectors — the same order-pinned fold
@@ -771,15 +815,17 @@ def pq_topk(
     bit-reproducible; production would use plain SUM (≤1 ulp drift)
     — same plan, cheaper agg.
 
-    Scale note (round-8 sf10 sweep): the encode argmin is an
-    interpreted higher-order fold (n·m rows x ks codewords x
-    sub_dim multiply-adds) — linear in n, but the interpreter
-    constant dominates at 10^5+ vectors (the join-explosion spelling
-    it replaced materialized n·m·ks rows and spilled).  When the
-    encode stage itself is the bottleneck, the production moves are
-    a vectorized Arrow encode (mapInPandas: numpy argmin over the
-    broadcast codebook — same codes) or an offline-trained codebook
-    reused across runs; both keep this operator's scoring path.
+    Scale note: the encode is a vectorized Arrow ``mapInPandas``
+    stage since round 9 — numpy argmin over the closure-shipped
+    codebook, a narrow map over the corpus scan.  Round 8's
+    interpreted Catalyst fold (linear in n but n·m·ks·sub_dim
+    interpreter steps) measured 32.6× wall at 10× data; the
+    join-explosion spelling before it materialized n·m·ks rows and
+    spilled.  Codes are byte-identical across all three spellings
+    (the DuckDB oracle still replays the fold).  A production run
+    would additionally train the codebook OFFLINE and reuse it
+    across corpus versions; this operator keeps the same scoring
+    path either way.
     """
     sub_dim = dim // m
     corpus_u = unit(
