@@ -666,36 +666,50 @@ def dedup_incremental_vs_corpus(
     "lexical duplicates after whitespace/case normalization — the "
     "'paraphrase duplicate' population that lexical dedup "
     "(exact/MinHash) misses and only semantic dedup catches, with a "
-    "bounded-prefix edit distance as evidence.  The doc join carries "
-    "8-byte ids to the pair list; text comparison happens on the "
-    "surviving pairs only, never corpus-wide.",
+    "bounded-prefix edit distance as evidence.  The pair output is "
+    "persist_reused BEFORE the doc joins: its lineage would "
+    "otherwise feed two broadcast subtrees that evaluate EAGERLY in "
+    "parallel driver threads, re-running the whole LSH pipeline per "
+    "branch (the concurrent-branch trap persist_reused documents; "
+    "the r8 sf10 sweep measured this composition at 22.0x while the "
+    "standalone pipeline is 13.6x).  Documents are then restricted "
+    "by a broadcast semi-join on the surviving pair ids before any "
+    "normalization, so the regex/levenshtein run on pair members "
+    "only, never corpus-wide.",
 )
 def dedup_semantic_not_lexical(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators._common import (
+        pin_until_release,
+    )
     from hana_bq_beam_connector_spark.operators.dedup import (
         embedding_near_dup_pairs,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(
-        e, dim=64, threshold=0.4, n_planes="auto", target_bucket_size=64
+    pairs = pin_until_release(
+        embedding_near_dup_pairs(
+            e, dim=64, threshold=0.4, n_planes="auto",
+            target_bucket_size=64,
+        )
     )
     d = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-    da = d.select(
-        F.col("doc_id").alias("id_a"),
-        norm.alias("norm_a"),
-        F.substring("text", 1, 40).alias("pre_a"),
-    )
-    db = d.select(
-        F.col("doc_id").alias("id_b"),
-        norm.alias("norm_b"),
-        F.substring("text", 1, 40).alias("pre_b"),
-    )
+
+    def _side(tag: str) -> DataFrame:
+        ids = pairs.select(F.col(f"id_{tag}").alias("doc_id")).distinct()
+        survivors = d.join(F.broadcast(ids), "doc_id", "left_semi")
+        # normalization sits ABOVE the semi-join: pair members only
+        return survivors.select(
+            F.col("doc_id").alias(f"id_{tag}"),
+            norm.alias(f"norm_{tag}"),
+            F.substring("text", 1, 40).alias(f"pre_{tag}"),
+        )
+
     return (
-        pairs.join(da, "id_a")
-        .join(db, "id_b")
+        pairs.join(_side("a"), "id_a")
+        .join(_side("b"), "id_b")
         .where(F.col("norm_a") != F.col("norm_b"))
         .select(
             "id_a",
@@ -933,6 +947,10 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT GREATEST(CAST(10 AS BIGINT), (COUNT(*) + 1999) // 2000) AS k
       FROM documents
     ),
+    bs AS (
+      SELECT GREATEST(CAST(1 AS BIGINT), (COUNT(*) + 19999) // 20000) AS b
+      FROM documents
+    ),
     truth AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM xs a
@@ -940,7 +958,9 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN dl la ON la.doc_id = a.doc_id
       JOIN dl lb ON lb.doc_id = b.doc_id AND la.lang = lb.lang
       CROSS JOIN ks
+      CROSS JOIN bs
       WHERE a.doc_id % ks.k = 0
+        AND b.doc_id % bs.b = bs.b - 1
         AND CAST(len(list_intersect(a.hashes, b.hashes)) AS DOUBLE)
           / CAST(len(list_distinct(list_concat(a.hashes, b.hashes)))
                  AS DOUBLE) >= 0.8
@@ -951,7 +971,9 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN dl la ON la.doc_id = v.id_a
       JOIN dl lb ON lb.doc_id = v.id_b AND la.lang = lb.lang
       CROSS JOIN ks
+      CROSS JOIN bs
       WHERE v.id_a % ks.k = 0
+        AND v.id_b % bs.b = bs.b - 1
     ),
     merged AS (
       SELECT CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth,
@@ -975,8 +997,13 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "queries at any corpus size; the r8 sweep measured the 5000-doc "
     "panel at 575s/25x at sf10 — the audit's value is the recall "
     "ESTIMATE, and 2000 panelists bound its work at any corpus) "
-    "blocked by lang; candidates are the "
-    "production LSH pipeline restricted to the same universe.  The "
+    "blocked by lang, against a ~20000-doc modulo block sample "
+    "(doc_id % B == B-1 with B = max(1, ceil(n/20000)); B = 1 — no "
+    "cap — at driver/bench SFs), so truth work is O(panel x "
+    "block_sample) by construction; candidates are the "
+    "production LSH pipeline restricted to the same universe, and "
+    "the hit/truth ratio over one shared sampled universe is an "
+    "unbiased recall estimate needing no correction factor.  The "
     "adaptive divisor is the round-7 fix for the second quadratic "
     "the sf10 spot sweep exposed: a CONSTANT-FRACTION sample against "
     "a fixed-cardinality lang block is still Θ(n²) pair work (the "
@@ -1005,7 +1032,22 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-cardinality block (Θ(n²), the sf10 hang).  Same
     # pure-integer ceil-div the oracle evaluates from the same count
     # (r8: no float division in a sample-gating path).
-    k_div = max(10, -(-d.count() // 2000))
+    n_docs = d.count()
+    k_div = max(10, -(-n_docs // 2000))
+    # Block-side cap (round 9): the r8 fixes bounded the PANEL at
+    # ~2000 docs and salted the lang join, but the truth side still
+    # compared each panelist against its ENTIRE same-lang block —
+    # linear in n, yet 2000 x n/5 full-array Jaccards measured 27.9x
+    # wall at 10x data.  The block side now takes a deterministic
+    # 1/b_div modulo sample sized to ~20000 docs at any corpus, so
+    # the audit is O(panel x block_sample) BY CONSTRUCTION.  The
+    # recall estimator needs no correction: truth and candidate
+    # sides are restricted to the SAME sampled universe, so the
+    # hit/truth ratio is an unbiased estimate of pairwise recall.
+    # b_div = 1 at n <= 20000 — driver/bench SFs are byte-identical
+    # to the uncapped audit.  Same pure-integer ceil-div the oracle
+    # evaluates from the same COUNT(*).
+    b_div = max(1, -(-n_docs // 20000))
     # ONE shingle pass feeds both the exact-truth brute force and the
     # LSH pipeline (signatures + both verify sides) — without the
     # shared persist the shingle stage executes twice.
@@ -1032,7 +1074,7 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(s) for s in range(_SALT)])
         ).alias("salt_a"),
     )
-    b = hashed.select(
+    b = hashed.where(F.col("doc_id") % b_div == b_div - 1).select(
         F.col("doc_id").alias("id_b"),
         F.col("lang").alias("lang_b"),
         F.col("shingle_hashes").alias("sh_b"),
@@ -1065,7 +1107,10 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shingle_hashes").alias("sh_b"),
     )
     lsh = (
-        cands.where(F.col("id_a") % k_div == 0)
+        cands.where(
+            (F.col("id_a") % k_div == 0)
+            & (F.col("id_b") % b_div == b_div - 1)
+        )
         .join(sets_a, "id_a")
         .join(sets_b, "id_b")
         .where(
