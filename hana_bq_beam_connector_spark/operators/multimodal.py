@@ -6,20 +6,21 @@ metadata structs; decode/feature steps are Arrow-batched
 the Spark-side plumbing (schema, batch shape, partition flow) is real
 and tested.
 
-Three decoders are REAL, all stdlib-only: ``decode_pgm`` parses
-binary PGM (P5) grayscale images — magic, whitespace/comment-tolerant
+Every decoder is REAL and stdlib-only: ``decode_pgm`` parses binary
+PGM (P5) grayscale images — magic, whitespace/comment-tolerant
 header, maxval, raster; ``decode_ppm`` parses binary PPM (P6) color
 images and de-planarizes the interleaved R,G,B raster with stride-3
-slices; ``decode_wav`` parses RIFF/WAVE PCM16 audio.  Each is fed by
-a ``synthesize_*`` twin producing genuine spec-conformant payloads (a
-PGM/PPM written here opens in any viewer, a WAV plays).  The
-remaining codec calls are STUBBED deterministically (this container
-ships no image/audio libraries): ``decode_image_meta`` derives pseudo
-width/height/channels from the payload's MD5, and ``frame_sample``
-slices deterministic byte windows as "frames".  Swapping a stub body
-for PIL/ffmpeg calls changes no schema, no partitioning, and no
-caller — the three real decoders demonstrate exactly that swap
-end-to-end.
+slices; ``decode_wav`` parses RIFF/WAVE PCM16 audio; PNG, GIF, JPEG
+and Y4M parsers cover the compressed/container formats further down.
+Each is fed by a ``synthesize_*`` twin producing genuine
+spec-conformant payloads (a PGM/PPM written here opens in any
+viewer, a WAV plays, a Y4M plays in mpv).  The two generic stages
+are real too: ``decode_image_meta`` sniffs the payload's magic bytes
+and parses width/height/channels from the format's own header
+(PGM/PPM/PNG/GIF/JPEG), and ``frame_sample`` extracts true frames
+from the Y4M container.  This container ships no image/audio
+libraries — swapping any parser body for a PIL/ffmpeg call changes
+no schema, no partitioning, and no caller.
 """
 
 from __future__ import annotations
@@ -183,10 +184,11 @@ def _parse_ppm(data: bytes) -> tuple[int, int, bytes]:
 def decode_pgm(media: DataFrame) -> DataFrame:
     """REAL image decode: binary PGM payload → per-image pixel stats.
 
-    Same mapInPandas stage shape as the stubbed decoders — proof that
-    swapping a stub for a real codec changes no schema, partitioning,
-    or caller.  Stats are exact integers (sum/min/max over raster
-    bytes) so the oracle comparison is bit-strict."""
+    Same mapInPandas stage shape as every decoder in the suite —
+    swapping one parser body for another (or for a PIL call) changes
+    no schema, partitioning, or caller.  Stats are exact integers
+    (sum/min/max over raster bytes) so the oracle comparison is
+    bit-strict."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -309,55 +311,123 @@ def decode_wav(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, schema=_WAV_STATS_SCHEMA)
 
 
-def decode_image_meta(media: DataFrame) -> DataFrame:
-    """Arrow-batched decode returning image metadata per row.
+def _sniff_image_header(data: bytes) -> tuple[str, int, int, int]:
+    """Parse (mime, width, height, channels) from the HEADER bytes of
+    any image format in the suite — PGM (P5), PPM (P6), PNG, GIF,
+    JPEG — dispatching on magic bytes, never on caller labels.  Only
+    header fields are read (dims come from IHDR / the logical screen
+    descriptor / SOF0, not from decoding the raster), so the cost per
+    payload is O(header), and a malformed or unknown payload raises
+    ValueError loudly instead of producing silent garbage metadata."""
+    import struct
 
-    STUB: real decode would be ``PIL.Image.open(io.BytesIO(b))``;
-    here width/height/channels derive deterministically from MD5 so
-    tests pin the plumbing.  Batch shape, schema, and partitioning are
-    production-real."""
+    if data[:2] in (b"P5", b"P6"):
+        # PNM header: magic, then width/height/maxval tokens with
+        # optional '#' comments — reuse the strict full parser's
+        # tokenizer rules but stop after the header tokens.
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            if pos >= len(data):
+                raise ValueError("PNM header truncated")
+            c = data[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                while pos < len(data) and data[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif c.isdigit():
+                start = pos
+                while data[pos : pos + 1].isdigit():
+                    pos += 1
+                tokens.append(int(data[start:pos]))
+            else:
+                raise ValueError(f"bad PNM header byte {c!r}")
+        w, h, _maxval = tokens
+        if data[:2] == b"P5":
+            return "image/x-portable-graymap", w, h, 1
+        return "image/x-portable-pixmap", w, h, 3
+    if data[:8] == _PNG_SIG:
+        if data[12:16] != b"IHDR":
+            raise ValueError("PNG: first chunk is not IHDR")
+        w, h, _depth, color = struct.unpack(">IIBB", data[16:26])
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+        if channels is None:
+            raise ValueError(f"PNG: unknown color type {color}")
+        return "image/png", w, h, channels
+    if data[:4] == b"GIF8" and data[4:6] in (b"7a", b"9a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        # indexed color over an RGB palette
+        return "image/gif", w, h, 3
+    if data[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("JPEG: marker desync")
+            marker = data[pos + 1]
+            seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (
+                0xC4,
+                0xC8,
+                0xCC,
+            ):
+                h, w, ncomp = struct.unpack(
+                    ">HHB", data[pos + 5 : pos + 10]
+                )
+                return "image/jpeg", w, h, ncomp
+            pos += 2 + seg_len
+        raise ValueError("JPEG: no SOF marker before EOF")
+    raise ValueError(f"unknown image magic {data[:8]!r}")
+
+
+def decode_image_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode returning REAL image metadata per row:
+    width/height/channels parsed from the payload's own header bytes
+    (:func:`_sniff_image_header` dispatches on magic — PGM/PPM/PNG/
+    GIF/JPEG), and ``media_type`` is the DETECTED mime, trusting
+    bytes over caller labels.  Header-only parse: O(header bytes)
+    per payload regardless of raster size.  Batch shape, schema, and
+    partitioning are unchanged from the former MD5 stand-in this
+    replaces — the promised "swap the body, change no caller"."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in batches:
-            digests = [
-                hashlib.md5(bytes(payload)).digest()
-                for payload in pdf["payload"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "byte_len": pdf["byte_len"],
-                    "width": [16 + d[0] % 240 for d in digests],
-                    "height": [16 + d[1] % 240 for d in digests],
-                    "channels": [1 + d[2] % 4 for d in digests],
-                }
-            )
+            rows = {k.name: [] for k in _DECODED_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                mime, w, h, ch = _sniff_image_header(data)
+                rows["media_id"].append(media_id)
+                rows["media_type"].append(mime)
+                rows["byte_len"].append(len(data))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+            yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, schema=_DECODED_SCHEMA)
 
 
-def frame_sample(media: DataFrame, n_frames: int = 4, frame_len: int = 32) -> DataFrame:
-    """Deterministic frame sampling: n byte-windows per payload.
-
-    STUB for video frame extraction (ffmpeg); output one row per
-    (media, frame) — the explode shape a real sampler produces."""
+def frame_sample(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL video frame sampling: parse the YUV4MPEG2 container
+    (:func:`_parse_y4m` — the same strict parser the Y4M stats stage
+    uses) and emit every ``stride``-th frame's raw planar YUV bytes,
+    one row per (media, frame) — the extract-frames-for-a-vision-
+    model shape.  ``frame_idx`` is the frame's TRUE index in the
+    stream (0, stride, 2·stride, …), and ``frame_bytes`` is the
+    exact contiguous Y+U+V slice of the payload, so downstream
+    stages can re-decode it against the stream geometry.  Malformed
+    payloads raise (ValueError from the parser), never yield
+    garbage frames.  Replaces the former byte-window stand-in with
+    the identical schema and explode shape."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                data = bytes(payload)
-                if not data:
-                    continue
-                stride = max(1, len(data) // n_frames)
-                for i in range(n_frames):
-                    lo = (i * stride) % len(data)
+                w, h, parsed = _parse_y4m(bytes(payload))
+                for f in range(0, len(parsed), stride):
                     ids.append(media_id)
-                    idxs.append(i)
-                    frames.append(data[lo : lo + frame_len])
+                    idxs.append(f)
+                    frames.append(parsed[f])
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_bytes": frames}
             )
@@ -957,9 +1027,10 @@ def decode_png(media: DataFrame) -> DataFrame:
 
 # --------------------------------------------------------------------
 # Y4M — REAL video: a YUV4MPEG2 container with per-frame 4:2:0 planar
-# YUV payloads.  This is the genuine-codec twin of the frame_sample
-# stub: a multi-frame container is parsed, frames are sampled by
-# stride, and per-frame plane stats come out exact.
+# YUV payloads.  frame_sample extracts raw frame bytes via the same
+# parser; this stage is its stats twin: the multi-frame container is
+# parsed, frames are sampled by stride, and per-frame plane stats
+# come out exact.
 
 _Y4M_FRAME_SCHEMA = StructType(
     [

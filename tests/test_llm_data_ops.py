@@ -92,21 +92,49 @@ def test_quantized_topk_recall_vs_exact(spark):
     assert recall >= 0.9, f"int8 quantization broke ranking: {recall}"
 
 
-def test_multimodal_decode_deterministic_schema(spark):
-    d = load_table(spark, SF, "documents").limit(50)
-    meta = decode_image_meta(documents_as_media(d))
-    rows1 = sorted(map(tuple, meta.collect()))
-    rows2 = sorted(map(tuple, meta.collect()))
-    assert rows1 == rows2  # stub decode is deterministic
-    assert meta.columns == [
-        "media_id",
-        "media_type",
-        "byte_len",
-        "width",
-        "height",
-        "channels",
-    ]
-    assert all(16 <= r[3] <= 255 for r in rows1)
+def test_multimodal_decode_real_headers(spark):
+    """decode_image_meta parses dimensions from each format's OWN
+    header bytes, dispatching on magic — verified against the
+    synthesizers' dimension formulas across three formats."""
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        synthesize_gif,
+        synthesize_pgm,
+        synthesize_png,
+    )
+
+    d = load_table(spark, SF, "documents").limit(30).select("doc_id")
+    for synth, mime, wf, hf, ch in [
+        (synthesize_pgm, "image/x-portable-graymap",
+         lambda i: 8 + i % 9, lambda i: 8 + i % 7, 1),
+        (synthesize_png, "image/png",
+         lambda i: 8 + i % 11, lambda i: 8 + i % 6, 1),
+        (synthesize_gif, "image/gif",
+         lambda i: 6 + i % 9, lambda i: 6 + i % 5, 3),
+    ]:
+        meta = decode_image_meta(synth(d))
+        assert meta.columns == [
+            "media_id",
+            "media_type",
+            "byte_len",
+            "width",
+            "height",
+            "channels",
+        ]
+        for r in meta.collect():
+            i = r["media_id"]
+            assert r["media_type"] == mime
+            assert (r["width"], r["height"], r["channels"]) == (
+                wf(i), hf(i), ch,
+            ), (mime, i)
+
+
+def test_multimodal_decode_rejects_garbage(spark):
+    """Unknown magic bytes must raise loudly, never yield metadata."""
+    import pytest as _pytest
+
+    d = load_table(spark, SF, "documents").limit(3)
+    with _pytest.raises(Exception, match="unknown image magic"):
+        decode_image_meta(documents_as_media(d)).collect()
 
 
 def test_spearman_matches_naive_midranks(spark):
@@ -305,19 +333,39 @@ def test_pgm_parser_rejects_malformed():
 
 
 def test_multimodal_frame_sample_shape(spark):
+    """Real Y4M frame extraction: every 2nd TRUE frame index, with
+    the exact 4:2:0 frame byte size (w·h + 2·(w/2)·(h/2))."""
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        synthesize_y4m,
+    )
+
     d = load_table(spark, SF, "documents").limit(20)
-    frames = frame_sample(documents_as_media(d), n_frames=4, frame_len=32)
+    frames = frame_sample(synthesize_y4m(d), stride=2)
     rows = frames.collect()
-    assert len(rows) == 20 * 4
-    per_media = frames.groupBy("media_id").count().collect()
-    assert all(r["count"] == 4 for r in per_media)
-    assert all(len(bytes(r["frame_bytes"])) <= 32 for r in rows)
+    by_media: dict = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media) == 20
+    for mid, rs in by_media.items():
+        w, h = 2 * (4 + mid % 5), 2 * (4 + mid % 4)
+        nf = 3 + mid % 4
+        assert sorted(r["frame_idx"] for r in rs) == list(
+            range(0, nf, 2)
+        )
+        flen = w * h + 2 * ((w // 2) * (h // 2))
+        assert all(len(bytes(r["frame_bytes"])) == flen for r in rs)
 
 
 def test_frame_bytes_come_from_payload(spark):
+    """Extracted frames are exact contiguous slices of the container
+    payload (Y+U+V planes as laid out in the stream)."""
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        synthesize_y4m,
+    )
+
     d = load_table(spark, SF, "documents").limit(5)
-    media = documents_as_media(d)
-    frames = frame_sample(media, n_frames=2, frame_len=16)
+    media = synthesize_y4m(d)
+    frames = frame_sample(media, stride=2)
     payloads = {
         r["media_id"]: bytes(r["payload"]) for r in media.collect()
     }
@@ -512,9 +560,9 @@ def test_near_dup_clusters_reliable_checkpoint(spark, tmp_path):
 
 
 _MM_GOLDEN_SF0001 = {
-    "mm_decode_image_meta": (500, "5056914ad9800bb6e72540e088919bf1"),
+    "mm_decode_image_meta": (500, "2df468bf9f7dc128fc1492e6273cd64c"),
     "mm_resize_box_stats": (500, "361a0dc3a83146ad6748136538d4b2ac"),
-    "mm_frame_sample": (2000, "e6b766b8cc7e472bd6b2e9891ed954e5"),
+    "mm_frame_sample": (1250, "7f416705beca840bd08c16c6c8a1b86d"),
     "mm_feature_topk": (30, "93ea26835b1980d9db00ad26e1117f77"),
     "mm_jpeg_raster_moments": (500, "0fb27c05760962629f537853424757f9"),
     "mm_wav_downsample_stats": (500, "253bb2979afda4de8cb97307b36d4555"),

@@ -292,12 +292,20 @@ def test_binary_file_ingest_feeds_multimodal_stages(spark, tmp_path):
 
     media_dir = tmp_path / "media"
     media_dir.mkdir()
-    payloads = {f"img_{i}.jpg": bytes([i]) * (10 + i) for i in range(5)}
+    # real binary PGM payloads: decode_image_meta parses actual
+    # headers since round 9, so ingest must feed genuine images
+    payloads = {
+        f"img_{i}.pgm": (
+            b"P5\n%d %d\n255\n" % (3 + i, 2 + i)
+            + bytes((i * 31 + j * 7) % 256 for j in range((3 + i) * (2 + i)))
+        )
+        for i in range(5)
+    }
     (media_dir / "notes.txt").write_bytes(b"not media")
     for fname, blob in payloads.items():
         (media_dir / fname).write_bytes(blob)
 
-    raw = read_binary_files(spark, str(media_dir), glob="*.jpg")
+    raw = read_binary_files(spark, str(media_dir), glob="*.pgm")
     assert set(raw.columns) == {
         "path",
         "modificationTime",
@@ -315,13 +323,18 @@ def test_binary_file_ingest_feeds_multimodal_stages(spark, tmp_path):
     media = raw.select(
         F.abs(F.xxhash64("path")).alias("media_id"),
         F.col("content").alias("payload"),
-        F.lit("image/jpeg").alias("media_type"),
+        F.lit("application/octet-stream").alias("media_type"),
         F.col("length").alias("byte_len"),
     )
     meta = decode_image_meta(media)
     rows = meta.collect()
     assert len(rows) == 5
-    assert {r.byte_len for r in rows} == {10 + i for i in range(5)}
+    # real header parse: detected mime + true dims, label ignored
+    assert {r.media_type for r in rows} == {"image/x-portable-graymap"}
+    assert {(r.width, r.height) for r in rows} == {
+        (3 + i, 2 + i) for i in range(5)
+    }
+    assert {r.byte_len for r in rows} == {len(b) for b in payloads.values()}
 
     # Compaction path: small files -> parquet with binary column,
     # payload survives byte-for-byte.
