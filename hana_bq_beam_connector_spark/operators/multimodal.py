@@ -30,6 +30,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from hana_bq_beam_connector_spark.operators._common import spread
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -118,7 +120,7 @@ def synthesize_pgm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(b"P5\n%d %d\n255\n" % (w, h) + raster)
         return pd.Series(out)
 
-    return df.select(
+    return spread(df).select(
         F.col(id_col).cast("long").alias("media_id"),
         _pgm(F.col(id_col)).alias("payload"),
         F.lit("image/x-portable-graymap").alias("media_type"),
@@ -259,7 +261,7 @@ def synthesize_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(buf.getvalue())
         return pd.Series(out)
 
-    return df.select(
+    return spread(df).select(
         F.col(id_col).cast("long").alias("media_id"),
         _wav(F.col(id_col)).alias("payload"),
         F.lit("audio/wav").alias("media_type"),
@@ -747,7 +749,7 @@ def synthesize_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(b"P6\n%d %d\n255\n" % (w, h) + raster)
         return pd.Series(out)
 
-    return df.select(
+    return spread(df).select(
         F.col(id_col).cast("long").alias("media_id"),
         _ppm(F.col(id_col)).alias("payload"),
         F.lit("image/x-portable-pixmap").alias("media_type"),
@@ -929,7 +931,7 @@ def synthesize_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
         return pd.Series(out)
 
-    return df.select(
+    return spread(df).select(
         F.col(id_col).cast("long").alias("media_id"),
         _png(F.col(id_col)).alias("payload"),
         F.lit("image/png").alias("media_type"),
@@ -1089,7 +1091,7 @@ def synthesize_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(bytes(buf))
         return pd.Series(out)
 
-    return df.select(
+    return spread(df).select(
         F.col(id_col).cast("long").alias("media_id"),
         _y4m(F.col(id_col)).alias("payload"),
         F.lit("video/x-yuv4mpeg").alias("media_type"),
@@ -1364,7 +1366,7 @@ def synthesize_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(buf)
         return pd.Series(out)
 
-    return df.select(
+    return spread(df).select(
         F.col(id_col).cast("long").alias("media_id"),
         _gif(F.col(id_col)).alias("payload"),
         F.lit("image/gif").alias("media_type"),
@@ -1697,7 +1699,7 @@ def synthesize_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(_jpeg_encode_raster(w, h, bytes(raster)))
         return pd.Series(out)
 
-    return df.select(
+    return spread(df).select(
         F.col(id_col).cast("long").alias("media_id"),
         _jpeg(F.col(id_col)).alias("payload"),
         F.lit("image/jpeg").alias("media_type"),

@@ -629,6 +629,7 @@ def pq_encode_codebook(
     ks: int,
     sub_dim: int,
     rounds: int = 1,
+    train_div: int = 1,
 ):
     """Product-quantization codebook + corpus codes.
 
@@ -664,7 +665,7 @@ def pq_encode_codebook(
             "s", "code", F.expr(_sub_slice("__v", "s", sub_dim)).alias("cw")
         )
     )
-    def _assign(codebook: DataFrame) -> DataFrame:
+    def _assign(codebook: DataFrame, frame: DataFrame) -> DataFrame:
         # Vectorized Arrow encode (round 9).  History: the original
         # join-then-min spelling materialized n·m·ks rows (204.8M at
         # sf10 for ks=64 — measured spilling); round 8 folded the
@@ -748,7 +749,7 @@ def pq_encode_codebook(
                     }
                 )
 
-        return corpus_u.mapInPandas(encode, schema=out_schema)
+        return frame.mapInPandas(encode, schema=out_schema)
 
     # Lloyd refinement per subspace: recompute each codeword as the
     # mean of its assigned subvectors — the same order-pinned fold
@@ -756,8 +757,24 @@ def pq_encode_codebook(
     # so refined codewords are bit-reproducible in the oracle.  One
     # round closes most of the gap untrained seed codebooks leave;
     # production would iterate to tolerance with plain avg().
+    # Lloyd refinement runs on a bounded TRAINING SAMPLE (round 9):
+    # the means stage collects-and-folds every assigned subvector
+    # component in id order (bit-reproducible in the oracle), so its
+    # per-(s, code, pos) groups grow linearly with the corpus — a
+    # few-huge-groups fold that measured as sim_pq_topk's residual
+    # constant at sf10.  Training on a deterministic modulo sample
+    # (id % train_div == 0, ~50k vectors at any corpus — the caller
+    # sizes it) bounds refinement work BY CONSTRUCTION; the full
+    # corpus still encodes against the trained codebook, which is
+    # how production PQ trains anyway (offline sample-trained
+    # codebooks, full-corpus encode).
+    train = (
+        corpus_u
+        if train_div <= 1
+        else corpus_u.where(F.col(id_col) % train_div == 0)
+    )
     for _ in range(rounds):
-        assigned = _assign(cb)
+        assigned = _assign(cb, train)
         comp = assigned.select(
             "s", "code", "__id", F.posexplode("sv").alias("pos", "val")
         )
@@ -786,7 +803,7 @@ def pq_encode_codebook(
         # Empty cells keep no codeword — codes simply never map there
         # (the min over the surviving codebook is still total).
 
-    codes = _assign(cb).select("__id", "s", "code")
+    codes = _assign(cb, corpus_u).select("__id", "s", "code")
     return cb, codes
 
 
@@ -828,6 +845,12 @@ def pq_topk(
     path either way.
     """
     sub_dim = dim // m
+    # Bounded training sample for the Lloyd refinement: ~50k vectors
+    # at any corpus (pure-integer ceil-div, replayed by the oracle
+    # from the same COUNT(*); 1 — i.e. no sampling — at any corpus
+    # <= 50k, so driver/bench results are unchanged).  The count is
+    # parquet-metadata-cheap on a plain scan.
+    train_div = max(1, -(-corpus.count() // 50_000))
     corpus_u = unit(
         spread(corpus.select(id_col, vec_col)), vec_col, "uv"
     ).select(id_col, F.col("uv").alias(vec_col))
@@ -836,7 +859,7 @@ def pq_topk(
     ).select(id_col, F.col("uv").alias(vec_col))
     cb, codes = pq_encode_codebook(
         corpus_u, id_col, vec_col, m=m, ks=ks, sub_dim=sub_dim,
-        rounds=rounds,
+        rounds=rounds, train_div=train_div,
     )
     lut = (
         queries_u.select(
