@@ -67,6 +67,11 @@ _FRAMES_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("frame_idx", LongType()),
         StructField("frame_bytes", BinaryType()),
+        # integrity checksum (sum of all frame bytes), computed at C
+        # speed in the same Arrow batch — a JVM-side spelling of this
+        # sum is an interpreted per-byte HOF that measured 103s on
+        # 1.25M frames at sf10 (vs ~0 marginal here)
+        StructField("byte_sum", LongType()),
     ]
 )
 
@@ -422,16 +427,30 @@ def frame_sample(media: DataFrame, stride: int = 2) -> DataFrame:
     the identical schema and explode shape."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            ids, idxs, frames, sums = [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, parsed = _parse_y4m(bytes(payload))
                 for f in range(0, len(parsed), stride):
                     ids.append(media_id)
                     idxs.append(f)
                     frames.append(parsed[f])
+                    sums.append(
+                        int(
+                            np.frombuffer(parsed[f], dtype=np.uint8)
+                            .astype(np.int64)
+                            .sum()
+                        )
+                    )
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "frame_bytes": frames}
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_bytes": frames,
+                    "byte_sum": sums,
+                }
             )
 
     return media.mapInPandas(sample, schema=_FRAMES_SCHEMA)

@@ -222,9 +222,10 @@ def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "formulas — so agreement pins the container parse, the stride "
     "sampling, AND the full content of each extracted frame.  "
     "Retires the round-8 byte-window stand-in (verdict ask #8).  "
-    "The byte fold uses the let-binding idiom (hex bound once via a "
-    "single-element transform) so the interpreted lambda never "
-    "re-hexes the frame per iteration.",
+    "byte_sum is the extract stage's own integrity checksum, "
+    "computed in the Arrow batch at numpy speed — the JVM hex-fold "
+    "spelling it replaces was an interpreted per-byte HOF measured "
+    "at 103s over 1.25M frames at sf10.",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hana_bq_beam_connector_spark.operators.multimodal import (
@@ -233,17 +234,11 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     frames = frame_sample(synthesize_y4m(d), stride=2)
-    byte_fold = (
-        "element_at(transform(array(hex(frame_bytes)), hx -> "
-        "aggregate(sequence(1, octet_length(frame_bytes)), "
-        "cast(0 as bigint), (acc, i) -> acc + "
-        "cast(conv(substr(hx, 2 * i - 1, 2), 16, 10) as bigint))), 1)"
-    )
     return frames.select(
         "media_id",
         "frame_idx",
         F.octet_length("frame_bytes").cast("long").alias("frame_len"),
-        F.expr(byte_fold).alias("byte_sum"),
+        "byte_sum",
     )
 
 
