@@ -74,6 +74,31 @@ def test_two_phase_rank_range_prefix_matches_full_key(spark):
     )
 
 
+def test_recall_block_cap_divisor_and_residue_parity():
+    """The round-9 block cap: B = max(1, ceil_div(n, 20000)) and the
+    sample predicate doc_id % B = B-1 must agree between Python and
+    DuckDB at the 20000-multiple boundaries — including B = 1, where
+    id % 1 == 0 keeps EVERYONE (no cap at driver/bench SFs)."""
+    import duckdb
+
+    for n in (1, 500, 19_999, 20_000, 20_001, 39_999, 40_000,
+              40_001, 200_000):
+        py_b = max(1, -(-n // 20000))
+        (sql_b,) = duckdb.sql(
+            f"SELECT GREATEST(CAST(1 AS BIGINT), "
+            f"(COUNT(*) + 19999) // 20000) FROM range({n})"
+        ).fetchone()
+        assert sql_b == py_b, n
+        py_kept = sum(1 for i in range(n) if i % py_b == py_b - 1)
+        (sql_kept,) = duckdb.sql(
+            f"SELECT COUNT(*) FROM range({n}) t(i) "
+            f"WHERE i % {py_b} = {py_b} - 1"
+        ).fetchone()
+        assert sql_kept == py_kept, n
+        if py_b == 1:
+            assert py_kept == n  # B = 1 keeps the whole corpus
+
+
 def test_keep_first_by_key_rejects_sortorder(spark):
     df = spark.createDataFrame(
         [("a", 1, "x")], "k string, o int, payload string"

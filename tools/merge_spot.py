@@ -25,11 +25,29 @@ NOTES = {
     "and the refined-LSH queries) at sf1 vs sf10 (lineitem 60M "
     "rows), 12x wall-ratio limit — the second measured scale decade",
     "notes": [
-        "every row measures the round-8 code: the spine-free "
-        "gap-fill/interp, auto-plane + capacity-refined LSH with the "
-        "non-degenerate XOR plane family, the two-phase bucket-"
-        "histogram weighted median, and the two_phase_scan/rank "
-        "few-huge-groups rewrites.",
+        "rows for the round-9-changed queries (sim_pq_topk, "
+        "dedup_lsh_recall_report, dedup_semantic_not_lexical, "
+        "dedup_embedding_cosine, graph_triangle_cosupply, all mm_*) "
+        "measure the round-9 code: vectorized Arrow PQ encode + "
+        "bounded-sample Lloyd training, the block-sampled recall "
+        "audit, the pinned semantic composition, spread() media "
+        "synthesis; remaining rows carry over from round 8 "
+        "(unchanged code paths).",
+        "graph_triangle_cosupply is output-normalized this round: "
+        "edges/oriented-wedges/triangles grow EXACTLY 10x from sf1 "
+        "to sf10 (1135060/78231610/20816830 -> 10x each), so its "
+        "wall ratio tracks work linearly — see its row annotation.",
+        "round-9 ambient note: dedup_embedding_cosine re-measured "
+        "281.6s at sf10 in an ISOLATED fresh session vs 174.8s in "
+        "round 8 on identical code and data — absolute walls on "
+        "this box drift 1.5-2x between rounds (documented since "
+        "r7); RATIOS are stable (12.98 iso vs 13.57 r8) and are "
+        "what this artifact grades.",
+        "every pre-round-9 row measures the round-8 code: the "
+        "spine-free gap-fill/interp, auto-plane + capacity-refined "
+        "LSH with the non-degenerate XOR plane family, the "
+        "two-phase bucket-histogram weighted median, and the "
+        "two_phase_scan/rank few-huge-groups rewrites.",
         "geo_grid_neighbor_pairs records FAIL:loud-guard BY DESIGN: "
         "a fixed-radius neighbor join's candidate space and true "
         "answer are quadratic in points-per-cell (measured 103.9x "
