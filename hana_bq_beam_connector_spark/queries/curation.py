@@ -795,3 +795,116 @@ def curation_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         planned.alias("planned_chars"),
         (share - planned).alias("deficit_chars"),
     )
+
+
+@register(
+    "curation_bigram_lm_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    wh AS (
+      SELECT doc_id,
+             list_transform(ws, w -> {duck_polyhash('w')}) AS hs
+      FROM t
+    ),
+    bg AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(hs)),
+          i -> struct_pack(pos := i, h1 := hs[i], h2 := hs[i + 1])))
+          AS b
+      FROM wh
+    ),
+    p AS (
+      SELECT doc_id, b.pos AS pos, b.h1 AS h1, b.h2 AS h2 FROM bg
+    ),
+    c12 AS (SELECT h1, h2, COUNT(*) AS c12 FROM p GROUP BY 1, 2),
+    c1 AS (SELECT h1, COUNT(*) AS c1 FROM p GROUP BY 1),
+    j AS (
+      SELECT p.doc_id, p.pos,
+             CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS pr
+      FROM p
+      JOIN c12 ON p.h1 = c12.h1 AND p.h2 = c12.h2
+      JOIN c1 ON p.h1 = c1.h1
+    )
+    SELECT doc_id,
+      COUNT(*) AS n_bigrams,
+      CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(pr ORDER BY pos)),
+                       (acc, v) -> acc + v)
+           / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS mean_cond_prob
+    FROM j GROUP BY doc_id
+    """,
+    doc="Corpus-trained bigram language-model quality score (the "
+    "CCNet/KenLM filtering shape): bigram and unigram-context "
+    "counts over the WHOLE corpus train the model, and each "
+    "document scores the arithmetic mean of its bigrams' "
+    "conditional probabilities c(w1,w2)/c(w1) — fluent, "
+    "corpus-typical text scores high; rare or shuffled word "
+    "sequences score low.  The mean of exact count RATIOS replaces "
+    "log-perplexity deliberately: ln() is transcendental and a "
+    "1-ULP libm disagreement between engines would break the value "
+    "gate, while integer-valued doubles divide bit-identically "
+    "everywhere (the de-transcendentalization doctrine; production "
+    "swaps in a KenLM pandas UDF for true perplexity, same plan "
+    "shape).  Scale: words hash ONCE per doc (the shingle_hashes "
+    "pattern — no per-bigram string materialization); the two "
+    "count tables and the probability rejoin are map-side-combined "
+    "integer-key shuffles, linear in corpus bigrams; the per-doc "
+    "mean folds ~doc-length elements in position order "
+    "(bit-reproducible, many small groups — never few-huge).",
+)
+def curation_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import posexplode_outer
+
+    d = load_table(spark, sf_dir, "documents")
+    words = "split(text, ' ')"
+    wh = f"transform({words}, w -> {spark_polyhash('w')})"
+    # filter BEFORE building the hash array: a filter on the derived
+    # array would be pushed through the projection and re-hash every
+    # word a second time (the explode_nonempty trap).
+    t = (
+        d.where(F.expr(f"size({words}) >= 2"))
+        .withColumn("__hs", F.expr(wh))
+        .select("doc_id", "__hs")
+    )
+    bigrams = (
+        "transform(sequence(1, size(__hs) - 1), i -> "
+        "struct(element_at(__hs, i) as h1, "
+        "element_at(__hs, i + 1) as h2))"
+    )
+    pairs = (
+        t.select("doc_id", posexplode_outer(F.expr(bigrams)))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("col.h1").alias("h1"),
+            F.col("col.h2").alias("h2"),
+        )
+    )
+    c12 = pairs.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = pairs.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
+    pr = F.col("c12").cast("double") / F.col("c1").cast("double")
+    j = (
+        pairs.join(c12, ["h1", "h2"])
+        .join(c1, ["h1"])
+        .select("doc_id", "pos", pr.alias("pr"))
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(pos, pr))), "
+                "cast(0.0 as double), (acc, x) -> acc + x.pr)"
+            ).alias("__sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("__sum") / F.col("n_bigrams").cast("double")).alias(
+                "mean_cond_prob"
+            ),
+        )
+    )

@@ -110,3 +110,33 @@ def test_keep_first_by_key_rejects_sortorder(spark):
     # plain expressions still work
     out = keep_first_by_key(df, ["k"], [F.col("o")])
     assert out.collect()[0].payload == "x"
+
+
+def test_bigram_lm_score_semantics(spark, tmp_path):
+    """Hand-computed check of the corpus bigram LM: with corpus
+    {"a b", "a b", "a c"}, p(b|a) = 2/3 and p(c|a) = 1/3, so the two
+    "a b" docs score 2/3 and the "a c" doc scores 1/3."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b", "a b", "a c"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [3, 3, 3],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    from hana_bq_beam_connector_spark.queries import registry
+
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_cond_prob"])
+        for r in registry()["curation_bigram_lm_score"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out == {
+        1: (1, 2.0 / 3.0),
+        2: (1, 2.0 / 3.0),
+        3: (1, 1.0 / 3.0),
+    }
