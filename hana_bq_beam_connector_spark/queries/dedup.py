@@ -1000,9 +1000,14 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blocked by lang, against a ~20000-doc modulo block sample "
     "(doc_id % B == B-1 with B = max(1, ceil(n/20000)); B = 1 — no "
     "cap — at driver/bench SFs), so truth work is O(panel x "
-    "block_sample) by construction; candidates are the "
-    "production LSH pipeline restricted to the same universe, and "
-    "the hit/truth ratio over one shared sampled universe is an "
+    "block_sample) by construction; candidates use the SAME "
+    "banding as the production pipeline but as an asymmetric probe "
+    "— panel bands join block-sample bands (collision depends only "
+    "on each doc's own signature, so the pair set equals the "
+    "filtered corpus-wide self-join) — and shingling/signatures/"
+    "banding run on panel ∪ block only, making the WHOLE audit "
+    "O(panel + block) at any corpus.  The hit/truth ratio over one "
+    "shared sampled universe is an "
     "unbiased recall estimate needing no correction factor.  The "
     "adaptive divisor is the round-7 fix for the second quadratic "
     "the sf10 spot sweep exposed: a CONSTANT-FRACTION sample against "
@@ -1018,10 +1023,10 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hana_bq_beam_connector_spark.operators._common import (
-        persist_reused,
+        pin_until_release,
     )
     from hana_bq_beam_connector_spark.operators.dedup import (
-        lsh_candidate_pairs,
+        band_table,
         minhash_signature,
     )
 
@@ -1048,13 +1053,21 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the uncapped audit.  Same pure-integer ceil-div the oracle
     # evaluates from the same COUNT(*).
     b_div = max(1, -(-n_docs // 20000))
-    # ONE shingle pass feeds both the exact-truth brute force and the
-    # LSH pipeline (signatures + both verify sides) — without the
-    # shared persist the shingle stage executes twice.
-    hashed = persist_reused(
-        shingle_hashes(d.select("doc_id", "lang", "text"), "text", 3).select(
-            "doc_id", "lang", "shingle_hashes"
-        )
+    # The audit only ever touches PANEL ∪ BLOCK docs (truth compares
+    # panel x block; the candidate side is restricted to the same
+    # universe), so shingling, signatures and banding run on that
+    # union — O(panel + block) total work regardless of corpus size;
+    # a panel/block doc's shingles, signature and band hashes depend
+    # only on its own text, so every value is identical to the
+    # full-corpus computation.  ONE shingle pass feeds the exact
+    # truth AND the LSH side (pinned: both sides re-read it).
+    in_panel = F.col("doc_id") % k_div == 0
+    in_block = F.col("doc_id") % b_div == b_div - 1
+    universe = d.where(in_panel | in_block)
+    hashed = pin_until_release(
+        shingle_hashes(
+            universe.select("doc_id", "lang", "text"), "text", 3
+        ).select("doc_id", "lang", "shingle_hashes")
     )
 
     # The truth join MUST NOT key on lang alone: lang has FIVE values
@@ -1091,8 +1104,28 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
 
+    # Asymmetric candidate join (round 9): the audit consumes only
+    # candidate pairs whose smaller id is a PANELIST and larger id is
+    # a BLOCK member, and band-bucket collision depends only on each
+    # doc's own signature — so instead of the corpus-wide bucket
+    # self-join followed by a filter, the panel's bands probe the
+    # block sample's bands directly (the incremental_near_dup_filter
+    # probe shape).  Identical pair set, O(panel x block collisions)
+    # join work.
     sig = minhash_signature(hashed)
-    cands = lsh_candidate_pairs(sig, "doc_id")
+    banded = pin_until_release(band_table(sig, "doc_id"))
+    ba = banded.where(F.col("doc_id") % k_div == 0).select(
+        F.col("doc_id").alias("id_a"), "band_idx", "band_hash"
+    )
+    bb = banded.where(F.col("doc_id") % b_div == b_div - 1).select(
+        F.col("doc_id").alias("id_b"), "band_idx", "band_hash"
+    )
+    cands = (
+        ba.join(bb, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     # The verify rejoin needs the shingle sets anyway; carrying lang on
     # the same rows gives the same-lang restriction for free instead
     # of two extra joins against the documents table.
@@ -1107,11 +1140,7 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shingle_hashes").alias("sh_b"),
     )
     lsh = (
-        cands.where(
-            (F.col("id_a") % k_div == 0)
-            & (F.col("id_b") % b_div == b_div - 1)
-        )
-        .join(sets_a, "id_a")
+        cands.join(sets_a, "id_a")
         .join(sets_b, "id_b")
         .where(
             (F.col("la") == F.col("lb"))
