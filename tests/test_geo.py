@@ -58,6 +58,140 @@ def test_grid_neighbor_pairs_equal_naive_all_pairs(spark):
         assert d == (ax - bx) ** 2 + (ay - by) ** 2 <= _R2
 
 
+def _write_customer(spark, path: str, keys: list[int]) -> None:
+    spark.createDataFrame(
+        [(int(k),) for k in keys], "c_custkey bigint"
+    ).selectExpr(
+        "c_custkey",
+        "CAST(c_custkey % 25 AS BIGINT) AS c_nationkey",
+        "'BUILDING' AS c_mktsegment",
+        "CAST(c_custkey % 1000 AS DOUBLE) AS c_acctbal",
+    ).write.mode("overwrite").parquet(f"{path}/customer.parquet")
+
+
+def _lod_replay(keys: list[int]) -> set[tuple]:
+    """Pure-Python replay of the density-adaptive LoD contract:
+    in-envelope points ride through, overdense cells collapse to
+    count-weighted integer centroids, then brute-force within-R
+    pairs (exact for the grid since radius == cell edge)."""
+    from hana_bq_beam_connector_spark.queries.geo import (
+        _CELL_CAP,
+        _CENTROID_KEY_STRIDE,
+        _R,
+    )
+
+    by_cell: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+    for k in keys:
+        x, y = (k * _MX) % _SIDE, (k * _MY) % _SIDE
+        by_cell.setdefault((x // _R, y // _R), []).append((k, x, y))
+    pts: dict[int, tuple[int, int, int]] = {}
+    for (cx, cy), members in by_cell.items():
+        if len(members) > _CELL_CAP:
+            n = len(members)
+            sx = sum(x for _, x, _ in members)
+            sy = sum(y for _, _, y in members)
+            key = -(cx * _CENTROID_KEY_STRIDE + cy + 1)
+            pts[key] = (sx // n, sy // n, n)
+        else:
+            for k, x, y in members:
+                pts[k] = (x, y, 1)
+    ks = sorted(pts)
+    want = set()
+    for i, a in enumerate(ks):
+        ax, ay, aw = pts[a]
+        for b in ks[i + 1 :]:
+            bx, by, bw = pts[b]
+            dsq = (ax - bx) ** 2 + (ay - by) ** 2
+            if dsq <= _R2:
+                want.add((a, b, dsq, aw, bw))
+    return want
+
+
+def _mixed_density_keys() -> list[int]:
+    """2000 spread keys (every cell in-envelope) plus 300 coincident
+    duplicates of two base keys whose locations are within R of each
+    other but in DIFFERENT cells — so the fixture exercises all three
+    pair species: point-point, point-centroid, centroid-centroid."""
+    from hana_bq_beam_connector_spark.queries.geo import _R
+
+    base = list(range(1, 2001))
+    loc = {k: ((k * _MX) % _SIDE, (k * _MY) % _SIDE) for k in base}
+    pick = None
+    for a in base:
+        ax, ay = loc[a]
+        ca = (ax // _R, ay // _R)
+        for b in base[a:]:
+            bx, by = loc[b]
+            if (bx // _R, by // _R) == ca:
+                continue
+            if (ax - bx) ** 2 + (ay - by) ** 2 <= _R2:
+                pick = (a, b)
+                break
+        if pick:
+            break
+    assert pick, "no cross-cell within-R base pair found"
+    dups = [
+        k + _SIDE * t for k in pick for t in range(1, 301)
+    ]  # same (x, y) as the base key: k mod _SIDE unchanged
+    return base + dups
+
+
+def test_grid_neighbor_pairs_lod_mixed_density(
+    spark, tmp_path_factory
+):
+    """Mixed-regime equivalence (round-10 LoD path): with two cells
+    pushed over the 256-point envelope by coincident duplicates, the
+    query must emit exactly the Python-replay pair set — real points
+    among themselves, each dense cell as ONE weighted centroid, and
+    at least one point-centroid and one centroid-centroid pair."""
+    keys = _mixed_density_keys()
+    d = str(tmp_path_factory.mktemp("mixed_density"))
+    _write_customer(spark, d, keys)
+    want = _lod_replay(keys)
+    got = {
+        tuple(r)
+        for r in registry()["geo_grid_neighbor_pairs"]
+        .fn(spark, d)
+        .collect()
+    }
+    assert got == want
+    kinds = {
+        (a < 0) + (b < 0) for a, b, _, _, _ in got
+    }  # 0 = pt-pt, 1 = pt-centroid, 2 = centroid-centroid
+    assert kinds == {0, 1, 2}
+    # centroid weights are the true cell populations
+    weights = {a: wa for a, _, _, wa, _ in got if a < 0} | {
+        b: wb for _, b, _, _, wb in got if b < 0
+    }
+    assert weights and all(w > 256 for w in weights.values())
+
+
+def test_grid_neighbor_pairs_oracle_parity_on_dense_fixture(
+    spark, tmp_path_factory
+):
+    """The registered DuckDB oracle implements the SAME LoD contract:
+    the driver's sf0.01 gate never reaches the dense branch, so this
+    locks oracle/Spark parity exactly where the adaptive logic
+    lives."""
+    import duckdb
+
+    from hana_bq_beam_connector_spark.oracle import compare_query
+
+    keys = _mixed_density_keys()
+    d = str(tmp_path_factory.mktemp("mixed_density_oracle"))
+    _write_customer(spark, d, keys)
+    spec = registry()["geo_grid_neighbor_pairs"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{d}/customer.parquet/*.parquet')"
+    )
+    res = compare_query(
+        spark, con, "geo_grid_neighbor_pairs", spec.fn, spec.oracle, d
+    )
+    assert res.ok, res.mismatches
+
+
 def test_morton_formula_is_exact_bit_interleave():
     """The engine-portable shift/mask Morton expression equals a
     direct Python bit-interleave for every 8-bit coordinate pair

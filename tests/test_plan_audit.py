@@ -260,14 +260,15 @@ def test_rec_item_lift_topk_plan_shape(spark, sf_dir):
 def test_geo_grid_neighbor_pairs_plan_shape(spark, sf_dir):
     """The spatial join must be the grid EQUI-join (hash/merge on
     cell keys) with the 3x3 neighborhood explode inside the row —
-    never a nested-loop distance join.  Round 8 rebuilt the density
-    guard as a left join against only the VIOLATING cells (O(
-    violations) broadcast, not O(occupied cells)); on in-envelope
-    data that set is empty, so AQE's empty-relation propagation
-    eliminates the guard join at runtime — exactly ONE equi-join
-    (the grid join) in the clean regime, and the guard costs
-    nothing.  The guard firing on overdense data is proven in
-    tests/test_round7_queries.py."""
+    never a nested-loop distance join.  Round 10 replaced the loud
+    density refusal with level-of-detail: overdense cells collapse
+    to weighted centroids via an anti-join + union keyed on only
+    the VIOLATING cells (O(violations), not O(occupied cells)); on
+    in-envelope data that set is empty, so AQE's empty-relation
+    propagation erases both LoD operators at runtime — exactly ONE
+    equi-join (the grid join) in the clean regime, and the adaptive
+    machinery costs nothing.  The LoD path on overdense data is
+    proven in tests/test_round7_queries.py and tests/test_geo.py."""
     f = _plan_facts(spark, sf_dir, "geo_grid_neighbor_pairs")
     assert f["nested_loop"] == 0
     assert f["explodes"] >= 1

@@ -141,27 +141,79 @@ def test_resized_feature_topk_ranks_real_pixel_features(spark):
         assert sims == sorted(sims, reverse=True)
 
 
-def test_geo_density_guard_fires_on_dense_world(
-    spark, tmp_path_factory
-):
-    """660k customers in the fixed 2500-cell world = ~264 points per
-    cell: the fixed-radius neighbor join's density envelope (256) is
-    exceeded and the guard must refuse loudly instead of burning a
-    quadratic candidate space."""
+def test_geo_density_lod_on_dense_world(spark, tmp_path_factory):
+    """700k customers in the fixed 2500-cell world = 7 coincident
+    copies of each of the 100k lattice locations = 266+ points per
+    cell (the lattice is near-uniform at 38-42 locations/cell), so
+    EVERY cell exceeds the 256-point density envelope and the
+    round-10 level-of-detail path must pre-aggregate each cell to its
+    count-weighted exact integer centroid and COMPLETE (the round-8/9
+    loud refusal is retired) — the output is exactly the within-R
+    pairs among the centroids, verified against a Python replay.
+    (The mixed sparse/dense regime is covered in tests/test_geo.py.)"""
+    from hana_bq_beam_connector_spark.queries.geo import (
+        _CELL_CAP,
+        _CENTROID_KEY_STRIDE,
+        _MX,
+        _MY,
+        _R,
+        _R2,
+        _SIDE,
+    )
+
     d = str(tmp_path_factory.mktemp("dense_world"))
-    spark.range(1, 660_001).selectExpr(
+    n = 700_000
+    spark.range(1, n + 1).selectExpr(
         "id AS c_custkey",
         "CAST(id % 25 AS BIGINT) AS c_nationkey",
         "'BUILDING' AS c_mktsegment",
         "CAST(id % 1000 AS DOUBLE) AS c_acctbal",
     ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
-    with pytest.raises(Exception, match="quadratic in density"):
-        _q("geo_grid_neighbor_pairs")(spark, d).collect()
+
+    # Python replay of the LoD contract.
+    cells: dict[tuple[int, int], list[int]] = {}
+    for k in range(1, n + 1):
+        x, y = (k * _MX) % _SIDE, (k * _MY) % _SIDE
+        st = cells.setdefault((x // _R, y // _R), [0, 0, 0])
+        st[0] += 1
+        st[1] += x
+        st[2] += y
+    assert all(
+        cn > _CELL_CAP for cn, _, _ in cells.values()
+    ), "fixture must push EVERY cell over the density envelope"
+    pts = {
+        -(cx * _CENTROID_KEY_STRIDE + cy + 1): (
+            sx // cn,
+            sy // cn,
+            cn,
+        )
+        for (cx, cy), (cn, sx, sy) in cells.items()
+    }
+    ks = sorted(pts)
+    want = set()
+    for i, a in enumerate(ks):
+        ax, ay, aw = pts[a]
+        for b in ks[i + 1 :]:
+            bx, by, bw = pts[b]
+            dsq = (ax - bx) ** 2 + (ay - by) ** 2
+            if dsq <= _R2:
+                want.add((a, b, dsq, aw, bw))
+
+    got = {
+        tuple(r)
+        for r in _q("geo_grid_neighbor_pairs")(spark, d).collect()
+    }
+    assert got == want
+    assert all(r[0] < 0 and r[1] < 0 for r in got)  # all-LoD world
 
 
 def test_geo_guard_silent_on_contract_data(spark):
     rows = _q("geo_grid_neighbor_pairs")(spark, SF_DIR).collect()
     assert all(r["dist_sq"] <= 2000 * 2000 for r in rows)
+    # in-envelope data: nothing collapses, every weight is 1
+    assert all(
+        r["weight_a"] == 1 and r["weight_b"] == 1 for r in rows
+    )
 
 
 def test_gapfill_lead_explode_matches_spine_semantics(spark):
