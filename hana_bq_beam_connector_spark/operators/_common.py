@@ -45,8 +45,16 @@ def pin_until_release(df: DataFrame) -> DataFrame:
 
 def release_session_pins() -> None:
     """Unpersist every frame pinned via :func:`pin_until_release`.
-    Safe to call between queries — outputs already materialized by
-    then; a pin released early merely recomputes."""
+
+    MUST only run after every DataFrame built since the last release
+    has been fully materialized (collected/written).  This is a
+    correctness contract, not a recompute-cost note: two_phase_scan's
+    ranged pin exists precisely because an unpersisted recompute
+    under AQE can range-sample different slice boundaries per branch
+    and silently shift ranks — releasing a pin while a still-lazy
+    two_phase_scan output is outstanding reintroduces that corruption
+    (ADVICE r9).  Harnesses satisfy this by releasing only BETWEEN
+    fully-collected queries."""
     while _SESSION_PINS:
         _SESSION_PINS.pop().unpersist()
 

@@ -49,6 +49,29 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(cols)
 
 
+def _is_sort_order(c: Column) -> bool:
+    """True if ``c`` wraps a SortOrder (``.asc()``/``.desc()``) rather
+    than a value expression.  Inspects the underlying expression class
+    — the JVM expression on classic pyspark, the typed client-side
+    expression on Spark Connect — and only falls back to the
+    repr-substring heuristic when neither is introspectable (ADVICE
+    r9: the bare heuristic is coupled to repr format and can
+    false-positive on an alias containing the substring)."""
+    jc = getattr(c, "_jc", None)
+    if jc is not None:
+        for accessor in ("node", "expr"):  # Spark 4 / Spark 3 names
+            try:
+                node = getattr(jc, accessor)()
+                return node.getClass().getSimpleName() == "SortOrder"
+            except Exception:
+                continue
+    expr = getattr(c, "_expr", None)
+    if type(expr).__name__ == "SortOrder":  # Spark Connect typed expr
+        return True
+    r = repr(c)
+    return " ASC NULLS" in r or " DESC NULLS" in r
+
+
 def keep_first_by_key(
     df: DataFrame, key: list[str], order: list[Column]
 ) -> DataFrame:
@@ -75,13 +98,12 @@ def keep_first_by_key(
         # .asc()/.desc() wrap a SortOrder, which is not a value
         # expression: inside struct() it only fails deep in analysis
         # with an opaque error.  Fail loudly here instead.
-        r = repr(c)
-        if " ASC NULLS" in r or " DESC NULLS" in r:
+        if _is_sort_order(c):
             raise ValueError(
                 "keep_first_by_key order must be plain ascending "
                 "value expressions (argmin over a struct); got a "
-                f"SortOrder {r} — negate numerics / flip strings to "
-                "descend, see docstring"
+                f"SortOrder {c!r} — negate numerics / flip strings "
+                "to descend, see docstring"
             )
     others = [c for c in df.columns if c not in set(key)]
     picked = df.groupBy(*key).agg(

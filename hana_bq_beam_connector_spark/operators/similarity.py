@@ -621,6 +621,28 @@ def _l2sq_fold(a: str, b: str) -> str:
     )
 
 
+def _session_memo(df: DataFrame) -> dict:
+    """Per-SparkSession memo dict, stashed on the session object
+    itself (lifecycle-tied, same pattern as plan_reset's checkpoint
+    guard: a new session starts clean, no stale id()-reuse hazard)."""
+    s = df.sparkSession
+    memo = getattr(s, "_graft_pq_memo", None)
+    if memo is None:
+        memo = {}
+        s._graft_pq_memo = memo
+    return memo
+
+
+def _plan_memo_key(df: DataFrame):
+    """A memo key identifying ``df``'s analyzed plan (source paths,
+    projections — everything that could change the answer).  Returns
+    None when the plan is not introspectable (then: don't memoize)."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return None
+
+
 def pq_encode_codebook(
     corpus_u: DataFrame,
     id_col: str,
@@ -637,10 +659,13 @@ def pq_encode_codebook(
     deterministic seeding rule as the IVF centroids — production runs
     per-subspace k-means on top, exactly like `kmeans_centroids`
     refines the IVF seeds; the distributed shape is identical).
-    Returns ``(codebook, codes)``:
+    Returns ``(cb_rows, codes)``:
 
-    * codebook: (s, code, cw array<double>) — m·ks rows, KBs, built
-      once and broadcast everywhere it is used;
+    * cb_rows: the TRAINED codebook as plain sorted (s, code,
+      cw list[float]) tuples — m·ks rows, KBs, collected once per
+      (session, corpus plan, params) and memoized (callers re-embed
+      it as a literal frame / closure, so no lineage back through
+      the training chain survives into consumer plans);
     * codes: (id, s, code) — each vector's nearest codeword per
       subspace.  The argmin is a vectorized numpy scan inside
       ``mapInPandas`` over the broadcast-by-closure codebook — a
@@ -654,7 +679,7 @@ def pq_encode_codebook(
     (8×) but another order cheaper, with scoring still
     lookup-table-exact per subspace.
     """
-    cb = (
+    seed_cb = (
         corpus_u.where(F.col(id_col) < ks)
         .select(
             F.col(id_col).alias("code"),
@@ -665,7 +690,16 @@ def pq_encode_codebook(
             "s", "code", F.expr(_sub_slice("__v", "s", sub_dim)).alias("cw")
         )
     )
-    def _assign(codebook: DataFrame, frame: DataFrame) -> DataFrame:
+
+    def _collect_cb(cb_df: DataFrame) -> list[tuple[int, int, list]]:
+        """Materialize a codebook frame to sorted plain rows — the
+        ONE driver-side collect of the PQ chain (m·ks rows, KBs)."""
+        return sorted(
+            (int(r["s"]), int(r["code"]), list(r["cw"]))
+            for r in cb_df.select("s", "code", "cw").collect()
+        )
+
+    def _assign(cb_rows: list, frame: DataFrame) -> DataFrame:
         # Vectorized Arrow encode (round 9).  History: the original
         # join-then-min spelling materialized n·m·ks rows (204.8M at
         # sf10 for ks=64 — measured spilling); round 8 folded the
@@ -695,10 +729,8 @@ def pq_encode_codebook(
         import numpy as np
 
         by_s: dict[int, list] = {}
-        for r in codebook.select("s", "code", "cw").collect():
-            by_s.setdefault(int(r["s"]), []).append(
-                (int(r["code"]), list(r["cw"]))
-            )
+        for s_val, code, cw in cb_rows:
+            by_s.setdefault(s_val, []).append((code, cw))
         mats = {}
         for s_key, items in by_s.items():
             items.sort()
@@ -768,13 +800,33 @@ def pq_encode_codebook(
     # corpus still encodes against the trained codebook, which is
     # how production PQ trains anyway (offline sample-trained
     # codebooks, full-corpus encode).
+    # Per-session memo of the TRAINED codebook rows (ADVICE r9: the
+    # training chain collects at DataFrame-BUILD time, so plan-only
+    # consumers — explain_audit, registry enumeration, repeated bench
+    # builds — were paying full Lloyd-refinement execution on every
+    # build).  The first build per (session, corpus plan, params)
+    # still trains (offline-trained codebooks are how production PQ
+    # works anyway); every later build reuses the rows and stays a
+    # pure lazy plan.
+    memo = _session_memo(corpus_u)
+    plan_key = _plan_memo_key(corpus_u)
+    memo_key = (
+        "pq_cb", plan_key, id_col, vec_col, m, ks, sub_dim, rounds,
+        train_div,
+    )
+    if plan_key is not None and memo_key in memo:
+        cb_rows = memo[memo_key]
+        codes = _assign(cb_rows, corpus_u).select("__id", "s", "code")
+        return cb_rows, codes
+
     train = (
         corpus_u
         if train_div <= 1
         else corpus_u.where(F.col(id_col) % train_div == 0)
     )
+    cb_rows = _collect_cb(seed_cb)
     for _ in range(rounds):
-        assigned = _assign(cb, train)
+        assigned = _assign(cb_rows, train)
         comp = assigned.select(
             "s", "code", "__id", F.posexplode("sv").alias("pos", "val")
         )
@@ -791,7 +843,7 @@ def pq_encode_codebook(
                 ).alias("mval"),
             )
         )
-        cb = (
+        cb_rows = _collect_cb(
             means.groupBy("s", "code")
             .agg(F.collect_list(F.struct("pos", "mval")).alias("pm"))
             .select(
@@ -803,8 +855,10 @@ def pq_encode_codebook(
         # Empty cells keep no codeword — codes simply never map there
         # (the min over the surviving codebook is still total).
 
-    codes = _assign(cb, corpus_u).select("__id", "s", "code")
-    return cb, codes
+    if plan_key is not None:
+        memo[memo_key] = cb_rows
+    codes = _assign(cb_rows, corpus_u).select("__id", "s", "code")
+    return cb_rows, codes
 
 
 def pq_topk(
@@ -849,17 +903,34 @@ def pq_topk(
     # at any corpus (pure-integer ceil-div, replayed by the oracle
     # from the same COUNT(*); 1 — i.e. no sampling — at any corpus
     # <= 50k, so driver/bench results are unchanged).  The count is
-    # parquet-metadata-cheap on a plain scan.
-    train_div = max(1, -(-corpus.count() // 50_000))
+    # parquet-metadata-cheap on a plain scan, and memoized per
+    # (session, corpus plan) alongside the trained codebook so
+    # repeated builds stay lazy (ADVICE r9).
+    memo = _session_memo(corpus)
+    count_key = ("pq_count", _plan_memo_key(corpus.select(id_col)))
+    if count_key[1] is not None and count_key in memo:
+        n_corpus = memo[count_key]
+    else:
+        n_corpus = corpus.count()
+        if count_key[1] is not None:
+            memo[count_key] = n_corpus
+    train_div = max(1, -(-n_corpus // 50_000))
     corpus_u = unit(
         spread(corpus.select(id_col, vec_col)), vec_col, "uv"
     ).select(id_col, F.col("uv").alias(vec_col))
     queries_u = unit(
         queries.select(id_col, vec_col), vec_col, "uv"
     ).select(id_col, F.col("uv").alias(vec_col))
-    cb, codes = pq_encode_codebook(
+    cb_rows, codes = pq_encode_codebook(
         corpus_u, id_col, vec_col, m=m, ks=ks, sub_dim=sub_dim,
         rounds=rounds, train_div=train_div,
+    )
+    # The trained codebook re-enters the plan as a LITERAL local
+    # relation (m·ks rows, KBs): the LUT join below broadcasts it,
+    # and the returned plan carries no lineage back through the
+    # training chain — explain/audit of the result is pure planning.
+    cb = corpus.sparkSession.createDataFrame(
+        cb_rows, "s int, code bigint, cw array<double>"
     )
     lut = (
         queries_u.select(

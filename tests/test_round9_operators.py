@@ -110,6 +110,12 @@ def test_keep_first_by_key_rejects_sortorder(spark):
     # plain expressions still work
     out = keep_first_by_key(df, ["k"], [F.col("o")])
     assert out.collect()[0].payload == "x"
+    # ADVICE r9: detection now inspects the expression class, so a
+    # value expression whose ALIAS contains the repr substring must
+    # NOT false-positive (and still orders correctly).
+    hostile = F.col("o").alias("x ASC NULLS FIRST")
+    out = keep_first_by_key(df, ["k"], [hostile])
+    assert out.collect()[0].payload == "x"
 
 
 def test_bigram_lm_score_semantics(spark, tmp_path):
