@@ -25,6 +25,7 @@ no schema, no partitioning, and no caller.
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -366,11 +367,28 @@ def _sniff_image_header(data: bytes) -> tuple[str, int, int, int]:
         # indexed color over an RGB palette
         return "image/gif", w, h, 3
     if data[:2] == b"\xff\xd8":
+        # Marker walk per ITU-T T.81 §B.1: any number of 0xFF fill
+        # bytes may pad a marker, and TEM/RSTn/SOI/EOI are standalone
+        # (no length word) — skip both instead of desyncing (ADVICE
+        # r9).  The walk stops at SOS: SOF must precede the scan, and
+        # entropy-coded data (with its 0xFF00 stuffing) is not
+        # segment-structured.
         pos = 2
-        while pos + 4 <= len(data):
+        while pos + 2 <= len(data):
             if data[pos] != 0xFF:
                 raise ValueError("JPEG: marker desync")
+            while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+                pos += 1  # fill byte(s) before the marker code
             marker = data[pos + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                if marker == 0xD9:
+                    break  # EOI with no SOF seen
+                pos += 2
+                continue
+            if marker == 0xDA:
+                break  # SOS: scan data begins, SOF never appeared
+            if pos + 4 > len(data):
+                break
             seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (
                 0xC4,
@@ -1506,6 +1524,16 @@ _JPEG_ZIGZAG: list[tuple[int, int]] = [
     for r in (range(s, -1, -1) if s % 2 == 0 else range(s + 1))
     if 0 <= r < 8 and 0 <= s - r < 8
 ]
+# Inverse permutation: natural flat index r*8+c -> zigzag position k,
+# so de-zigzagging a whole image is ONE fancy-index over (blocks, 64).
+_JPEG_ZZ_INV: list[int] = [0] * 64
+for _k, (_r, _c) in enumerate(_JPEG_ZIGZAG):
+    _JPEG_ZZ_INV[_r * 8 + _c] = _k
+del _k, _r, _c
+# Forward flat permutation: zigzag position k -> natural flat index,
+# so zigzag-ordering a whole image's quantized coefficients is ONE
+# fancy-index on the encode side too.
+_JPEG_ZZ_FLAT: list[int] = [r * 8 + c for r, c in _JPEG_ZIGZAG]
 
 # Flat quantization table (value 8 everywhere, natural order).  DC=8
 # divides the constant-block DC (8*(v-128)) exactly; AC=8 zeroes the
@@ -1529,11 +1557,20 @@ _JPEG_AC_VALS = [0x00, 0xF0] + [
 
 
 def _jpeg_canonical_codes(
-    bits: list[int], vals: list[int]
+    bits, vals
 ) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) per the canonical construction of
     T.81 Annex C (codes of equal length are consecutive; moving to
-    length L+1 left-shifts once)."""
+    length L+1 left-shifts once).  Memoized on (bits, vals): every
+    image in a corpus typically ships the same handful of tables, and
+    the per-image rebuild measured ~10% of decode wall (round 10)."""
+    return _jpeg_canonical_codes_cached(tuple(bits), tuple(vals))
+
+
+@_functools.lru_cache(maxsize=64)
+def _jpeg_canonical_codes_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[int, tuple[int, int]]:
     out: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
     for length in range(1, 17):
@@ -1545,9 +1582,43 @@ def _jpeg_canonical_codes(
     return out
 
 
+@_functools.lru_cache(maxsize=64)
+def _jpeg_decode_lut(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> tuple[list[int], list[int]]:
+    """Flat 2^16-entry decode tables for a canonical Huffman table:
+    ``sym_lut[w]``/``len_lut[w]`` give the symbol and code length
+    selected by the 16-bit lookahead window ``w`` (every window
+    sharing a code's prefix maps to that code — the classic
+    table-driven decoder).  len 0 marks an invalid prefix.  Python
+    lists, not numpy: scalar indexing is the hot path and list access
+    is ~3× faster than ndarray scalar access.  Memoized per table —
+    the build is 2·65536 writes, amortized to zero across a corpus
+    sharing tables (round 10: replaces the per-bit dict-probe walker
+    that dominated decode wall)."""
+    sym_lut = [0] * (1 << 16)
+    len_lut = [0] * (1 << 16)
+    for sym, (code, length) in _jpeg_canonical_codes_cached(
+        bits, vals
+    ).items():
+        start = code << (16 - length)
+        end = (code + 1) << (16 - length)
+        sym_lut[start:end] = [sym] * (end - start)
+        len_lut[start:end] = [length] * (end - start)
+    return sym_lut, len_lut
+
+
+_JPEG_DCT_M = None
+
+
 def _jpeg_dct_matrix():
     """M[u, x] = 0.5 * c(u) * cos((2x+1) u pi / 16); FDCT of block P
-    is M @ P @ M.T, IDCT of coefficients S is M.T @ S @ M."""
+    is M @ P @ M.T, IDCT of coefficients S is M.T @ S @ M.  Built
+    once per process (read-only; the per-image rebuild was 128
+    cosines/image of pure overhead)."""
+    global _JPEG_DCT_M
+    if _JPEG_DCT_M is not None:
+        return _JPEG_DCT_M
     import math
 
     import numpy as np
@@ -1557,6 +1628,8 @@ def _jpeg_dct_matrix():
         cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
         for x in range(8):
             m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    m.flags.writeable = False
+    _JPEG_DCT_M = m
     return m
 
 
@@ -1623,12 +1696,14 @@ def _jpeg_encode_raster(w: int, h: int, raster: bytes) -> bytes:
         coefs / np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     ).astype(int)
 
+    # Zigzag-order every block with one fancy-index (the per-block
+    # 64-scalar numpy indexing measured as a top encode cost, r10).
+    zz_all = quant.reshape(nby, nbx, 64)[:, :, _JPEG_ZZ_FLAT]
     bw = _JpegBitWriter()
     pred = 0
     for by in range(nby):
         for bx in range(nbx):
-            q = quant[by, bx]
-            zz = [int(q[r, c]) for r, c in _JPEG_ZIGZAG]
+            zz = zz_all[by, bx].tolist()
             diff = zz[0] - pred
             pred = zz[0]
             cat = _jpeg_category(diff)
@@ -1762,6 +1837,43 @@ class _JpegBitReader:
         self.acc &= (1 << self.n) - 1
         return v
 
+    def peek16(self) -> int:
+        """The next 16 bits WITHOUT consuming, zero-padded past the
+        end of the entropy data (a terminating marker or EOF stops
+        the fill without raising and without consuming the marker —
+        the LUT decoder checks the selected code's length against
+        ``n`` and reports the end through :meth:`end_error`)."""
+        data, n = self.data, self.n
+        while n < 16:
+            p = self.pos
+            if p >= len(data):
+                break
+            b = data[p]
+            if b == 0xFF:
+                if p + 1 >= len(data) or data[p + 1] != 0x00:
+                    break  # marker (or EOF mid-stuff): end of entropy
+                self.pos = p + 2
+            else:
+                self.pos = p + 1
+            self.acc = (self.acc << 8) | b
+            n += 8
+        self.n = n
+        if n >= 16:
+            return (self.acc >> (n - 16)) & 0xFFFF
+        return (self.acc << (16 - n)) & 0xFFFF
+
+    def end_error(self) -> ValueError:
+        """The error _fill would have raised at this stream end."""
+        p = self.pos
+        if p < len(self.data) and self.data[p] == 0xFF and p + 1 < len(
+            self.data
+        ):
+            return ValueError(
+                f"unexpected marker 0xFF{self.data[p + 1]:02X} "
+                "in entropy data"
+            )
+        return ValueError("JPEG entropy stream truncated")
+
     def bits(self, k: int) -> int:
         if k == 0:
             return 0
@@ -1773,16 +1885,26 @@ class _JpegBitReader:
 
 
 def _jpeg_decode_symbol(
-    reader: _JpegBitReader, table: dict[tuple[int, int], int]
+    reader: _JpegBitReader,
+    sym_lut: list[int],
+    len_lut: list[int],
 ) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | reader.bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code (no match in 16 bits)")
+    """Table-driven symbol decode (round 10): one 16-bit peek + one
+    list index replaces the former per-bit dict-probe walk (which
+    dominated decode wall).  Identical selection: every 16-bit window
+    sharing a valid code's prefix maps to that code in the LUT, and a
+    zero-length hit is exactly the prefixes no code owns."""
+    window = reader.peek16()
+    length = len_lut[window]
+    if length == 0:
+        raise ValueError(
+            "invalid JPEG Huffman code (no match in 16 bits)"
+        )
+    if length > reader.n:
+        raise reader.end_error()
+    reader.n -= length
+    reader.acc &= (1 << reader.n) - 1
+    return sym_lut[window]
 
 
 def _jpeg_extend(v: int, size: int) -> int:
@@ -1858,11 +1980,10 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 vals = list(body[b + 17 : b + 17 + nvals])
                 if len(bits) != 16 or len(vals) != nvals:
                     raise ValueError("truncated Huffman table")
-                codes = _jpeg_canonical_codes(bits, vals)
-                htables[(tc, th)] = {
-                    (length, code): sym
-                    for sym, (code, length) in codes.items()
-                }
+                # Stored as the raw (bits, vals) pair — the memoized
+                # LUT builder keys on it, so a corpus sharing tables
+                # (the normal case) builds each decode table once.
+                htables[(tc, th)] = (tuple(bits), tuple(vals))
                 b += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
@@ -1904,45 +2025,47 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, bytes]:
     if (0, td) not in htables or (1, ta) not in htables:
         raise ValueError("scan references undefined Huffman tables")
     qt = np.array(qtables[tq], dtype=np.float64).reshape(8, 8)
-    dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
+    dc_sym, dc_len = _jpeg_decode_lut(*htables[(0, td)])
+    ac_sym, ac_len = _jpeg_decode_lut(*htables[(1, ta)])
     m = _jpeg_dct_matrix()
     reader = _JpegBitReader(data, entropy_pos)
     nby, nbx = h // 8, w // 8
     # Entropy decode is inherently sequential (bit-level, DC chained);
-    # the IDCT is not — collect every block's natural-order
-    # coefficients, then ONE batched einsum (same arithmetic as the
-    # per-block m.T @ S @ m).
-    zz_rows = [
-        _JPEG_ZIGZAG[k][0] for k in range(64)
-    ], [_JPEG_ZIGZAG[k][1] for k in range(64)]
-    coefs = np.zeros((nby, nbx, 8, 8))
+    # the IDCT is not — collect every block's zigzag coefficients,
+    # de-zigzag ALL blocks with one permutation, then ONE batched
+    # einsum (same arithmetic as the per-block m.T @ S @ m).
+    zz_blocks: list[list[int]] = []
     pred = 0
-    for by in range(nby):
-        for bx in range(nbx):
-            zz = [0] * 64
-            cat = _jpeg_decode_symbol(reader, dc_tab)
-            diff = _jpeg_extend(reader.bits(cat), cat) if cat else 0
-            pred += diff
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = _jpeg_decode_symbol(reader, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    if k > 63:
-                        raise ValueError(
-                            "AC coefficient index out of range"
-                        )
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63 or size == 0:
-                    raise ValueError("AC coefficient index out of range")
-                zz[k] = _jpeg_extend(reader.bits(size), size)
-                k += 1
-            coefs[by, bx, zz_rows[0], zz_rows[1]] = zz
+    for _ in range(nby * nbx):
+        zz = [0] * 64
+        cat = _jpeg_decode_symbol(reader, dc_sym, dc_len)
+        diff = _jpeg_extend(reader.bits(cat), cat) if cat else 0
+        pred += diff
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            sym = _jpeg_decode_symbol(reader, ac_sym, ac_len)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                if k > 63:
+                    raise ValueError(
+                        "AC coefficient index out of range"
+                    )
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63 or size == 0:
+                raise ValueError("AC coefficient index out of range")
+            zz[k] = _jpeg_extend(reader.bits(size), size)
+            k += 1
+        zz_blocks.append(zz)
+    # natural-order flat index r*8+c holds zigzag position inv[r*8+c]
+    coefs = (
+        np.array(zz_blocks, dtype=np.float64)[:, _JPEG_ZZ_INV]
+        .reshape(nby, nbx, 8, 8)
+    )
     px = np.einsum("ur,byuv,vc->byrc", m, coefs * qt, m)
     img = (
         np.clip(np.rint(px + 128.0), 0, 255)
