@@ -148,7 +148,63 @@ HEADLINE = [
 ]
 
 
+def _median_orchestrator(repeats: int) -> None:
+    """Median-of-N protocol (round-10, verdict-r9 ask #4): ambient
+    wall drift on this box is 1.5-2× between same-code runs, which
+    was eating the cross-round signal.  Each repeat is a FRESH
+    PROCESS (fresh JVM, fresh session — true run isolation); the
+    published number is the per-query MEDIAN, and the protocol is
+    recorded in the JSON so future rounds compare like with like.
+    The driver's per-round run keeps repeats=1 (single line, same
+    wall budget as before); BENCH_local.json is generated with
+    SPARK_GRAFT_BENCH_REPEATS=3."""
+    import statistics
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_BENCH_REPEATS="1")
+    runs = []
+    for i in range(repeats):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+        print(
+            f"run {i + 1}/{repeats}: {runs[-1]['value']}s",
+            file=sys.stderr,
+            flush=True,
+        )
+    med: dict[str, object] = {}
+    for q in runs[0]["queries"]:
+        vals = [r["queries"][q] for r in runs]
+        floats = [v for v in vals if isinstance(v, (int, float))]
+        med[q] = (
+            round(statistics.median(floats), 3)
+            if len(floats) == len(vals)
+            else next(v for v in vals if isinstance(v, str))
+        )
+    out = dict(runs[0])
+    out["queries"] = med
+    out["value"] = round(
+        sum(v for v in med.values() if isinstance(v, (int, float))), 3
+    )
+    out["protocol"] = {
+        **runs[0]["protocol"],
+        "repeats": repeats,
+        "mode": f"per-query median of {repeats} fresh-process runs",
+        "run_totals": [r["value"] for r in runs],
+    }
+    print(json.dumps(out))
+
+
 def main() -> None:
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+    if repeats > 1:
+        _median_orchestrator(repeats)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     # Controlled-experiment hook (driver never sets it): run only the
@@ -221,6 +277,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "protocol": {
+                    "repeats": 1,
+                    "mode": "single fresh-process run",
+                    "master": f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+                    "n_queries": len(timings),
+                },
             }
         )
     )

@@ -15,6 +15,7 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 NOTES = {
     "metric": "registry_sf10_spot",
@@ -48,13 +49,20 @@ NOTES = {
         "LSH with the non-degenerate XOR plane family, the "
         "two-phase bucket-histogram weighted median, and the "
         "two_phase_scan/rank few-huge-groups rewrites.",
-        "geo_grid_neighbor_pairs records FAIL:loud-guard BY DESIGN: "
+        "geo_grid_neighbor_pairs is density-ADAPTIVE since round 10: "
         "a fixed-radius neighbor join's candidate space and true "
         "answer are quadratic in points-per-cell (measured 103.9x "
-        "wall at 10x density before the guard, flat per OUTPUT "
-        "pair); the density envelope guard (256 points/cell, "
-        "O(violations) broadcast since round 8) refuses this regime "
-        "loudly instead of burning a cluster.",
+        "wall at 10x density in round 7), so cells past the 256-point "
+        "envelope pre-aggregate to count-weighted exact integer "
+        "centroids (level-of-detail) and the query COMPLETES at any "
+        "density — the round-8/9 loud refusal (the artifact's only "
+        "FAIL row) is retired.",
+        "rows with expected_ratio/expected_formula carry a MACHINE-"
+        "CHECKED complexity-class annotation (tools/expected_ratios."
+        "py, derived from fixture row counts / text bytes + the "
+        "operators' own sizing formulas); tests/test_scale_artifacts"
+        ".py fails if measured exceeds expected by >1.5x.  "
+        "over_expected lists violations (expected empty).",
         "documents.text BYTES grow 13.3x per decade (the per-copy "
         "word suffix lengthens tokens), so text-byte-bound queries "
         "(simhash, bpe) should be ratio-read against 13.3, not 10.",
@@ -81,6 +89,11 @@ def main() -> int:
         meta = d
         rows.update(d["queries"])
     limit = meta["ratio_limit"]
+    from expected_ratios import check_rows, expected_ratios
+
+    over_expected = check_rows(
+        rows, expected_ratios(meta["base_sf_dir"], meta["big_sf_dir"])
+    )
     over = {
         k: v["ratio"]
         for k, v in rows.items()
@@ -103,6 +116,7 @@ def main() -> int:
         "over_limit": dict(
             sorted(over.items(), key=lambda kv: -kv[1])
         ),
+        "over_expected": over_expected,
         "failed_loudly": failed,
         "queries": dict(sorted(rows.items())),
     }
@@ -115,6 +129,7 @@ def main() -> int:
                 "n": record["n_queries"],
                 "within": record["within_limit"],
                 "over_limit": record["over_limit"],
+                "over_expected": over_expected,
                 "failed_loudly": failed,
                 "out": out,
             }

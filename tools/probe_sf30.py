@@ -1,0 +1,130 @@
+"""Third-decade scale probe (round-10, verdict-r9 ask #6).
+
+The open per-decade question after round 9 was confined to two
+families: the documented log-linear LSH class (auto planes grow with
+log n) and the Python-decode jpeg rows (linear work, but the sf1→sf10
+ratio printed over the limit with a contention attribution).  This
+tool measures ONLY those rows at sf10 vs sf30 (lineitem 180M rows)
+and records measured-vs-expected per row, reusing the formula
+machinery of tools/expected_ratios.py — a third measured decade
+either confirms each family's declared class or exposes it.
+
+Each query runs ISOLATED (one fresh registry_sweep process per
+query): round-9 measurement discipline — chunked multi-query sessions
+inflate Python-stage-heavy rows up to 4× vs isolated runs.
+
+Usage: python tools/probe_sf30.py [base=.scale/sf10] [big=.scale/sf30]
+Writes REGISTRY_sf30_probe.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from expected_ratios import (  # noqa: E402
+    TOLERANCE,
+    _counts,
+    check_rows,
+    expected_ratios,
+    lsh_auto_planes,
+)
+
+PROBE = [
+    "dedup_embedding_cosine",
+    "dedup_semantic_not_lexical",
+    "dedup_lsh_recall_report",
+    "mm_jpeg_decode_stats",
+    "mm_jpeg_raster_moments",
+]
+
+
+def probe_expected(base_dir: str, big_dir: str) -> dict[str, dict]:
+    """The generic LSH/text entries plus probe-only classes: the
+    recall audit is O(panel + block-sample) by construction (round
+    9) — near-flat per decade; the jpeg rows are linear per document
+    (per-doc cost is id-independent), so expected = docs volume."""
+    exp = expected_ratios(base_dir, big_dir)
+    base, big = _counts(base_dir), _counts(big_dir)
+    vol_docs = big["docs"] / base["docs"]
+    jpeg = {
+        "expected_ratio": round(vol_docs, 2),
+        "expected_formula": (
+            f"docs volume = {vol_docs:.3g} (linear per-document "
+            "decode; dims are modulo-bounded functions of the id, so "
+            "per-doc cost is scale-independent)"
+        ),
+    }
+    exp["mm_jpeg_decode_stats"] = jpeg
+    exp["mm_jpeg_raster_moments"] = dict(jpeg)
+    p_base = lsh_auto_planes(base["emb"])
+    p_big = lsh_auto_planes(big["emb"])
+    exp["dedup_lsh_recall_report"] = {
+        "expected_ratio": round(1.0 * p_big / p_base * 1.5, 2),
+        "expected_formula": (
+            "O(panel + block-sample) by construction — the audit "
+            "universe is fixed-size (panel ∪ block), so growth is "
+            f"only the planes factor {p_big}/{p_base} on the "
+            "restricted signature stage plus scan cost; 1.5× scan "
+            "headroom"
+        ),
+    }
+    return exp
+
+
+def main() -> int:
+    base = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, ".scale", "sf10"
+    )
+    big = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, ".scale", "sf30"
+    )
+    rows: dict[str, dict] = {}
+    for name in PROBE:
+        with tempfile.NamedTemporaryFile(
+            suffix=".json", delete=False
+        ) as tf:
+            out = tf.name
+        env = dict(os.environ, SPARK_GRAFT_SWEEP_ONLY=name)
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "registry_sweep.py"),
+                base,
+                big,
+                out,
+            ],
+            env=env,
+            check=True,
+        )
+        rows.update(json.load(open(out))["queries"])
+        os.unlink(out)
+    over_expected = check_rows(rows, probe_expected(base, big))
+    record = {
+        "metric": "registry_sf30_probe",
+        "what": "third measured scale decade for the two families "
+        "whose per-decade class was the round-9 open question "
+        "(log-linear LSH members, linear-but-contended jpeg decode); "
+        "every row runs ISOLATED and carries measured vs "
+        "formula-derived expected_ratio",
+        "base_sf_dir": base,
+        "big_sf_dir": big,
+        "tolerance": TOLERANCE,
+        "over_expected": over_expected,
+        "queries": dict(sorted(rows.items())),
+    }
+    out_path = os.path.join(REPO, "REGISTRY_sf30_probe.json")
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps({"over_expected": over_expected, "out": out_path}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
