@@ -28,7 +28,10 @@ Scale shapes (the point of the group):
   cross join: points bucket into r-sized cells, ONE side explodes to
   its 3x3 cell neighborhood (constant 9x fan-out), and an equi-join
   on the cell key does the rest — cost O(9n) shuffle + true-pair
-  verification, never O(n^2);
+  verification, never O(n^2); per-cell pair work is Θ(density²), so
+  cells past a 256-point envelope pre-aggregate to count-weighted
+  exact integer centroids (level-of-detail, round 10) keeping the
+  output O(n·cap) at any density;
 * the kNN probe broadcasts a FIXED-SIZE probe batch (100 probes —
   serving cost is per-request, so the registered shape holds the
   probe count constant as the corpus scales; plan-audit

@@ -26,11 +26,17 @@ NOTES = {
     "and the refined-LSH queries) at sf1 vs sf10 (lineitem 60M "
     "rows), 12x wall-ratio limit — the second measured scale decade",
     "notes": [
+        "round-10 re-measured rows: geo_grid_neighbor_pairs (the "
+        "density-adaptive LoD rewrite — ratio 0.15, the artifact's "
+        "only FAIL row retired) and the two mm_jpeg rows (table-"
+        "driven-LUT codec, 16.1-16.8x -> 12.3-12.8x at 32 threads; "
+        "each row carries a control_local8 fixed-core control run at "
+        "~5.5-6.1x validating the contention attribution).",
         "rows for the round-9-changed queries (sim_pq_topk, "
         "dedup_lsh_recall_report, dedup_semantic_not_lexical, "
-        "dedup_embedding_cosine, graph_triangle_cosupply, all mm_*) "
-        "measure the round-9 code: vectorized Arrow PQ encode + "
-        "bounded-sample Lloyd training, the block-sampled recall "
+        "dedup_embedding_cosine, graph_triangle_cosupply, other "
+        "mm_*) measure the round-9 code: vectorized Arrow PQ encode "
+        "+ bounded-sample Lloyd training, the block-sampled recall "
         "audit, the pinned semantic composition, spread() media "
         "synthesis; remaining rows carry over from round 8 "
         "(unchanged code paths).",

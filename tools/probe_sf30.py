@@ -46,23 +46,11 @@ PROBE = [
 
 
 def probe_expected(base_dir: str, big_dir: str) -> dict[str, dict]:
-    """The generic LSH/text entries plus probe-only classes: the
-    recall audit is O(panel + block-sample) by construction (round
-    9) — near-flat per decade; the jpeg rows are linear per document
-    (per-doc cost is id-independent), so expected = docs volume."""
+    """The generic LSH/text/jpeg entries plus the probe-only class:
+    the recall audit is O(panel + block-sample) by construction
+    (round 9) — near-flat per decade."""
     exp = expected_ratios(base_dir, big_dir)
     base, big = _counts(base_dir), _counts(big_dir)
-    vol_docs = big["docs"] / base["docs"]
-    jpeg = {
-        "expected_ratio": round(vol_docs, 2),
-        "expected_formula": (
-            f"docs volume = {vol_docs:.3g} (linear per-document "
-            "decode; dims are modulo-bounded functions of the id, so "
-            "per-doc cost is scale-independent)"
-        ),
-    }
-    exp["mm_jpeg_decode_stats"] = jpeg
-    exp["mm_jpeg_raster_moments"] = dict(jpeg)
     p_base = lsh_auto_planes(base["emb"])
     p_big = lsh_auto_planes(big["emb"])
     exp["dedup_lsh_recall_report"] = {
