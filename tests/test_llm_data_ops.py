@@ -660,6 +660,30 @@ def test_pq_topk_recall_and_plan(spark):
     assert recall >= 0.4, f"PQ recall collapsed: {recall}"
 
 
+def test_pq_topk_rebuild_is_memoized_and_identical(spark):
+    """ADVICE r9: pq_topk used to execute the Lloyd-training chain on
+    EVERY DataFrame build (plan-only consumers paid full execution).
+    The trained codebook + corpus count are now memoized per
+    (session, corpus plan, params): a rebuild must come from the memo
+    (fast, no training jobs) and return identical rows."""
+    import time
+
+    from hana_bq_beam_connector_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(emb["vec_id"] < 5)
+    first = sorted(map(tuple, pq_topk(queries, emb, k=3).collect()))
+    memo = getattr(spark, "_graft_pq_memo", None)
+    assert memo and any(k[0] == "pq_cb" for k in memo)
+    t0 = time.perf_counter()
+    rebuilt_df = pq_topk(queries, emb, k=3)
+    build_s = time.perf_counter() - t0
+    assert build_s < 2.0, f"rebuild ran the training chain: {build_s:.1f}s"
+    assert sorted(map(tuple, rebuilt_df.collect())) == first
+
+
 @pytest.mark.parametrize(
     "name,edges",
     [

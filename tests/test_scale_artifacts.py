@@ -81,6 +81,25 @@ def test_sf10_spot_rows_within_expected():
         assert row["expected_formula"], name
 
 
+def test_sf30_probe_rows_within_expected():
+    """The third-decade probe artifact: every row annotated, every
+    measured ratio within tolerance of its class formula."""
+    probe = os.path.join(REPO, "REGISTRY_sf30_probe.json")
+    if not os.path.exists(probe):
+        pytest.skip("no sf30 probe artifact in this checkout")
+    d = json.load(open(probe))
+    assert d.get("over_expected") == [], d.get("over_expected")
+    assert len(d["queries"]) >= 5
+    for name, row in d["queries"].items():
+        assert row.get("expected_ratio"), name
+        assert row["ratio"] is not None, name
+        assert row["ratio"] <= row["expected_ratio"] * TOLERANCE, (
+            name,
+            row["ratio"],
+            row["expected_ratio"],
+        )
+
+
 def test_expected_ratio_formulas_from_fixture_data():
     """When the gitignored scale fixtures exist, the derived numbers
     match the documented classes: embedding-LSH ≈ 10·12/9 = 13.33 per
