@@ -169,8 +169,17 @@ def _median_orchestrator(repeats: int) -> None:
             env=env,
             capture_output=True,
             text=True,
-            check=True,
         )
+        if proc.returncode != 0:
+            # Surface the child's diagnostics before dying — a bare
+            # CalledProcessError would discard the captured traceback
+            # (review r10).
+            sys.stderr.write(proc.stderr[-8000:])
+            sys.stderr.write(proc.stdout[-2000:])
+            raise SystemExit(
+                f"bench child run {i + 1}/{repeats} exited "
+                f"{proc.returncode}"
+            )
         runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
         print(
             f"run {i + 1}/{repeats}: {runs[-1]['value']}s",

@@ -379,6 +379,8 @@ def _sniff_image_header(data: bytes) -> tuple[str, int, int, int]:
                 raise ValueError("JPEG: marker desync")
             while pos + 1 < len(data) and data[pos + 1] == 0xFF:
                 pos += 1  # fill byte(s) before the marker code
+            if pos + 1 >= len(data):
+                break  # payload ends inside a fill-byte run
             marker = data[pos + 1]
             if marker == 0x01 or 0xD0 <= marker <= 0xD9:
                 if marker == 0xD9:
@@ -1582,7 +1584,7 @@ def _jpeg_canonical_codes_cached(
     return out
 
 
-@_functools.lru_cache(maxsize=64)
+@_functools.lru_cache(maxsize=8)
 def _jpeg_decode_lut(
     bits: tuple[int, ...], vals: tuple[int, ...]
 ) -> tuple[list[int], list[int]]:
@@ -1595,7 +1597,11 @@ def _jpeg_decode_lut(
     is ~3× faster than ndarray scalar access.  Memoized per table —
     the build is 2·65536 writes, amortized to zero across a corpus
     sharing tables (round 10: replaces the per-bit dict-probe walker
-    that dominated decode wall)."""
+    that dominated decode wall).  maxsize is small on purpose: each
+    entry pins ~3-4 MB of Python lists per worker process, and real
+    corpora with per-image optimized DHTs would otherwise grow the
+    cache toward 64×4 MB × n_workers; 8 entries still covers every
+    shared-table corpus (this suite ships exactly 2 tables)."""
     sym_lut = [0] * (1 << 16)
     len_lut = [0] * (1 << 16)
     for sym, (code, length) in _jpeg_canonical_codes_cached(
@@ -1932,7 +1938,11 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError(f"not a JPEG (SOI missing, got {data[:2]!r})")
     pos = 2
     qtables: dict[int, list[int]] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    # (table class, id) -> the raw (bits, vals) pair from DHT (the
+    # memoized LUT builder keys on it)
+    htables: dict[
+        tuple[int, int], tuple[tuple[int, ...], tuple[int, ...]]
+    ] = {}
     sof = None
     scan = None
     while pos < len(data):

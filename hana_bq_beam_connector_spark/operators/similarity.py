@@ -634,11 +634,20 @@ def _session_memo(df: DataFrame) -> dict:
 
 
 def _plan_memo_key(df: DataFrame):
-    """A memo key identifying ``df``'s analyzed plan (source paths,
-    projections — everything that could change the answer).  Returns
-    None when the plan is not introspectable (then: don't memoize)."""
+    """A memo key identifying ``df``'s analyzed plan AND the concrete
+    files backing it.  semanticHash alone is not enough: it hashes the
+    canonicalized plan, which survives an in-session overwrite of the
+    same path — the memo would then serve a codebook trained on
+    deleted data (review r10).  ``inputFiles()`` changes on overwrite
+    (parquet part files carry fresh UUID names), so the pair key
+    invalidates naturally; it also breaks most 32-bit semanticHash
+    collisions.  Returns None when the plan is not introspectable
+    (then: don't memoize)."""
     try:
-        return df._jdf.queryExecution().analyzed().semanticHash()
+        return (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            tuple(sorted(df.inputFiles())),
+        )
     except Exception:
         return None
 

@@ -332,6 +332,52 @@ def test_pgm_parser_rejects_malformed():
             pass
 
 
+def test_image_sniffer_jpeg_marker_walk_robust():
+    """T.81 B.1 marker-walk cases the round-9 advisory named, plus
+    the review-r10 crash: fill bytes and standalone markers are
+    skipped, a payload ending inside a fill run raises ValueError
+    (not IndexError), and SOS before SOF stops the walk loudly."""
+    import struct
+
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _sniff_image_header,
+    )
+
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8, 8, 3, 2, 1)
+    # fill bytes + standalone markers (TEM, RST0) before SOF
+    ok = b"\xff\xd8\xff\xff\xff\x01\xff\xd0" + sof
+    assert _sniff_image_header(ok) == ("image/jpeg", 2, 3, 1)
+    for bad in [
+        b"\xff\xd8\xff\xff",  # ends inside a fill run (was IndexError)
+        b"\xff\xd8\xff\xd9",  # EOI before any SOF
+        b"\xff\xd8\xff\xda\x00\x04\x01\x00",  # SOS before SOF
+        b"\xff\xd8\x00\x00",  # marker desync
+    ]:
+        try:
+            _sniff_image_header(bad)
+            raise AssertionError(f"sniffer accepted {bad!r}")
+        except ValueError:
+            pass
+
+
+def test_pq_memo_invalidates_on_overwrite(spark, tmp_path):
+    """Review r10: the PQ memo keys on (semanticHash, inputFiles), so
+    overwriting the same path IN-SESSION must retrain — not serve a
+    codebook trained on the deleted data."""
+    from hana_bq_beam_connector_spark.operators.similarity import (
+        _plan_memo_key,
+    )
+
+    p = str(tmp_path / "emb.parquet")
+    emb = load_table(spark, SF, "embeddings")
+    emb.where("vec_id < 200").write.mode("overwrite").parquet(p)
+    key1 = _plan_memo_key(spark.read.parquet(p))
+    emb.where("vec_id >= 200").write.mode("overwrite").parquet(p)
+    key2 = _plan_memo_key(spark.read.parquet(p))
+    assert key1 is not None and key2 is not None
+    assert key1 != key2, "memo key survived an in-session overwrite"
+
+
 def test_multimodal_frame_sample_shape(spark):
     """Real Y4M frame extraction: every 2nd TRUE frame index, with
     the exact 4:2:0 frame byte size (w·h + 2·(w/2)·(h/2))."""
@@ -664,10 +710,10 @@ def test_pq_topk_rebuild_is_memoized_and_identical(spark):
     """ADVICE r9: pq_topk used to execute the Lloyd-training chain on
     EVERY DataFrame build (plan-only consumers paid full execution).
     The trained codebook + corpus count are now memoized per
-    (session, corpus plan, params): a rebuild must come from the memo
-    (fast, no training jobs) and return identical rows."""
-    import time
-
+    (session, corpus plan + backing files, params): a rebuild must
+    run ZERO Spark jobs (asserted via the status tracker, not a
+    wall-clock bound — this box's ambient drift makes timing asserts
+    flaky) and return identical rows."""
     from hana_bq_beam_connector_spark.operators.similarity import (
         pq_topk,
     )
@@ -677,10 +723,14 @@ def test_pq_topk_rebuild_is_memoized_and_identical(spark):
     first = sorted(map(tuple, pq_topk(queries, emb, k=3).collect()))
     memo = getattr(spark, "_graft_pq_memo", None)
     assert memo and any(k[0] == "pq_cb" for k in memo)
-    t0 = time.perf_counter()
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = set(tracker.getJobIdsForGroup(None))
     rebuilt_df = pq_topk(queries, emb, k=3)
-    build_s = time.perf_counter() - t0
-    assert build_s < 2.0, f"rebuild ran the training chain: {build_s:.1f}s"
+    jobs_after = set(tracker.getJobIdsForGroup(None))
+    assert jobs_after == jobs_before, (
+        f"rebuild ran {len(jobs_after - jobs_before)} Spark job(s) — "
+        "the training chain executed instead of hitting the memo"
+    )
     assert sorted(map(tuple, rebuilt_df.collect())) == first
 
 
