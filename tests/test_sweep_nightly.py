@@ -63,6 +63,26 @@ def _time_noop(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _limit_for(name: str) -> tuple[float, str]:
+    """The gate for this query at this decade: the flat 12x limit,
+    or — for the documented complexity-class exceptions — the
+    formula-derived expected ratio x tolerance from
+    tools/expected_ratios.py (round 10: the auto-plane LSH class can
+    legitimately exceed 12x per decade; a flat gate would flake on
+    it whenever the weekly rotation lands there)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from expected_ratios import TOLERANCE, expected_ratios
+
+    ann = expected_ratios(BASE_DIR, BIG_DIR).get(name)
+    if ann and ann["expected_ratio"] * TOLERANCE > RATIO_LIMIT:
+        return (
+            ann["expected_ratio"] * TOLERANCE,
+            f"expected {ann['expected_ratio']} x {TOLERANCE} "
+            f"({ann['expected_formula']})",
+        )
+    return RATIO_LIMIT, "flat sweep limit"
+
+
 @pytest.mark.parametrize("name", _this_weeks_sample())
 def test_query_scales_to_sf1(spark, big_dir, name):
     fn = registry()[name].fn
@@ -74,8 +94,10 @@ def test_query_scales_to_sf1(spark, big_dir, name):
             "ratio-stability floor"
         )
     ratio = big_s / base_s
+    limit, why = _limit_for(name)
     print(f"\n{name}: sf0.1={base_s:.2f}s sf1={big_s:.2f}s x{ratio:.1f}")
-    assert ratio <= RATIO_LIMIT, (
+    assert ratio <= limit, (
         f"{name} took {ratio:.1f}x wall at 10x data "
-        f"(sf0.1={base_s:.2f}s, sf1={big_s:.2f}s) — super-linear plan?"
+        f"(sf0.1={base_s:.2f}s, sf1={big_s:.2f}s) over its gate "
+        f"[{why}] — super-linear plan?"
     )
