@@ -62,12 +62,35 @@ def _is_sort_order(c: Column) -> bool:
         for accessor in ("node", "expr"):  # Spark 4 / Spark 3 names
             try:
                 node = getattr(jc, accessor)()
+                # Unwrap Alias wrappers: .asc().alias('y') is
+                # Alias(SortOrder) and must still be rejected (review
+                # r10 — the guard otherwise passes and the job dies
+                # later with an opaque INTERNAL_ERROR), while a value
+                # expression under a hostile alias unwraps to a
+                # non-SortOrder and is correctly accepted.
+                for _ in range(8):
+                    if node.getClass().getSimpleName() != "Alias":
+                        break
+                    node = node.child()
                 return node.getClass().getSimpleName() == "SortOrder"
             except Exception:
                 continue
     expr = getattr(c, "_expr", None)
-    if type(expr).__name__ == "SortOrder":  # Spark Connect typed expr
-        return True
+    if expr is not None and type(expr).__module__.startswith(
+        "pyspark.sql.connect"
+    ):
+        # Spark Connect typed client-side expression: same unwrap,
+        # and TRUST the typed answer — falling through to the repr
+        # heuristic here would reintroduce the alias-text false
+        # positive on Connect (review r10).
+        node = expr
+        for _ in range(8):
+            if type(node).__name__ != "Alias":
+                break
+            node = getattr(node, "child", None) or getattr(
+                node, "_child", node
+            )
+        return type(node).__name__ == "SortOrder"
     r = repr(c)
     return " ASC NULLS" in r or " DESC NULLS" in r
 

@@ -397,6 +397,10 @@ def _sniff_image_header(data: bytes) -> tuple[str, int, int, int]:
                 0xC8,
                 0xCC,
             ):
+                if pos + 10 > len(data):
+                    raise ValueError(
+                        "JPEG: truncated inside the SOF segment"
+                    )
                 h, w, ncomp = struct.unpack(
                     ">HHB", data[pos + 5 : pos + 10]
                 )
@@ -1996,6 +2000,12 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 htables[(tc, th)] = (tuple(bits), tuple(vals))
                 b += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
+            # seglen is consistent with body above; the body must
+            # ALSO meet the marker's own minimum, or the unpack /
+            # indexing below raises struct.error/IndexError instead
+            # of the module's ValueError contract (review r10).
+            if len(body) < 9:
+                raise ValueError("truncated SOF0 segment body")
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -2011,10 +2021,14 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 f"non-baseline SOF marker 0xFF{marker:02X} unsupported"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment body")
             (interval,) = struct.unpack(">H", body[:2])
             if interval:
                 raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
+            if len(body) < 3:
+                raise ValueError("truncated SOS segment body")
             ns = body[0]
             if ns != 1:
                 raise ValueError("multi-component scan unsupported")

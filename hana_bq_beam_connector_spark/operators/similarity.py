@@ -621,16 +621,28 @@ def _l2sq_fold(a: str, b: str) -> str:
     )
 
 
+_PQ_MEMO_CAP = 64  # distinct (corpus, params) pairs per session
+
+
 def _session_memo(df: DataFrame) -> dict:
     """Per-SparkSession memo dict, stashed on the session object
     itself (lifecycle-tied, same pattern as plan_reset's checkpoint
-    guard: a new session starts clean, no stale id()-reuse hazard)."""
+    guard: a new session starts clean, no stale id()-reuse hazard).
+    Callers evict insertion-order-oldest entries past _PQ_MEMO_CAP
+    via :func:`_memo_put` — a long session sweeping many corpora
+    must not pin every trained codebook forever."""
     s = df.sparkSession
     memo = getattr(s, "_graft_pq_memo", None)
     if memo is None:
         memo = {}
         s._graft_pq_memo = memo
     return memo
+
+
+def _memo_put(memo: dict, key, value) -> None:
+    while len(memo) >= _PQ_MEMO_CAP:
+        memo.pop(next(iter(memo)))
+    memo[key] = value
 
 
 def _plan_memo_key(df: DataFrame):
@@ -641,12 +653,29 @@ def _plan_memo_key(df: DataFrame):
     deleted data (review r10).  ``inputFiles()`` changes on overwrite
     (parquet part files carry fresh UUID names), so the pair key
     invalidates naturally; it also breaks most 32-bit semanticHash
-    collisions.  Returns None when the plan is not introspectable
-    (then: don't memoize)."""
+    collisions.  The file list is DIGESTED (16-byte blake2b), not
+    embedded: a 100k-part corpus must not be sorted into every key
+    and pinned in the memo (review r10).  Returns None — don't
+    memoize — when the plan is not introspectable OR when it is not
+    file-backed (JDBC / catalog / local relations report no input
+    files, so overwrite-invalidation would silently not exist for
+    them; review r10).  A CACHED corpus also reports no input files
+    (InMemoryRelation) and is likewise not memoized — conservative,
+    and cheap: a cached corpus makes the training chain itself fast,
+    which is most of what the memo buys."""
+    import hashlib
+
     try:
+        files = sorted(df.inputFiles())
+        if not files:
+            return None
+        digest = hashlib.blake2b(
+            "\x00".join(files).encode(), digest_size=16
+        ).hexdigest()
         return (
             df._jdf.queryExecution().analyzed().semanticHash(),
-            tuple(sorted(df.inputFiles())),
+            len(files),
+            digest,
         )
     except Exception:
         return None
@@ -670,11 +699,13 @@ def pq_encode_codebook(
     refines the IVF seeds; the distributed shape is identical).
     Returns ``(cb_rows, codes)``:
 
-    * cb_rows: the TRAINED codebook as plain sorted (s, code,
-      cw list[float]) tuples — m·ks rows, KBs, collected once per
-      (session, corpus plan, params) and memoized (callers re-embed
-      it as a literal frame / closure, so no lineage back through
-      the training chain survives into consumer plans);
+    * cb_rows: the TRAINED codebook as an immutable sorted tuple of
+      (s, code, cw tuple[float]) rows — m·ks rows, KBs, collected
+      once per (session, corpus plan + backing files, params) and
+      memoized (callers re-embed it as a literal frame / closure, so
+      no lineage back through the training chain survives into
+      consumer plans; immutability means a caller cannot corrupt
+      later memoized builds);
     * codes: (id, s, code) — each vector's nearest codeword per
       subspace.  The argmin is a vectorized numpy scan inside
       ``mapInPandas`` over the broadcast-by-closure codebook — a
@@ -700,12 +731,18 @@ def pq_encode_codebook(
         )
     )
 
-    def _collect_cb(cb_df: DataFrame) -> list[tuple[int, int, list]]:
+    def _collect_cb(cb_df: DataFrame) -> tuple:
         """Materialize a codebook frame to sorted plain rows — the
-        ONE driver-side collect of the PQ chain (m·ks rows, KBs)."""
-        return sorted(
-            (int(r["s"]), int(r["code"]), list(r["cw"]))
-            for r in cb_df.select("s", "code", "cw").collect()
+        ONE driver-side collect of the PQ chain (m·ks rows, KBs).
+        Rows are IMMUTABLE tuples: the memo hands the same object to
+        every later build, so a caller mutating a returned row must
+        not be able to corrupt subsequent memoized builds (review
+        r10)."""
+        return tuple(
+            sorted(
+                (int(r["s"]), int(r["code"]), tuple(r["cw"]))
+                for r in cb_df.select("s", "code", "cw").collect()
+            )
         )
 
     def _assign(cb_rows: list, frame: DataFrame) -> DataFrame:
@@ -865,7 +902,7 @@ def pq_encode_codebook(
         # (the min over the surviving codebook is still total).
 
     if plan_key is not None:
-        memo[memo_key] = cb_rows
+        _memo_put(memo, memo_key, cb_rows)
     codes = _assign(cb_rows, corpus_u).select("__id", "s", "code")
     return cb_rows, codes
 
@@ -922,7 +959,7 @@ def pq_topk(
     else:
         n_corpus = corpus.count()
         if count_key[1] is not None:
-            memo[count_key] = n_corpus
+            _memo_put(memo, count_key, n_corpus)
     train_div = max(1, -(-n_corpus // 50_000))
     corpus_u = unit(
         spread(corpus.select(id_col, vec_col)), vec_col, "uv"
@@ -939,7 +976,7 @@ def pq_topk(
     # and the returned plan carries no lineage back through the
     # training chain — explain/audit of the result is pure planning.
     cb = corpus.sparkSession.createDataFrame(
-        cb_rows, "s int, code bigint, cw array<double>"
+        list(cb_rows), "s int, code bigint, cw array<double>"
     )
     lut = (
         queries_u.select(

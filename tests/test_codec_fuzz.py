@@ -271,6 +271,30 @@ def test_jpeg_truncation_always_raises(nbx, nby, off, from_end, vals):
         _parse_jpeg(enc[:cut])
 
 
+def test_jpeg_consistent_but_short_seglens_raise_valueerror():
+    """Review r10: a segment length that is internally consistent
+    (body slice matches seglen-2) but below the marker's own minimum
+    must raise the module's documented ValueError — not struct.error
+    or IndexError from the field unpack (SOF0 seglen=3 passed the
+    consistency check and crashed the old parse with struct.error)."""
+    import struct
+
+    import pytest
+
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _jpeg_encode_raster,
+        _parse_jpeg,
+    )
+
+    enc = _jpeg_encode_raster(8, 8, bytes(64))
+    for marker, short_len in [(b"\xff\xc0", 3), (b"\xff\xda", 2)]:
+        pos = enc.index(marker)
+        bad = bytearray(enc)
+        bad[pos + 2 : pos + 4] = struct.pack(">H", short_len)
+        with pytest.raises(ValueError):
+            _parse_jpeg(bytes(bad))
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     st.integers(min_value=1, max_value=2),

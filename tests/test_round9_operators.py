@@ -116,6 +116,11 @@ def test_keep_first_by_key_rejects_sortorder(spark):
     hostile = F.col("o").alias("x ASC NULLS FIRST")
     out = keep_first_by_key(df, ["k"], [hostile])
     assert out.collect()[0].payload == "x"
+    # …and an Alias-WRAPPED SortOrder must still be rejected (review
+    # r10: introspection has to unwrap Alias, or .asc().alias() slips
+    # through the guard and dies later with an opaque INTERNAL_ERROR)
+    with pytest.raises(ValueError, match="SortOrder"):
+        keep_first_by_key(df, ["k"], [F.col("o").asc().alias("y")])
 
 
 def test_bigram_lm_score_semantics(spark, tmp_path):
