@@ -43,6 +43,14 @@ def _driver_verified_names() -> set[str]:
     self-maintaining: every round, the 50 rotated-forward names get
     recorded, and the next round rotates the next never-sampled 50
     forward.
+
+    Only names with a GREEN row count as verified: a name whose row
+    errored or mismatched (round 10: ``text_inverted_index``,
+    ``hash_match: null`` + ``err``) must re-enter the head-50 after
+    its fix, or the driver would never re-check it.  A row is green
+    when ``hash_match`` is true, or — for rows-only checks where the
+    driver records no hash — when it has no error and ``rows_match``
+    is true.
     """
     import glob
     import json
@@ -52,9 +60,19 @@ def _driver_verified_names() -> set[str]:
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
             with open(path) as fh:
-                seen.update(json.load(fh))
+                rows = json.load(fh)
         except Exception:
             continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = row.get("hash_match") is True or (
+                row.get("hash_match") is None
+                and row.get("rows_match") is True
+                and not row.get("err")
+            )
+            if green:
+                seen.add(name)
     return seen
 
 

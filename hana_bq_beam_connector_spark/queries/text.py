@@ -422,8 +422,9 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     top AS (SELECT * FROM stats ORDER BY df DESC, term LIMIT 20)
     SELECT t.term, t.df, t.tf,
-           list_slice(list_sort(list(DISTINCT x.doc_id)), 1, 5)
-             AS sample_postings
+           array_to_string(
+             list_slice(list_sort(list(DISTINCT x.doc_id)), 1, 5), ','
+           ) AS sample_postings
     FROM top t JOIN toks x USING (term)
     GROUP BY t.term, t.df, t.tf
     """,
@@ -436,7 +437,11 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "full posting array per term during the stats pass would hold "
     "unbounded per-key state exactly on the skewed (stopword) keys; "
     "df/tf instead partial-aggregate map-side, so hot terms cost "
-    "O(#partitions), not O(#occurrences), through the exchange.",
+    "O(#partitions), not O(#occurrences), through the exchange.  "
+    "The posting sample is emitted as a comma-joined STRING (sorted "
+    "numerically before the join) — the driver's pandas canonicalizer "
+    "cannot hash list-valued cells, and the registry guarantees "
+    "flat-typed outputs (see tests/test_registry_schemas.py).",
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -452,9 +457,13 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(F.broadcast(top.select("term")), "term")
         .groupBy("term")
         .agg(
-            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5).alias(
-                "sample_postings"
-            )
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("sample_postings")
         )
     )
     return top.join(postings, "term")
