@@ -82,14 +82,20 @@ def _is_sort_order(c: Column) -> bool:
         # Spark Connect typed client-side expression: same unwrap,
         # and TRUST the typed answer — falling through to the repr
         # heuristic here would reintroduce the alias-text false
-        # positive on Connect (review r10).
+        # positive on Connect (review r10).  Connect's alias class is
+        # named ColumnAlias (child in ``_child``), not Alias (ADVICE
+        # r10 — matching only "Alias" skipped the unwrap and let
+        # col.asc().alias('y') through the guard).
         node = expr
         for _ in range(8):
-            if type(node).__name__ != "Alias":
+            if type(node).__name__ not in ("Alias", "ColumnAlias"):
                 break
-            node = getattr(node, "child", None) or getattr(
-                node, "_child", node
+            child = getattr(node, "_child", None) or getattr(
+                node, "child", None
             )
+            if child is None or child is node:
+                break
+            node = child
         return type(node).__name__ == "SortOrder"
     r = repr(c)
     return " ASC NULLS" in r or " DESC NULLS" in r

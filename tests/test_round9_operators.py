@@ -123,6 +123,40 @@ def test_keep_first_by_key_rejects_sortorder(spark):
         keep_first_by_key(df, ["k"], [F.col("o").asc().alias("y")])
 
 
+def test_is_sort_order_connect_columnalias_unwrap():
+    """ADVICE r10: Spark Connect's alias expression class is named
+    ColumnAlias (child in ``_child``), not Alias — the Connect branch
+    of _is_sort_order must unwrap it, or .asc().alias('y') slips
+    through keep_first_by_key's guard on Connect.  No Connect server
+    in this container, so exercise the branch with synthetic
+    expression objects carrying Connect-shaped module/class names."""
+    from hana_bq_beam_connector_spark.operators.dedup import _is_sort_order
+
+    mod = "pyspark.sql.connect.expressions"
+    SortOrder = type("SortOrder", (), {"__module__": mod})
+    ColumnAlias = type("ColumnAlias", (), {"__module__": mod})
+    ColRef = type("ColumnReference", (), {"__module__": mod})
+
+    def fake_col(expr):
+        c = type("FakeConnectColumn", (), {})()
+        c._jc = None
+        c._expr = expr
+        return c
+
+    def aliased(child):
+        a = ColumnAlias()
+        a._child = child
+        return a
+
+    assert _is_sort_order(fake_col(SortOrder())) is True
+    assert _is_sort_order(fake_col(aliased(SortOrder()))) is True
+    assert _is_sort_order(fake_col(aliased(aliased(SortOrder())))) is True
+    assert _is_sort_order(fake_col(ColRef())) is False
+    assert _is_sort_order(fake_col(aliased(ColRef()))) is False
+    # childless alias (shouldn't happen, but must not loop/throw)
+    assert _is_sort_order(fake_col(ColumnAlias())) is False
+
+
 def test_bigram_lm_score_semantics(spark, tmp_path):
     """Hand-computed check of the corpus bigram LM: with corpus
     {"a b", "a b", "a c"}, p(b|a) = 2/3 and p(c|a) = 1/3, so the two
