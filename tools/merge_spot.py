@@ -95,11 +95,26 @@ def main() -> int:
         meta = d
         rows.update(d["queries"])
     limit = meta["ratio_limit"]
-    from expected_ratios import check_rows, expected_ratios
-
-    over_expected = check_rows(
-        rows, expected_ratios(meta["base_sf_dir"], meta["big_sf_dir"])
-    )
+    # Annotation needs duckdb + the (gitignored) scale fixture parquet
+    # recorded in the artifact.  On a checkout without them the merge
+    # itself must still work (ADVICE r10: it crashed) — skip the
+    # annotation step and say so in the artifact instead.
+    fixture_dirs = (meta["base_sf_dir"], meta["big_sf_dir"])
+    missing = [d for d in fixture_dirs if not os.path.isdir(d)]
+    if missing:
+        over_expected = (
+            f"not computed: scale fixtures absent ({', '.join(missing)}) "
+            "— regenerate via tools/make_sf1.py and re-run the merge"
+        )
+    else:
+        try:
+            from expected_ratios import check_rows, expected_ratios
+        except ImportError as e:
+            over_expected = f"not computed: expected_ratios unavailable ({e})"
+        else:
+            over_expected = check_rows(
+                rows, expected_ratios(*fixture_dirs)
+            )
     over = {
         k: v["ratio"]
         for k, v in rows.items()
