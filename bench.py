@@ -148,6 +148,43 @@ HEADLINE = [
 ]
 
 
+def _emit(record: dict) -> None:
+    """Print the full contract JSON line, then a compact trailer line.
+
+    The driver stores only the LAST ~2000 characters of stdout in
+    BENCH_r{N}.json, so the full line (113 query names ≈ 3.7 kB) loses
+    its head and only the last ~58 timings survive (verdict r10 #6).
+    The trailer carries EVERY timing in under ~1 kB by dropping the
+    names: ``qv`` is the value list ordered by SORTED query name, and
+    ``qk`` is blake2b("\\n".join(sorted(names)))[:12] so a reader can
+    confirm which name set the values bind to.  Reconstruct with::
+
+        names = sorted(full_line["queries"])        # or bench.HEADLINE
+        dict(zip(names, trailer["qv"]))
+
+    Both lines are valid standalone JSON; the trailer repeats the
+    headline metric/value/unit/sf so a tail-only artifact is complete.
+    """
+    import hashlib
+
+    print(json.dumps(record))
+    names = sorted(record["queries"])
+    qk = hashlib.blake2b(
+        "\n".join(names).encode(), digest_size=6
+    ).hexdigest()
+    trailer = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "sf": record["sf"],
+        "n_queries": len(names),
+        "qk": qk,
+        "qv_order": "values by sorted(query name) of the full line above",
+        "qv": [record["queries"][n] for n in names],
+    }
+    print(json.dumps(trailer, separators=(",", ":")))
+
+
 def _median_orchestrator(repeats: int) -> None:
     """Median-of-N protocol (round-10, verdict-r9 ask #4): ambient
     wall drift on this box is 1.5-2× between same-code runs, which
@@ -180,21 +217,45 @@ def _median_orchestrator(repeats: int) -> None:
                 f"bench child run {i + 1}/{repeats} exited "
                 f"{proc.returncode}"
             )
-        runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+        # The child prints the full record line THEN the compact
+        # trailer (_emit); take the last line whose "queries" is the
+        # full name→timing dict.
+        full = next(
+            rec
+            for line in reversed(proc.stdout.strip().splitlines())
+            for rec in [json.loads(line)]
+            if isinstance(rec.get("queries"), dict)
+        )
+        runs.append(full)
         print(
             f"run {i + 1}/{repeats}: {runs[-1]['value']}s",
             file=sys.stderr,
             flush=True,
         )
+    # Union of keys across runs (ADVICE r10: indexing runs[0]'s key
+    # set raised KeyError if a later run recorded a different set),
+    # and a query that fails in only SOME runs publishes the median
+    # of its successes WITH a flaky annotation instead of silently
+    # becoming a failure string.
     med: dict[str, object] = {}
-    for q in runs[0]["queries"]:
-        vals = [r["queries"][q] for r in runs]
+    flaky: dict[str, object] = {}
+    all_queries = sorted({q for r in runs for q in r["queries"]})
+    for q in all_queries:
+        vals = [r["queries"].get(q) for r in runs]
         floats = [v for v in vals if isinstance(v, (int, float))]
-        med[q] = (
-            round(statistics.median(floats), 3)
-            if len(floats) == len(vals)
-            else next(v for v in vals if isinstance(v, str))
-        )
+        if floats:
+            med[q] = round(statistics.median(floats), 3)
+            if len(floats) != len(vals):
+                flaky[q] = {
+                    "ok_runs": len(floats),
+                    "total_runs": len(vals),
+                    "failures": [v for v in vals if isinstance(v, str)],
+                    "missing_runs": vals.count(None),
+                }
+        else:
+            med[q] = next(
+                (v for v in vals if isinstance(v, str)), "FAIL:missing"
+            )
     out = dict(runs[0])
     out["queries"] = med
     out["value"] = round(
@@ -206,7 +267,9 @@ def _median_orchestrator(repeats: int) -> None:
         "mode": f"per-query median of {repeats} fresh-process runs",
         "run_totals": [r["value"] for r in runs],
     }
-    print(json.dumps(out))
+    if flaky:
+        out["protocol"]["flaky_queries"] = flaky
+    _emit(out)
 
 
 def main() -> None:
@@ -275,25 +338,23 @@ def main() -> None:
         spark.catalog.clearCache()
         release_session_pins()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": round(
-                    sum(v for v in timings.values() if isinstance(v, float)),
-                    3,
-                ),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "protocol": {
-                    "repeats": 1,
-                    "mode": "single fresh-process run",
-                    "master": f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
-                    "n_queries": len(timings),
-                },
-            }
-        )
+    _emit(
+        {
+            "metric": "headline_queries_wall_clock",
+            "value": round(
+                sum(v for v in timings.values() if isinstance(v, float)),
+                3,
+            ),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "protocol": {
+                "repeats": 1,
+                "mode": "single fresh-process run",
+                "master": f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+                "n_queries": len(timings),
+            },
+        }
     )
 
 
