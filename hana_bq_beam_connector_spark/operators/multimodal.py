@@ -741,8 +741,27 @@ def raster_moments(media: DataFrame, parse=_parse_pgm) -> DataFrame:
 
         for pdf in batches:
             rows = {k.name: [] for k in _MOMENTS_SCHEMA.fields}
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                a = _raster_array(bytes(payload), parse).ravel()
+            # JPEG decodes share one batched numpy IDCT pass (round
+            # 11) — same rasters, one einsum per Arrow batch instead
+            # of one per image; other codecs stay per-image (their
+            # decode has no heavy data-parallel tail to batch).
+            if parse is _parse_jpeg:
+                rasters = [
+                    r.astype(np.int64)
+                    for r in _jpeg_rasters_batch(
+                        [bytes(p) for p in pdf["payload"]]
+                    )
+                ]
+            else:
+                rasters = None
+            for idx, (media_id, payload) in enumerate(
+                zip(pdf["media_id"], pdf["payload"])
+            ):
+                a = (
+                    rasters[idx]
+                    if rasters is not None
+                    else _raster_array(bytes(payload), parse)
+                ).ravel()
                 counts = np.bincount(a >> 6, minlength=4)
                 rows["media_id"].append(media_id)
                 rows["n_pixels"].append(int(a.size))
@@ -1694,14 +1713,27 @@ def _jpeg_encode_raster(w: int, h: int, raster: bytes) -> bytes:
     ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
 
-    # Batch the FDCT: all blocks of the image through ONE einsum
-    # (identical arithmetic to per-block m @ P @ m.T).
+    # Batch the FDCT: all blocks of the image through TWO stacked
+    # GEMMs — m @ P @ m.T per block, spelled as (B·8, 8) @ (8, 8)
+    # matmuls (round 11: the 3-operand einsum ran c_einsum's naive
+    # quadruple loop, the top encode cost; same arithmetic,
+    # BLAS-ordered accumulation, exact on the block-constant fixture
+    # and inside the fuzz-gated loss envelope elsewhere).
     nby, nbx = h // 8, w // 8
+    nb = nby * nbx
     blocks = (
         img.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).astype(np.float64)
         - 128.0
     )
-    coefs = np.einsum("ur,byrc,vc->byuv", m, blocks, m)
+    # t[b] = P_b @ m.T  (contract over c):
+    t = (blocks.reshape(-1, 8) @ m.T).reshape(nb, 8, 8)  # (b, r, v)
+    # coefs[b] = m @ P_b @ m.T = (t[b].T @ m.T).T  (contract over r):
+    coefs = (
+        (np.ascontiguousarray(t.swapaxes(1, 2)).reshape(-1, 8) @ m.T)
+        .reshape(nb, 8, 8)
+        .swapaxes(1, 2)
+        .reshape(nby, nbx, 8, 8)
+    )  # (by, bx, u, v)
     quant = np.rint(
         coefs / np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
     ).astype(int)
@@ -1810,133 +1842,70 @@ def synthesize_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ).withColumn("byte_len", F.octet_length("payload").cast("long"))
 
 
-class _JpegBitReader:
-    """Entropy-segment bit reader: un-stuffs 0xFF 0x00, refuses
-    markers mid-stream (no restart-interval support here).  Bits
-    accumulate in one Python int; reads drain it in bulk."""
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
-
-    def _fill(self, k: int) -> None:
-        while self.n < k:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy stream truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("JPEG entropy stream truncated")
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1
-                else:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{nxt:02X} in entropy data"
-                    )
-            self.acc = (self.acc << 8) | b
-            self.n += 8
-
-    def bit(self) -> int:
-        self._fill(1)
-        self.n -= 1
-        v = (self.acc >> self.n) & 1
-        self.acc &= (1 << self.n) - 1
-        return v
-
-    def peek16(self) -> int:
-        """The next 16 bits WITHOUT consuming, zero-padded past the
-        end of the entropy data (a terminating marker or EOF stops
-        the fill without raising and without consuming the marker —
-        the LUT decoder checks the selected code's length against
-        ``n`` and reports the end through :meth:`end_error`)."""
-        data, n = self.data, self.n
-        while n < 16:
-            p = self.pos
-            if p >= len(data):
-                break
-            b = data[p]
-            if b == 0xFF:
-                if p + 1 >= len(data) or data[p + 1] != 0x00:
-                    break  # marker (or EOF mid-stuff): end of entropy
-                self.pos = p + 2
-            else:
-                self.pos = p + 1
-            self.acc = (self.acc << 8) | b
-            n += 8
-        self.n = n
-        if n >= 16:
-            return (self.acc >> (n - 16)) & 0xFFFF
-        return (self.acc << (16 - n)) & 0xFFFF
-
-    def end_error(self) -> ValueError:
-        """The error _fill would have raised at this stream end."""
-        p = self.pos
-        if p < len(self.data) and self.data[p] == 0xFF and p + 1 < len(
-            self.data
-        ):
-            return ValueError(
-                f"unexpected marker 0xFF{self.data[p + 1]:02X} "
-                "in entropy data"
-            )
-        return ValueError("JPEG entropy stream truncated")
-
-    def bits(self, k: int) -> int:
-        if k == 0:
-            return 0
-        self._fill(k)
-        self.n -= k
-        v = (self.acc >> self.n) & ((1 << k) - 1)
-        self.acc &= (1 << self.n) - 1
-        return v
+def _jpeg_unstuff_entropy(
+    data: bytes, pos: int
+) -> tuple[bytes, int, int | None]:
+    """Un-stuff the entropy-coded segment starting at ``pos`` in ONE
+    pass (round 11): C-speed ``bytes.find`` hops between 0xFF bytes,
+    so the per-byte Python loop of the old incremental reader is gone
+    entirely.  Returns ``(unstuffed, term, term_marker)`` where
+    ``term`` is the original-stream index of the terminating 0xFF (or
+    ``len(data)`` on clean EOF) and ``term_marker`` is the marker
+    byte after it — ``None`` when the stream ends at EOF or mid-stuff
+    (both of which the reader contract reports as truncation)."""
+    buf = bytearray()
+    n = len(data)
+    p = pos
+    while True:
+        i = data.find(b"\xff", p)
+        if i == -1:
+            buf += data[p:]
+            return bytes(buf), n, None
+        buf += data[p:i]
+        if i + 1 >= n:  # 0xFF then EOF: mid-stuff truncation
+            return bytes(buf), i, None
+        if data[i + 1] == 0x00:
+            buf.append(0xFF)
+            p = i + 2
+        else:
+            return bytes(buf), i, data[i + 1]
 
 
-def _jpeg_decode_symbol(
-    reader: _JpegBitReader,
-    sym_lut: list[int],
-    len_lut: list[int],
-) -> int:
-    """Table-driven symbol decode (round 10): one 16-bit peek + one
-    list index replaces the former per-bit dict-probe walk (which
-    dominated decode wall).  Identical selection: every 16-bit window
-    sharing a valid code's prefix maps to that code in the LUT, and a
-    zero-length hit is exactly the prefixes no code owns."""
-    window = reader.peek16()
-    length = len_lut[window]
-    if length == 0:
-        raise ValueError(
-            "invalid JPEG Huffman code (no match in 16 bits)"
-        )
-    if length > reader.n:
-        raise reader.end_error()
-    reader.n -= length
-    reader.acc &= (1 << reader.n) - 1
-    return sym_lut[window]
-
-
-def _jpeg_extend(v: int, size: int) -> int:
-    """EXTEND (T.81 F.2.2.1): map `size` amplitude bits to the signed
-    coefficient value."""
-    if size == 0:
-        return 0
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-
-def _parse_jpeg(data: bytes) -> tuple[int, int, bytes]:
-    """General baseline sequential JFIF decode of a single-component
-    (grayscale) image: marker walk, DQT/DHT/SOF0/SOS parsing with
-    canonical Huffman reconstruction, entropy decode (DC diff +
-    EXTEND, AC run/size with ZRL/EOB), dequantize, de-zigzag, float
-    IDCT, level shift and clamp.  Returns (width, height, raster).
-    Raises ValueError on any malformation or on features outside
-    baseline-gray (progressive SOF, multi-component scans, restart
-    intervals, non-8-aligned dims)."""
-    import struct
-
+def _jpeg_u32_windows(ent: bytes) -> list[int]:
+    """Sliding 32-bit big-endian windows over the un-stuffed entropy
+    bytes: ``u32[i]`` holds bits ``[8i, 8i+32)``, zero-padded past
+    the end (the old ``peek16`` zero-padded the same way).  Any
+    16-bit lookahead at bit position ``bp`` is then one list index +
+    shift + mask — ``(u32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF`` —
+    and any ≤16-bit amplitude read is the same with a different
+    shift; no incremental fill, no arbitrary-precision accumulator.
+    A Python list, not an ndarray: the consumer indexes scalars in a
+    tight loop, where list access is ~3× faster."""
     import numpy as np
+
+    a = np.frombuffer(ent + b"\x00" * 6, dtype=np.uint8).astype(np.uint32)
+    return ((a[:-3] << 24) | (a[1:-2] << 16) | (a[2:-1] << 8) | a[3:]).tolist()
+
+
+def _jpeg_header_and_blocks(
+    data: bytes,
+) -> tuple[int, int, list[int], tuple[int, ...]]:
+    """The sequential half of baseline JFIF decode: marker walk,
+    DQT/DHT/SOF0/SOS parsing with canonical Huffman reconstruction,
+    entropy decode (DC diff + EXTEND, AC run/size with ZRL/EOB) and
+    the EOI check.  Returns ``(width, height, zigzag_coefs,
+    quant_table)`` where ``zigzag_coefs`` is one flat list (block
+    ``b``'s zigzag index ``k`` at ``b*64 + k``) — everything
+    image-order-dependent; the
+    embarrassingly-parallel remainder (de-zigzag, dequantize, IDCT,
+    level shift) lives in :func:`_jpeg_pixel_blocks_batch` so a whole
+    Arrow batch of images shares ONE numpy pass (round 11: the
+    per-image einsum launch + ndarray setup dominated fixture-corpus
+    decode wall, ~0.16 of 0.27 ms/image).  Raises ValueError on any
+    malformation or on features outside baseline-gray (progressive
+    SOF, multi-component scans, restart intervals, non-8-aligned
+    dims)."""
+    import struct
 
     if data[:2] != b"\xff\xd8":
         raise ValueError(f"not a JPEG (SOI missing, got {data[:2]!r})")
@@ -2048,27 +2017,66 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, bytes]:
     td, ta, entropy_pos = scan
     if (0, td) not in htables or (1, ta) not in htables:
         raise ValueError("scan references undefined Huffman tables")
-    qt = np.array(qtables[tq], dtype=np.float64).reshape(8, 8)
     dc_sym, dc_len = _jpeg_decode_lut(*htables[(0, td)])
     ac_sym, ac_len = _jpeg_decode_lut(*htables[(1, ta)])
-    m = _jpeg_dct_matrix()
-    reader = _JpegBitReader(data, entropy_pos)
     nby, nbx = h // 8, w // 8
     # Entropy decode is inherently sequential (bit-level, DC chained);
     # the IDCT is not — collect every block's zigzag coefficients,
     # de-zigzag ALL blocks with one permutation, then ONE batched
     # einsum (same arithmetic as the per-block m.T @ S @ m).
-    zz_blocks: list[list[int]] = []
+    #
+    # Round 11: the bitstream is un-stuffed ONCE and exposed as
+    # precomputed 32-bit windows (_jpeg_u32_windows), so every symbol
+    # is `one list index + shift + LUT probe` on small ints — the
+    # round-10 incremental reader's per-fill big-int accumulator
+    # churn was the residual 32-worker contention source (allocator
+    # pressure), measured 12.29×/12.84× vs the 12.0 sf1→sf10 gate.
+    ent, term, term_marker = _jpeg_unstuff_entropy(data, entropy_pos)
+    real_bits = 8 * len(ent)
+    u32 = _jpeg_u32_windows(ent)
+
+    def _end_error() -> ValueError:
+        """The error the incremental reader raised at stream end."""
+        if term_marker is not None:
+            return ValueError(
+                f"unexpected marker 0xFF{term_marker:02X} in entropy data"
+            )
+        return ValueError("JPEG entropy stream truncated")
+
+    # One flat per-image coefficient buffer (block b's zigzag index k
+    # lives at b*64+k): no per-block list objects, and the batch
+    # finisher's ndarray build runs over flat lists.
+    zz_flat = [0] * (nby * nbx * 64)
     pred = 0
-    for _ in range(nby * nbx):
-        zz = [0] * 64
-        cat = _jpeg_decode_symbol(reader, dc_sym, dc_len)
-        diff = _jpeg_extend(reader.bits(cat), cat) if cat else 0
-        pred += diff
-        zz[0] = pred
+    bp = 0  # bit position in the un-stuffed stream
+    for base in range(0, nby * nbx * 64, 64):
+        wdw = (u32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF
+        length = dc_len[wdw]
+        if length == 0:
+            raise ValueError("invalid JPEG Huffman code (no match in 16 bits)")
+        if bp + length > real_bits:
+            raise _end_error()
+        bp += length
+        cat = dc_sym[wdw]
+        if cat:
+            if bp + cat > real_bits:
+                raise _end_error()
+            v = (u32[bp >> 3] >> (32 - (bp & 7) - cat)) & ((1 << cat) - 1)
+            bp += cat
+            pred += v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+        zz_flat[base] = pred
         k = 1
         while k < 64:
-            sym = _jpeg_decode_symbol(reader, ac_sym, ac_len)
+            wdw = (u32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF
+            length = ac_len[wdw]
+            if length == 0:
+                raise ValueError(
+                    "invalid JPEG Huffman code (no match in 16 bits)"
+                )
+            if bp + length > real_bits:
+                raise _end_error()
+            bp += length
+            sym = ac_sym[wdw]
             if sym == 0x00:  # EOB
                 break
             if sym == 0xF0:  # ZRL
@@ -2082,28 +2090,116 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, bytes]:
             k += run
             if k > 63 or size == 0:
                 raise ValueError("AC coefficient index out of range")
-            zz[k] = _jpeg_extend(reader.bits(size), size)
+            if bp + size > real_bits:
+                raise _end_error()
+            v = (u32[bp >> 3] >> (32 - (bp & 7) - size)) & ((1 << size) - 1)
+            bp += size
+            zz_flat[base + k] = (
+                v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+            )
             k += 1
-        zz_blocks.append(zz)
-    # natural-order flat index r*8+c holds zigzag position inv[r*8+c]
-    coefs = (
-        np.array(zz_blocks, dtype=np.float64)[:, _JPEG_ZZ_INV]
-        .reshape(nby, nbx, 8, 8)
-    )
-    px = np.einsum("ur,byuv,vc->byrc", m, coefs * qt, m)
-    img = (
-        np.clip(np.rint(px + 128.0), 0, 255)
-        .astype(np.uint8)
-        .transpose(0, 2, 1, 3)
-        .reshape(h, w)
-    )
     # The stream must close with EOI right after the (byte-aligned,
-    # 1-padded) entropy data; reader.pos may sit on the final padded
-    # byte or just past it, so EOI must appear within the next 4
-    # bytes.
-    if b"\xff\xd9" not in data[reader.pos : reader.pos + 4]:
+    # 1-padded) entropy data: at most 7 padding bits may remain
+    # unconsumed, and the terminating marker must be (or be
+    # immediately followed by) EOI — same posture as the old reader's
+    # pos-window check, slightly stricter on leftover whole bytes
+    # (which only a corrupt stream produces; loud rejection is the
+    # documented outcome there).
+    if real_bits - bp >= 8 or b"\xff\xd9" not in data[term : term + 4]:
         raise ValueError("JPEG missing EOI after entropy data")
-    return w, h, img.tobytes()
+    return w, h, zz_flat, tuple(qtables[tq])
+
+
+@_functools.lru_cache(maxsize=16)
+def _jpeg_qt_row(qt_nat: tuple[int, ...]) -> "object":
+    """Natural-order quant table as a read-only float64 row (cached —
+    a corpus typically ships one table)."""
+    import numpy as np
+
+    row = np.array(qt_nat, dtype=np.float64)
+    row.flags.writeable = False
+    return row
+
+
+def _jpeg_pixel_blocks_batch(
+    parsed: list[tuple[int, int, list[int], tuple[int, ...]]],
+) -> tuple["object", list[int]]:
+    """The data-parallel half of JFIF decode, over MANY images at
+    once: one ndarray build, one de-zigzag fancy-index, one
+    dequantize multiply, two batched GEMMs for the IDCT and one
+    rint/clip/cast for every block of every image in ``parsed`` (the
+    output of :func:`_jpeg_header_and_blocks` per image).  The IDCT
+    is ``m.T @ S @ m`` spelled as two (B·8, 8) @ (8, 8) matmuls —
+    the former 3-operand einsum ran c_einsum's naive quadruple loop
+    (~30 ms per 2,700 blocks; the matmuls do the same 11 MFLOP in
+    ~1 ms).  Same arithmetic, BLAS-ordered accumulation: exact on
+    DC-only blocks (the oracle corpus) and inside the documented
+    loss envelope everywhere (fuzz-gated).  Returns ``(blocks_u8,
+    offsets)``: ``blocks_u8[offsets[i]:offsets[i+1]]`` are image
+    ``i``'s 8×8 pixel blocks in row-major block order."""
+    import itertools
+
+    import numpy as np
+
+    m = _jpeg_dct_matrix()
+    offsets = [0]
+    for _, _, zzf, _ in parsed:
+        offsets.append(offsets[-1] + len(zzf) // 64)
+    total = offsets[-1]
+    all_zz = np.fromiter(
+        itertools.chain.from_iterable(p[2] for p in parsed),
+        dtype=np.float64,
+        count=total * 64,
+    ).reshape(total, 64)
+    qt_all = np.repeat(
+        np.vstack([_jpeg_qt_row(qt) for _, _, _, qt in parsed]),
+        np.diff(offsets),
+        axis=0,
+    )
+    # natural-order flat index r*8+c holds zigzag position inv[r*8+c]
+    coefs = all_zz[:, _JPEG_ZZ_INV] * qt_all  # (B, 64), rows u-major
+    # a[b] = S_b @ m  (contract over v):
+    a = (coefs.reshape(-1, 8) @ m).reshape(total, 8, 8)  # (b, u, c)
+    # p[b] = m.T @ S_b @ m = (a[b].T @ m).T  (contract over u):
+    d = (
+        np.ascontiguousarray(a.swapaxes(1, 2)).reshape(-1, 8) @ m
+    ).reshape(total, 8, 8)  # (b, c, r)
+    px = d.swapaxes(1, 2)  # (b, r, c)
+    blocks_u8 = np.clip(np.rint(px + 128.0), 0, 255).astype(np.uint8)
+    return blocks_u8, offsets
+
+
+def _jpeg_assemble_raster(blocks_u8, w: int, h: int) -> "object":
+    """(nblocks, 8, 8) pixel blocks → (h, w) raster."""
+    nby, nbx = h // 8, w // 8
+    return (
+        blocks_u8.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    )
+
+
+def _parse_jpeg(data: bytes) -> tuple[int, int, bytes]:
+    """General baseline sequential JFIF decode of a single-component
+    (grayscale) image — the single-image composition of
+    :func:`_jpeg_header_and_blocks` and
+    :func:`_jpeg_pixel_blocks_batch`.  Returns (width, height,
+    raster); raises ValueError on any malformation."""
+    w, h, zzs, qt = _jpeg_header_and_blocks(data)
+    blocks_u8, _ = _jpeg_pixel_blocks_batch([(w, h, zzs, qt)])
+    return w, h, _jpeg_assemble_raster(blocks_u8, w, h).tobytes()
+
+
+def _jpeg_rasters_batch(payloads: list[bytes]) -> list["object"]:
+    """Decode MANY JFIF payloads sharing one numpy IDCT pass; returns
+    per-image (h, w) uint8 rasters.  The batch-aware twin of calling
+    :func:`_parse_jpeg` per image (identical bytes, one einsum)."""
+    parsed = [_jpeg_header_and_blocks(p) for p in payloads]
+    if not parsed:
+        return []
+    blocks_u8, off = _jpeg_pixel_blocks_batch(parsed)
+    return [
+        _jpeg_assemble_raster(blocks_u8[off[i] : off[i + 1]], w, h)
+        for i, (w, h, _, _) in enumerate(parsed)
+    ]
 
 
 def decode_jpeg(media: DataFrame) -> DataFrame:
@@ -2118,15 +2214,26 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k.name: [] for k in _JPEG_STATS_SCHEMA.fields}
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, raster = _parse_jpeg(bytes(payload))
-                rows["media_id"].append(media_id)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["n_pixels"].append(len(raster))
-                rows["px_sum"].append(sum(raster))
-                rows["px_min"].append(min(raster))
-                rows["px_max"].append(max(raster))
+            # Sequential halves per image, then ONE numpy IDCT pass
+            # for the whole Arrow batch (round 11); the stats are
+            # block-order-independent, so no raster assembly at all.
+            parsed = [
+                _jpeg_header_and_blocks(bytes(p)) for p in pdf["payload"]
+            ]
+            if parsed:
+                blocks_u8, off = _jpeg_pixel_blocks_batch(parsed)
+                flat = blocks_u8.reshape(-1)
+                for i, (media_id, (w, h, _, _)) in enumerate(
+                    zip(pdf["media_id"], parsed)
+                ):
+                    seg = flat[off[i] * 64 : off[i + 1] * 64]
+                    rows["media_id"].append(media_id)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_pixels"].append(int(seg.size))
+                    rows["px_sum"].append(int(seg.sum()))
+                    rows["px_min"].append(int(seg.min()))
+                    rows["px_max"].append(int(seg.max()))
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, schema=_JPEG_STATS_SCHEMA)
