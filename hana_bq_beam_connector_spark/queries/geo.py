@@ -182,12 +182,11 @@ _CELL_CAP = 256
 # for any world up to a million cells per axis.
 _CENTROID_KEY_STRIDE = 1_000_000
 
-
-@register(
-    "geo_grid_neighbor_pairs",
-    f"""
-    WITH p AS (SELECT c_custkey AS k, {_sql_xy('c_custkey')}
-               FROM customer),
+# The LoD neighbor-join contract, as a SQL tail over ANY `p(k, x, y)`
+# CTE (shared by the uniform and mixed-density registrations — the
+# machinery under test is identical; only the point derivation
+# differs).
+_NEIGHBOR_LOD_SQL_TAIL = f"""
     pc AS (SELECT k, x, y, x // {_R} AS cx, y // {_R} AS cy FROM p),
     cells AS (
       SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS cell_n,
@@ -227,6 +226,15 @@ _CENTROID_KEY_STRIDE = 1_000_000
     WHERE a.k < b.k
       AND (a.x - b.x) * (a.x - b.x)
         + (a.y - b.y) * (a.y - b.y) <= {_R2}
+    """
+
+
+@register(
+    "geo_grid_neighbor_pairs",
+    f"""
+    WITH p AS (SELECT c_custkey AS k, {_sql_xy('c_custkey')}
+               FROM customer),
+    {_NEIGHBOR_LOD_SQL_TAIL}
     """,
     doc="Distance-bounded neighbor pairs — the canonical spatial join "
     "WITHOUT a cross join: points bucket into radius-sized grid "
@@ -254,7 +262,17 @@ def geo_grid_neighbor_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     p = _points(spark, sf_dir).select(
-        F.col("c_custkey").alias("k"),
+        F.col("c_custkey").alias("k"), "x", "y"
+    )
+    return _neighbor_pairs_lod(p)
+
+
+def _neighbor_pairs_lod(points: DataFrame) -> DataFrame:
+    """The LoD neighbor-join pipeline over any ``points(k, x, y)``
+    frame (k: unique positive bigint; x/y: non-negative ints) — the
+    DataFrame twin of ``_NEIGHBOR_LOD_SQL_TAIL``."""
+    p = points.select(
+        "k",
         "x",
         "y",
         F.floor(F.col("x") / _R).alias("cx"),
@@ -336,6 +354,89 @@ def geo_grid_neighbor_pairs(
             F.col("b.w").alias("weight_b"),
         )
     )
+
+
+# Mixed-density point derivation (round 11, verdict r10 #5): the
+# uniform fixture degenerates at scale — at sf10 EVERY cell of the
+# fixed 100k² world is over-cap, so the spot row only measured the
+# all-dense regime (every point collapses, ratio 0.15) and the LoD
+# machinery never ran against a live sparse majority.  This variant
+# holds the MIXED regime at every SF: the sparse majority lives in
+# per-200-key diagonal cells (cell id = k div 200 — cells GROW with
+# the data, per-cell density is a constant ~200 < cap, so exact-pair
+# work is LINEAR in points at any scale), while every 50th key is
+# squeezed into one of 4 fixed cells that blow past the cap from sf1
+# up (~750/cell at sf1, ~7500 at sf10) and must take the centroid
+# path alongside their in-cell sparse cohabitants.  Expected
+# sf1→sf10 ratio: ~10 (customer volume; both regimes linear — the
+# dense cells aggregate linearly and contribute 4 centroids).
+_MIX_DENSE_EVERY = 50  # every 50th key joins the dense minority
+_MIX_SPARSE_KEYS_PER_CELL = 200  # sparse per-cell density (< cap)
+
+
+def _sql_xy_mixed(key: str) -> str:
+    return (
+        f"CASE WHEN {key} % {_MIX_DENSE_EVERY} = 0 "
+        f"THEN (({key} // {_MIX_DENSE_EVERY}) % 2) * {_R} "
+        f"     + ({key} * {_MX}) % {_R} "
+        f"ELSE ({key} // {_MIX_SPARSE_KEYS_PER_CELL}) * {_R} "
+        f"     + ({key} * {_MX}) % {_R} END AS x, "
+        f"CASE WHEN {key} % {_MIX_DENSE_EVERY} = 0 "
+        f"THEN ((({key} // {_MIX_DENSE_EVERY}) // 2) % 2) * {_R} "
+        f"     + ({key} * {_MY}) % {_R} "
+        f"ELSE ({key} // {_MIX_SPARSE_KEYS_PER_CELL}) * {_R} "
+        f"     + ({key} * {_MY}) % {_R} END AS y"
+    )
+
+
+@register(
+    "geo_grid_neighbor_pairs_mixed",
+    f"""
+    WITH p AS (SELECT c_custkey AS k, {_sql_xy_mixed('c_custkey')}
+               FROM customer),
+    {_NEIGHBOR_LOD_SQL_TAIL}
+    """,
+    doc="The LoD neighbor join under a LIVE mixed-density regime — "
+    "same operator pipeline as geo_grid_neighbor_pairs, but the "
+    "point derivation pins a sparse majority at constant ~200 "
+    "points/cell (cells grow with the data: cell id = key div 200, "
+    "in-cell position hashed — exact-pair work stays LINEAR at any "
+    "SF) while every 50th key lands in one of 4 fixed cells that "
+    "exceed the 256 cap from sf1 up, forcing the centroid collapse, "
+    "the anti-join carve-out and the weighted pair join to run "
+    "against real data in the same plan (the uniform fixture is "
+    "all-sparse below sf1 and all-dense above it, so the sf10 spot "
+    "row measured only the degenerate regime; verdict r10 #5).  "
+    "Output and work are linear in points; the sf1→sf10 spot row "
+    "declares expected ratio ≈ 10 (customer volume).",
+)
+def geo_grid_neighbor_pairs_mixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    hx = (k * _MX) % _R
+    hy = (k * _MY) % _R
+    is_dense = (k % _MIX_DENSE_EVERY) == 0
+    d = F.expr(f"c_custkey DIV {_MIX_DENSE_EVERY}")
+    sparse_base = F.expr(
+        f"c_custkey DIV {_MIX_SPARSE_KEYS_PER_CELL}"
+    ) * F.lit(_R)
+    p = c.select(
+        k.alias("k"),
+        F.when(is_dense, (d % 2) * _R + hx)
+        .otherwise(sparse_base + hx)
+        .alias("x"),
+        F.when(
+            is_dense,
+            (F.expr(f"(c_custkey DIV {_MIX_DENSE_EVERY}) DIV 2") % 2)
+            * _R
+            + hy,
+        )
+        .otherwise(sparse_base + hy)
+        .alias("y"),
+    )
+    return _neighbor_pairs_lod(p)
 
 
 # Centroid-variance moment envelope: sxx <= n * (1e5)^2 stays in
