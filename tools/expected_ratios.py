@@ -53,8 +53,59 @@ def _counts(sf_dir: str) -> dict[str, float]:
         "SELECT COUNT(*), SUM(strlen(text)) FROM read_parquet(?)",
         [os.path.join(sf_dir, "documents.parquet")],
     ).fetchone()
+    li = con.execute(
+        "SELECT COUNT(*) FROM read_parquet(?)",
+        [os.path.join(sf_dir, "lineitem.parquet")],
+    ).fetchone()[0]
+    cust = con.execute(
+        "SELECT COUNT(*) FROM read_parquet(?)",
+        [os.path.join(sf_dir, "customer.parquet")],
+    ).fetchone()[0]
     con.close()
-    return {"emb": emb, "docs": docs, "text_bytes": text_bytes}
+    return {
+        "emb": emb,
+        "docs": docs,
+        "text_bytes": text_bytes,
+        "li": li,
+        "cust": cust,
+    }
+
+
+def cosupply_wedges(sf_dir: str) -> int:
+    """The EXACT wedge count of the co-supply graph — the join volume
+    of graph_clustering_coefficient's triangle enumeration (canon uv
+    ⋈ canon vw ON uv.dst = vw.src is Σ_v indeg(v)·outdeg(v) over the
+    canonical src<dst edge set).  Computed from the fixture itself:
+    the wedge volume is the operator's true cost driver, and no
+    row-count proxy predicts it (degrees shift with the qty-filter
+    selectivity across SFs)."""
+    con = duckdb.connect()
+    (wedges,) = con.execute(
+        """
+        WITH sp AS (
+          SELECT DISTINCT l_suppkey, l_partkey
+          FROM read_parquet(?) WHERE l_quantity >= 45
+        ),
+        canon AS (
+          SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+          FROM sp a JOIN sp b
+            ON a.l_partkey = b.l_partkey
+           AND a.l_suppkey < b.l_suppkey
+        ),
+        io AS (
+          SELECT node, SUM(ind) AS ind, SUM(outd) AS outd FROM (
+            SELECT dst AS node, COUNT(*) AS ind, 0 AS outd
+            FROM canon GROUP BY 1
+            UNION ALL
+            SELECT src, 0, COUNT(*) FROM canon GROUP BY 1
+          ) GROUP BY 1
+        )
+        SELECT CAST(COALESCE(SUM(ind * outd), 0) AS BIGINT) FROM io
+        """,
+        [os.path.join(sf_dir, "lineitem.parquet")],
+    ).fetchone()
+    con.close()
+    return int(wedges)
 
 
 def expected_ratios(
@@ -95,10 +146,24 @@ def expected_ratios(
         "expected_ratio": round(vol_docs, 2),
         "expected_formula": jpeg_f,
     }
+    vol_cust = big["cust"] / base["cust"]
     return {
         "dedup_embedding_cosine": {
             "expected_ratio": round(lsh, 2),
             "expected_formula": lsh_f,
+        },
+        "geo_grid_neighbor_pairs_mixed": {
+            "expected_ratio": round(vol_cust, 2),
+            "expected_formula": (
+                f"customer volume = {vol_cust:.3g} (mixed-density LoD "
+                "under load: the sparse majority holds a CONSTANT "
+                "~200 points/cell — cells grow with the data, so "
+                "exact-pair work and output are linear — while the 4 "
+                "fixed dense cells aggregate linearly to centroids; "
+                "the row exists to measure the live centroid-collapse "
+                "machinery, which the uniform fixture only exercises "
+                "in degenerate all-sparse/all-dense regimes)"
+            ),
         },
         "dedup_semantic_not_lexical": {
             "expected_ratio": round(max(lsh, text), 2),
