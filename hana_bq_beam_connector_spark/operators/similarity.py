@@ -10,6 +10,17 @@ to double element-wise) so the DuckDB oracle reproduces every bit —
 and it's whole-stage-codegen JVM arithmetic, no Python in the loop.
 An IVF variant would swap the plane-sign bucket id for a nearest-
 centroid id; the plumbing (bucket → per-bucket self-join) is shared.
+
+Driver-side training memo (PQ codebooks, corpus counts): eager
+driver work in the PQ/IVF builders is memoized per SparkSession in a
+64-entry insertion-order-evicting dict (``_PQ_MEMO_CAP``; see
+``_session_memo``/``_memo_put``).  The cap bounds what a long
+session sweeping many corpora can pin (each trained codebook is a
+literal relation held in driver memory); keys pair the analyzed
+plan's semanticHash with a digest of ``inputFiles()`` so an
+in-session overwrite of the same path invalidates naturally, and
+file-less plans (JDBC, cached, local relations) decline memoization
+entirely rather than risk staleness.
 """
 
 from __future__ import annotations
