@@ -122,6 +122,7 @@ HEADLINE = [
     "mm_png_decode_stats",        # REAL compressed PNG decode (zlib+filters)
     "mm_y4m_frame_stats",         # REAL Y4M video parse + frame sampling
     "geo_grid_neighbor_pairs",    # spatial join via grid equi-join (no n^2)
+    "geo_grid_neighbor_pairs_mixed",  # LoD centroid collapse under load (r11)
     "geo_morton_quadblock_rollup",  # Z-order quadtree rollup
     "rec_user_candidates",        # CF join: owned x bounded neighbors
     "rec_item_lift_topk",         # association-rule lift ranking
