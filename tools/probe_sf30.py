@@ -112,8 +112,23 @@ def main() -> int:
     big = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         REPO, ".scale", "sf30"
     )
+    out_path = os.path.join(REPO, "REGISTRY_sf30_probe.json")
+    # SPARK_GRAFT_PROBE_ONLY=a,b re-probes just the named rows and
+    # merges them into the existing artifact (for failure re-runs
+    # under an adjusted protocol — e.g. a bigger heap for the sf30
+    # sort-heavy rows — without repaying the full probe).
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY")
+    probe = PROBE
     rows: dict[str, dict] = {}
-    for name in PROBE:
+    if only:
+        probe = [n for n in only.split(",") if n]
+        unknown = sorted(set(probe) - set(PROBE))
+        if unknown:
+            print(f"not in PROBE: {unknown}", file=sys.stderr)
+            return 2
+        if os.path.exists(out_path):
+            rows.update(json.load(open(out_path))["queries"])
+    for name in probe:
         with tempfile.NamedTemporaryFile(
             suffix=".json", delete=False
         ) as tf:
@@ -132,12 +147,22 @@ def main() -> int:
         )
         rows.update(json.load(open(out))["queries"])
         os.unlink(out)
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        for name in probe:
+            if name in rows:
+                rows[name]["protocol"] = (
+                    f"SPARK_GRAFT_DRIVER_MEM={mem} (sf30 sort-heavy "
+                    "rows exhaust the 8g-default execution pool at 32 "
+                    "tasks; base and big share the session, so the "
+                    "ratio is protocol-consistent)"
+                )
     over_expected = check_rows(rows, probe_expected(base, big))
     record = {
         "metric": "registry_sf30_probe",
-        "what": "third measured scale decade for the two families "
-        "whose per-decade class was the round-9 open question "
-        "(log-linear LSH members, linear-but-contended jpeg decode); "
+        "what": "third measured scale decade: the round-9 open "
+        "families (log-linear LSH members, linear-but-contended jpeg "
+        "decode) plus, since round 11, the three slowest bench rows; "
         "every row runs ISOLATED and carries measured vs "
         "formula-derived expected_ratio",
         "base_sf_dir": base,
@@ -146,7 +171,6 @@ def main() -> int:
         "over_expected": over_expected,
         "queries": dict(sorted(rows.items())),
     }
-    out_path = os.path.join(REPO, "REGISTRY_sf30_probe.json")
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps({"over_expected": over_expected, "out": out_path}))

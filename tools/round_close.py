@@ -69,7 +69,37 @@ def main() -> int:
     if "--skip-bench" in sys.argv:
         steps = [s for s in steps if "bench.py" not in s[0]]
     for argv, out_path in steps:
-        run(argv, out_path)
+        if argv[-1] == "bench.py":
+            # BENCH_local.json protocol: per-query median of 3
+            # fresh-process runs (round 10; env overrides for
+            # experiments).  bench prints the full record THEN a
+            # compact trailer (round 11, for the driver's truncated
+            # tail) — keep ONLY the full-record line here so the
+            # committed artifact stays one json.load-able object.
+            run(
+                argv,
+                out_path,
+                env_extra={
+                    "SPARK_GRAFT_BENCH_REPEATS": os.environ.get(
+                        "SPARK_GRAFT_BENCH_REPEATS", "3"
+                    )
+                },
+            )
+            import json
+
+            with open(out_path) as fh:
+                full = [
+                    rec
+                    for line in fh
+                    if line.strip()
+                    for rec in [json.loads(line)]
+                    if isinstance(rec.get("queries"), dict)
+                ][-1]
+            with open(out_path, "w") as fh:
+                json.dump(full, fh)
+                fh.write("\n")
+        else:
+            run(argv, out_path)
     if "--ansi" in sys.argv:
         run(
             [
