@@ -44,24 +44,35 @@ def _driver_verified_names() -> set[str]:
     recorded, and the next round rotates the next never-sampled 50
     forward.
 
-    Only names with a GREEN row count as verified: a name whose row
-    errored or mismatched (round 10: ``text_inverted_index``,
-    ``hash_match: null`` + ``err``) must re-enter the head-50 after
-    its fix, or the driver would never re-check it.  A row is green
+    Only names whose LATEST driver row is green count as verified
+    (latest-round-wins): a name whose most recent row errored or
+    mismatched (round 10: ``text_inverted_index``, ``hash_match:
+    null`` + ``err``) must re-enter the head-50 after its fix, or the
+    driver would never re-check it — and a name green in an OLD round
+    that regresses in a newer one must likewise re-enter, so a
+    round-5 green can't mask a round-12 red forever.  A row is green
     when ``hash_match`` is true, or — for rows-only checks where the
     driver records no hash — when it has no error and ``rows_match``
     is true.
     """
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    # (round_number, name) -> green; keep only the highest round's row.
+    latest: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except Exception:
+            continue
+        if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
             if not isinstance(row, dict):
@@ -71,9 +82,9 @@ def _driver_verified_names() -> set[str]:
                 and row.get("rows_match") is True
                 and not row.get("err")
             )
-            if green:
-                seen.add(name)
-    return seen
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, green)
+    return {name for name, (_, green) in latest.items() if green}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

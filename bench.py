@@ -160,8 +160,12 @@ def _emit(record: dict) -> None:
     ``qk`` is blake2b("\\n".join(sorted(names)))[:12] so a reader can
     confirm which name set the values bind to.  Reconstruct with::
 
-        names = sorted(full_line["queries"])        # or bench.HEADLINE
+        names = sorted(full_line["queries"])  # or sorted(bench.HEADLINE)
         dict(zip(names, trailer["qv"]))
+
+    (``qv`` is ordered by SORTED name — zipping against the
+    registration-ordered ``bench.HEADLINE`` as-is would mispair every
+    timing; verify the pairing via ``qk`` either way.)
 
     Both lines are valid standalone JSON; the trailer repeats the
     headline metric/value/unit/sf so a tail-only artifact is complete.
@@ -184,6 +188,26 @@ def _emit(record: dict) -> None:
         "qv": [record["queries"][n] for n in names],
     }
     print(json.dumps(trailer, separators=(",", ":")))
+
+
+def _last_full_record(stdout: str) -> dict:
+    """Find the full contract record among ``_emit``'s output lines.
+
+    THE one decoder for the two-line emit protocol — the discriminator
+    (a dict-valued ``"queries"`` key distinguishes the full record
+    from the name-less trailer) lives here, next to the encoder, so a
+    protocol change cannot update one consumer and silently desync the
+    other (``_median_orchestrator`` and ``tools/round_close.py`` both
+    parse through this).  Raises StopIteration-free ValueError if no
+    full record is present."""
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(rec, dict) and isinstance(rec.get("queries"), dict):
+            return rec
+    raise ValueError("no full bench record found in output")
 
 
 def _median_orchestrator(repeats: int) -> None:
@@ -219,15 +243,8 @@ def _median_orchestrator(repeats: int) -> None:
                 f"{proc.returncode}"
             )
         # The child prints the full record line THEN the compact
-        # trailer (_emit); take the last line whose "queries" is the
-        # full name→timing dict.
-        full = next(
-            rec
-            for line in reversed(proc.stdout.strip().splitlines())
-            for rec in [json.loads(line)]
-            if isinstance(rec.get("queries"), dict)
-        )
-        runs.append(full)
+        # trailer; _last_full_record is the protocol's one decoder.
+        runs.append(_last_full_record(proc.stdout))
         print(
             f"run {i + 1}/{repeats}: {runs[-1]['value']}s",
             file=sys.stderr,

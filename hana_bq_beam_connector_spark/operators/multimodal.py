@@ -746,19 +746,21 @@ def raster_moments(media: DataFrame, parse=_parse_pgm) -> DataFrame:
             # of one per image; other codecs stay per-image (their
             # decode has no heavy data-parallel tail to batch).
             if parse is _parse_jpeg:
-                rasters = [
-                    r.astype(np.int64)
-                    for r in _jpeg_rasters_batch(
-                        [bytes(p) for p in pdf["payload"]]
-                    )
-                ]
+                # Keep the decoded rasters uint8 here; the int64 view
+                # (needed only so px_sum_sq can't overflow) is taken
+                # one image at a time in the loop below — converting
+                # the whole batch up front would hold 8 bytes/pixel
+                # for every image in the Arrow batch simultaneously.
+                rasters = _jpeg_rasters_batch(
+                    [bytes(p) for p in pdf["payload"]]
+                )
             else:
                 rasters = None
             for idx, (media_id, payload) in enumerate(
                 zip(pdf["media_id"], pdf["payload"])
             ):
                 a = (
-                    rasters[idx]
+                    rasters[idx].astype(np.int64)
                     if rasters is not None
                     else _raster_array(bytes(payload), parse)
                 ).ravel()
@@ -2059,6 +2061,15 @@ def _jpeg_header_and_blocks(
         bp += length
         cat = dc_sym[wdw]
         if cat:
+            if cat > 25:
+                # A corrupt DHT can declare any 8-bit symbol value as
+                # the DC category; the 32-bit window serves at most
+                # 25 bits past a 7-bit offset, and baseline JPEG caps
+                # the category at 11 anyway — reject loudly instead
+                # of letting the shift below go negative.
+                raise ValueError(
+                    f"JPEG DC category out of range ({cat})"
+                )
             if bp + cat > real_bits:
                 raise _end_error()
             v = (u32[bp >> 3] >> (32 - (bp & 7) - cat)) & ((1 << cat) - 1)

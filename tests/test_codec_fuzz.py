@@ -363,3 +363,68 @@ def test_jpeg_fill_bytes_before_marker_tolerated():
         i += 1
     out += data[sos:]
     assert _parse_jpeg(bytes(out)) == (w, h, raster)
+
+
+def test_jpeg_leftover_whole_byte_before_eoi_rejected():
+    """Round-11 documented strictness (review finding): a stream
+    whose entropy segment holds a WHOLE undecoded byte before EOI is
+    corrupt — valid baseline output leaves only the sub-byte 1-padding
+    unconsumed — and must be rejected loudly, where the r10 window
+    check could still accept it.  Pins the divergence class the
+    CHANGELOG declares."""
+    import pytest
+
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _jpeg_encode_raster,
+        _parse_jpeg,
+    )
+
+    w, h, raster = _block_constant_raster(2, 1, [7, 200])
+    enc = _jpeg_encode_raster(w, h, raster)
+    assert _parse_jpeg(enc) == (w, h, raster)
+    eoi = enc.rindex(b"\xff\xd9")
+    # one extra plain byte between the decoded entropy data and EOI
+    # (0x00 is entropy data, not a stuffing pair or marker prefix)
+    bad = enc[:eoi] + b"\x00" + enc[eoi:]
+    with pytest.raises(ValueError, match="EOI"):
+        _parse_jpeg(bad)
+
+
+def test_jpeg_oversized_dc_category_rejected_descriptively():
+    """Round-11 review finding: a corrupt DHT may declare any 8-bit
+    symbol as the DC category; categories past the 32-bit window's
+    reach (> 25; baseline legal max is 11) previously surfaced as a
+    bare 'negative shift count' ValueError at unlucky bit alignments.
+    The guard must raise the module's descriptive error instead."""
+    import pytest
+
+    from hana_bq_beam_connector_spark.operators.multimodal import (
+        _jpeg_encode_raster,
+        _parse_jpeg,
+    )
+
+    w, h, raster = _block_constant_raster(2, 1, [7, 200])
+    enc = bytearray(_jpeg_encode_raster(w, h, raster))
+    # Find the DC Huffman table (FFC4 segment whose class/id byte has
+    # high nibble 0) and remap every symbol value v -> 255 - v: the
+    # values stay DISTINCT (duplicates would alias in the canonical
+    # code map and surface as a different error) but every category
+    # lands far past the guard's 25.
+    i = 2
+    patched = False
+    while i < len(enc) - 4:
+        if enc[i] == 0xFF and enc[i + 1] == 0xC4:
+            seglen = int.from_bytes(enc[i + 2 : i + 4], "big")
+            tc_th = enc[i + 4]
+            if tc_th >> 4 == 0:  # DC table
+                counts = enc[i + 5 : i + 21]
+                n_vals = sum(counts)
+                for j in range(n_vals):
+                    enc[i + 21 + j] = 255 - enc[i + 21 + j]
+                patched = True
+            i += 2 + seglen
+        else:
+            i += 1
+    assert patched, "encoder output must carry a DC DHT segment"
+    with pytest.raises(ValueError, match="DC category"):
+        _parse_jpeg(bytes(enc))

@@ -88,3 +88,37 @@ def test_driver_verified_names_counts_only_green_rows(
     monkeypatch.setattr(glob_mod, "glob", lambda pat: [str(art)])
     seen = entry._driver_verified_names()
     assert seen == {"green_hash", "rows_only_green"}
+
+
+def test_driver_verified_names_latest_round_wins(tmp_path, monkeypatch):
+    """A name green in an OLD round that regresses in a NEWER round
+    must lose verified status (re-enter the head-50), and a red row
+    fixed in a newer round must regain it — per-name status follows
+    the highest round number, not the union across rounds."""
+    import glob as glob_mod
+
+    import __spark_entry__ as entry
+
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    red = {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "err": "boom",
+    }
+    r5 = tmp_path / "CORRECTNESS_r5.json"
+    r12 = tmp_path / "CORRECTNESS_r12.json"
+    r5.write_text(json.dumps({"regressed": green, "fixed_later": red}))
+    r12.write_text(json.dumps({"regressed": red, "fixed_later": green}))
+    # Deliver r12 first to prove ordering comes from the round number
+    # in the filename, not glob order.
+    monkeypatch.setattr(
+        glob_mod, "glob", lambda pat: [str(r12), str(r5)]
+    )
+    seen = entry._driver_verified_names()
+    assert seen == {"fixed_later"}

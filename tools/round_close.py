@@ -87,14 +87,11 @@ def main() -> int:
             )
             import json
 
+            sys.path.insert(0, REPO)
+            from bench import _last_full_record
+
             with open(out_path) as fh:
-                full = [
-                    rec
-                    for line in fh
-                    if line.strip()
-                    for rec in [json.loads(line)]
-                    if isinstance(rec.get("queries"), dict)
-                ][-1]
+                full = _last_full_record(fh.read())
             with open(out_path, "w") as fh:
                 json.dump(full, fh)
                 fh.write("\n")
