@@ -212,48 +212,76 @@ def ts_ohlc_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY d.event_type, mad.med, mad.mad
     """,
     doc="Robust outlier detection per series: lower-median and MAD "
-    "(median absolute deviation) picked EXACTLY via row_number (the "
-    "interpolation-free discrete quantile, deterministic under ties "
-    "by event_id), then |v - med| > 3·MAD flags outliers.  events "
-    "has FIVE event types at any scale, so the rank comes from "
-    "two_phase_rank (range-partition the (value, event_id) order, "
-    "slice-local row_number, tiny offset frame) instead of a "
-    "one-task-per-type window sort of n/5 rows; group counts ride a "
-    "plain broadcast agg instead of COUNT(*) OVER.  Values identical "
-    "to the oracle's one-window SQL — the order is total.",
+    "(median absolute deviation) picked EXACTLY as the k-th order "
+    "statistic (k = (n+1) div 2), then |v - med| > 3·MAD flags "
+    "outliers.  Counts-first shape (r11, guide §2.3 'aggregate "
+    "before you shuffle'): the ONLY full-data pass is one map-side-"
+    "combined groupBy((type, value)) whose output is pinned; both "
+    "order-statistic selections run a two_phase_scan RUNNING-COUNT "
+    "over the distinct-value counts frame (the k-th value is the row "
+    "whose cumulative count first reaches k — identical to the "
+    "oracle's row_number selection because equal values share one "
+    "row and the rank interval (crun-cnt, crun] contains k), and the "
+    "final outlier count is a weighted sum over the same frame.  "
+    "events is scanned ONCE (was 4×); the range exchanges carry "
+    "distinct (type, value, cnt) rows, never the event log; "
+    "event_id is no longer read at all (the tie-break never changes "
+    "WHICH value the k-th rank lands on).  events has FIVE event "
+    "types at any scale, so the scan machinery stays two-phase — a "
+    "per-type window would sort n_distinct/5 rows in one task.  "
+    "Values identical to the oracle's one-window SQL.",
 )
 def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators._common import (
+        pin_until_release,
+    )
     from hana_bq_beam_connector_spark.operators.relational import (
-        two_phase_rank,
+        two_phase_scan,
     )
 
-    v = events_us(spark, sf_dir).select("event_type", "value", "event_id")
-    n_by = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    r = two_phase_rank(
-        v, ["event_type"], [F.col("value"), F.col("event_id")], out="rn"
+    v = events_us(spark, sf_dir).select("event_type", "value")
+    # One full-data pass; everything below reads this bounded frame
+    # (≤ distinct (type, value) rows — pinned so all four consumers
+    # share the single materialization).
+    vc = pin_until_release(
+        v.groupBy("event_type", "value").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+    )
+    n_by = vc.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    k = F.expr("(n + 1) div 2")
+    r = two_phase_scan(
+        vc, ["event_type"], [F.col("value")], {"crun": F.col("cnt")}
     ).join(F.broadcast(n_by), "event_type")
-    med = r.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
-        "event_type", F.col("value").alias("med")
+    med = r.where(
+        (F.col("crun") >= k) & (F.col("crun") - F.col("cnt") < k)
+    ).select("event_type", F.col("value").alias("med"))
+    dc = (
+        vc.join(F.broadcast(med), "event_type")
+        .groupBy(
+            "event_type",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+            "med",
+        )
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    d = v.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        F.abs(F.col("value") - F.col("med")).alias("adev"),
-        "event_id",
-        "med",
-    )
-    r2 = two_phase_rank(
-        d, ["event_type"], [F.col("adev"), F.col("event_id")], out="rn"
+    r2 = two_phase_scan(
+        dc, ["event_type"], [F.col("adev")], {"crun": F.col("cnt")}
     ).join(F.broadcast(n_by), "event_type")
     mad = r2.where(
-        F.col("rn") == F.expr("(n + 1) div 2")
+        (F.col("crun") >= k) & (F.col("crun") - F.col("cnt") < k)
     ).select("event_type", "med", F.col("adev").alias("mad"))
     return (
-        d.drop("med")
+        dc.drop("med")
         .join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "med", "mad")
         .agg(
-            F.count_if(F.col("adev") > 3 * F.col("mad")).alias("n_outliers"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * F.col("mad"), F.col("cnt")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("n_outliers"),
+            F.sum("cnt").alias("n"),
         )
     )
 
