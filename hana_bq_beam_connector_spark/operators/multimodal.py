@@ -116,12 +116,22 @@ def synthesize_pgm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     @F.pandas_udf(BinaryType())
     def _pgm(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        # One arange reused across the batch; per-image raster is a
+        # vectorized affine-mod over a slice of it (guide §4.2 — the
+        # former per-byte generator comprehension was ~85% of this
+        # stage's task time at sf0.1).  Arithmetic is exact int64,
+        # so bytes are identical to the scalar spelling.
+        idx7 = 7 * np.arange(16 * 14, dtype=np.int64)
         out = []
         for mid in ids:
             mid = int(mid)
             w, h = 8 + mid % 9, 8 + mid % 7
-            raster = bytes(
-                (mid * 31 + i * 7) % 256 for i in range(w * h)
+            raster = (
+                ((mid * 31 + idx7[: w * h]) % 256)
+                .astype(np.uint8)
+                .tobytes()
             )
             out.append(b"P5\n%d %d\n255\n" % (w, h) + raster)
         return pd.Series(out)
@@ -199,6 +209,8 @@ def decode_pgm(media: DataFrame) -> DataFrame:
     bit-strict."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = {
                 "media_id": [],
@@ -211,13 +223,14 @@ def decode_pgm(media: DataFrame) -> DataFrame:
             }
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, raster = _parse_pgm(bytes(payload))
+                a = np.frombuffer(raster, dtype=np.uint8)
                 rows["media_id"].append(media_id)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["n_pixels"].append(len(raster))
-                rows["px_sum"].append(sum(raster))
-                rows["px_min"].append(min(raster))
-                rows["px_max"].append(max(raster))
+                rows["px_sum"].append(int(a.sum(dtype=np.int64)))
+                rows["px_min"].append(int(a.min()))
+                rows["px_max"].append(int(a.max()))
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, schema=_PGM_STATS_SCHEMA)
@@ -247,23 +260,32 @@ def synthesize_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     @F.pandas_udf(BinaryType())
     def _wav(ids: pd.Series) -> pd.Series:
         import io
-        import struct
         import wave
 
+        import numpy as np
+
+        # Vectorized PCM synthesis (guide §4.2): the former per-sample
+        # list comprehension + struct.pack was ~1000 interpreted ops
+        # per clip.  ``astype('<i2').tobytes()`` emits the same
+        # little-endian int16 stream struct.pack('<Nh', ...) did —
+        # values are in [-2000, 2000], well inside int16.
+        idx11 = 11 * np.arange(1201, dtype=np.int64)
         out = []
         for mid in ids:
             mid = int(mid)
             n = 800 + mid % 401
             rate = 8000 + (mid % 3) * 4000
-            samples = [
-                ((mid * 13 + i * 11) % 4001) - 2000 for i in range(n)
-            ]
+            pcm = (
+                (((mid * 13 + idx11[:n]) % 4001) - 2000)
+                .astype("<i2")
+                .tobytes()
+            )
             buf = io.BytesIO()
             with wave.open(buf, "wb") as w:
                 w.setnchannels(1)
                 w.setsampwidth(2)
                 w.setframerate(rate)
-                w.writeframes(struct.pack(f"<{n}h", *samples))
+                w.writeframes(pcm)
             out.append(buf.getvalue())
         return pd.Series(out)
 
@@ -284,8 +306,9 @@ def decode_wav(media: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
-        import struct
         import wave
+
+        import numpy as np
 
         for pdf in batches:
             rows = {k.name: [] for k in _WAV_STATS_SCHEMA.fields}
@@ -303,17 +326,22 @@ def decode_wav(media: DataFrame) -> DataFrame:
                             f"{ch}ch/{8 * width}-bit; only mono PCM16 "
                             "is supported"
                         )
-                    samples = struct.unpack(f"<{n}h", w.readframes(n))
+                    frames = w.readframes(n)
+                # Vectorized |s| stats (guide §4.2; the former
+                # per-sample generator expressions were ~75% of this
+                # stage's task time).  Widen to int64 BEFORE abs so
+                # -32768 cannot wrap.
+                a = np.abs(
+                    np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                )
                 rows["media_id"].append(media_id)
                 rows["sample_rate"].append(rate)
                 rows["n_channels"].append(ch)
                 rows["n_samples"].append(n)
-                rows["abs_sum"].append(sum(abs(s) for s in samples))
+                rows["abs_sum"].append(int(a.sum()))
                 # A zero-frame WAV is legal; peak of silence is 0,
                 # not a bare max()-of-empty ValueError.
-                rows["peak"].append(
-                    max((abs(s) for s in samples), default=0)
-                )
+                rows["peak"].append(int(a.max()) if a.size else 0)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, schema=_WAV_STATS_SCHEMA)
@@ -586,21 +614,31 @@ def raster_hist_features(
     ingest and text/embedding ANN share one vector pipeline — now on
     genuine pixel content rather than payload hashes.  Each share is
     ONE IEEE division of two exact integers, so the DuckDB oracle
-    reproduces every feature bit-for-bit."""
+    reproduces every feature bit-for-bit.
 
-    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Spelled as a scalar (series→series) pandas UDF over ONLY the
+    payload column rather than mapInPandas (r11, guide §4): when the
+    upstream payload is itself a pandas-UDF product (synthesize_* →
+    featurize compositions), ExtractPythonUDFs chains both into ONE
+    ArrowEvalPython node — one Python worker per task instead of two,
+    and the payload bytes never cross back through the JVM between
+    stages.  Identical rows either way (the transform is 1:1)."""
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def fe(payloads: pd.Series) -> pd.Series:
         import numpy as np
 
-        for pdf in batches:
-            ids, feats = [], []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                a = _raster_array(bytes(payload), parse).ravel()
-                counts = np.bincount(a * bins // 256, minlength=bins)
-                feats.append((counts / float(a.size)).tolist())
-                ids.append(media_id)
-            yield pd.DataFrame({"media_id": ids, "features": feats})
+        feats = []
+        for payload in payloads:
+            a = _raster_array(bytes(payload), parse).ravel()
+            counts = np.bincount(a * bins // 256, minlength=bins)
+            feats.append((counts / float(a.size)).tolist())
+        return pd.Series(feats)
 
-    return media.mapInPandas(fe, schema=_FEATURES_SCHEMA)
+    return media.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        fe(F.col("payload")).alias("features"),
+    )
 
 
 def resize_box_payload(
@@ -613,53 +651,43 @@ def resize_box_payload(
     ``decode_pgm``) run on resized output through the same codec
     contract it uses for originals.  Same kernel as
     :func:`resize_box`; output frame matches the media-table shape
-    (media_id, payload, media_type, byte_len)."""
+    (media_id, payload, media_type, byte_len).
+
+    Spelled as a scalar pandas UDF over ONLY the payload column (r11,
+    guide §4): in synthesize → resize → featurize compositions the
+    three payload transforms chain into ONE ArrowEvalPython node —
+    one Python worker per task and no JVM round-trip for the
+    intermediate payload bytes.  1:1 rows, identical output."""
     if factor < 1:
         raise ValueError(f"resize factor must be >= 1, got {factor}")
 
-    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    @F.pandas_udf(BinaryType())
+    def rs(payloads: pd.Series) -> pd.Series:
         import numpy as np
 
-        for pdf in batches:
-            ids, payloads = [], []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                a = _raster_array(bytes(payload), parse)
-                h, w = a.shape
-                oh, ow = h // factor, w // factor
-                if oh == 0 or ow == 0:
-                    raise ValueError(
-                        f"image {w}x{h} smaller than box factor {factor}"
-                    )
-                q = (
-                    a[: oh * factor, : ow * factor]
-                    .reshape(oh, factor, ow, factor)
-                    .sum(axis=(1, 3))
-                    // (factor * factor)
-                ).astype(np.uint8)
-                ids.append(media_id)
-                payloads.append(
-                    b"P5\n%d %d\n255\n" % (ow, oh) + q.tobytes()
+        out = []
+        for payload in payloads:
+            a = _raster_array(bytes(payload), parse)
+            h, w = a.shape
+            oh, ow = h // factor, w // factor
+            if oh == 0 or ow == 0:
+                raise ValueError(
+                    f"image {w}x{h} smaller than box factor {factor}"
                 )
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "payload": payloads,
-                    "media_type": "image/x-portable-graymap",
-                    "byte_len": [len(p) for p in payloads],
-                }
-            )
+            q = (
+                a[: oh * factor, : ow * factor]
+                .reshape(oh, factor, ow, factor)
+                .sum(axis=(1, 3))
+                // (factor * factor)
+            ).astype(np.uint8)
+            out.append(b"P5\n%d %d\n255\n" % (ow, oh) + q.tobytes())
+        return pd.Series(out)
 
-    return media.mapInPandas(
-        rs,
-        schema=StructType(
-            [
-                StructField("media_id", LongType()),
-                StructField("payload", BinaryType()),
-                StructField("media_type", StringType()),
-                StructField("byte_len", LongType()),
-            ]
-        ),
-    )
+    return media.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        rs(F.col("payload")).alias("payload"),
+        F.lit("image/x-portable-graymap").alias("media_type"),
+    ).withColumn("byte_len", F.octet_length("payload").cast("long"))
 
 
 _WAV_DECIMATE_SCHEMA = StructType(
@@ -689,7 +717,6 @@ def wav_decimate_box(media: DataFrame, factor: int = 2) -> DataFrame:
 
     def dc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
-        import struct
         import wave
 
         import numpy as np
@@ -710,8 +737,8 @@ def wav_decimate_box(media: DataFrame, factor: int = 2) -> DataFrame:
                             f"{ch}ch/{8 * width}-bit; only mono PCM16 "
                             "is supported"
                         )
-                    pcm = struct.unpack(f"<{n}h", w.readframes(n))
-                a = np.asarray(pcm, dtype=np.int64)
+                    frames_b = w.readframes(n)
+                a = np.frombuffer(frames_b, dtype="<i2").astype(np.int64)
                 n_out = n // factor
                 q = a[: n_out * factor].reshape(n_out, factor).sum(axis=1)
                 rows["media_id"].append(media_id)
@@ -801,14 +828,22 @@ def synthesize_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     @F.pandas_udf(BinaryType())
     def _ppm(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        # Vectorized interleaved-RGB synthesis (guide §4.2): pixel
+        # term + channel term via broadcasting, row-major ravel gives
+        # exactly the (i, c) interleave order of the former nested
+        # generator.  Exact int64 arithmetic — bytes identical.
+        pix7 = 7 * np.arange(12 * 10, dtype=np.int64)[:, None]
+        chan101 = 101 * np.arange(3, dtype=np.int64)[None, :]
         out = []
         for mid in ids:
             mid = int(mid)
             w, h = 4 + mid % 9, 4 + mid % 7
-            raster = bytes(
-                (mid * 31 + i * 7 + c * 101) % 256
-                for i in range(w * h)
-                for c in range(3)
+            raster = (
+                ((mid * 31 + pix7[: w * h] + chan101) % 256)
+                .astype(np.uint8)
+                .tobytes()
             )
             out.append(b"P6\n%d %d\n255\n" % (w, h) + raster)
         return pd.Series(out)
@@ -839,16 +874,19 @@ def decode_ppm(media: DataFrame) -> DataFrame:
                 "b_sum": [],
                 "px_max": [],
             }
+            import numpy as np
+
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, raster = _parse_ppm(bytes(payload))
+                a = np.frombuffer(raster, dtype=np.uint8)
                 rows["media_id"].append(media_id)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["n_pixels"].append(w * h)
-                rows["r_sum"].append(sum(raster[0::3]))
-                rows["g_sum"].append(sum(raster[1::3]))
-                rows["b_sum"].append(sum(raster[2::3]))
-                rows["px_max"].append(max(raster))
+                rows["r_sum"].append(int(a[0::3].sum(dtype=np.int64)))
+                rows["g_sum"].append(int(a[1::3].sum(dtype=np.int64)))
+                rows["b_sum"].append(int(a[2::3].sum(dtype=np.int64)))
+                rows["px_max"].append(int(a.max()))
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, schema=_PPM_STATS_SCHEMA)
@@ -971,26 +1009,52 @@ def synthesize_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         import struct
         import zlib
 
+        import numpy as np
+
+        # Vectorized raster + filter pass (guide §4.2).  All five
+        # FORWARD filters read only RAW neighbors (current row's left
+        # byte, previous row's raw bytes — identical to the
+        # reconstructed bytes the spec names, since reconstruction is
+        # lossless), so the whole image filters in one numpy pass; the
+        # scalar _png_filter_row spelling remains the reference
+        # implementation (fuzz tests assert agreement).  Exact int64
+        # arithmetic — the IDAT stream is byte-identical.
+        idx11 = 11 * np.arange(18 * 13, dtype=np.int64)
         out = []
         for mid in ids:
             mid = int(mid)
             w, h = 8 + mid % 11, 8 + mid % 6
             ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 0)
-            stream = bytearray()
-            prev = bytes(w)
-            for r in range(h):
-                raw = bytes(
-                    (mid * 29 + (r * w + i) * 11) % 256
-                    for i in range(w)
-                )
-                ftype = (mid + r) % 5
-                stream.append(ftype)
-                stream += _png_filter_row(ftype, raw, prev)
-                prev = raw
+            raw = ((mid * 29 + idx11[: w * h]) % 256).reshape(h, w)
+            x = raw
+            a = np.zeros_like(raw)
+            a[:, 1:] = raw[:, :-1]  # left neighbor
+            b = np.zeros_like(raw)
+            b[1:, :] = raw[:-1, :]  # above
+            c = np.zeros_like(raw)
+            c[1:, 1:] = raw[:-1, :-1]  # upper-left
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            paeth = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            )
+            by_type = (
+                x,
+                (x - a) % 256,
+                (x - b) % 256,
+                (x - (a + b) // 2) % 256,
+                (x - paeth) % 256,
+            )
+            ftypes = (mid + np.arange(h)) % 5
+            stream = np.empty((h, w + 1), dtype=np.uint8)
+            stream[:, 0] = ftypes
+            for t in range(5):
+                sel = ftypes == t
+                stream[sel, 1:] = by_type[t][sel]
             out.append(
                 _PNG_SIG
                 + _png_chunk(b"IHDR", ihdr)
-                + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+                + _png_chunk(b"IDAT", zlib.compress(stream.tobytes()))
                 + _png_chunk(b"IEND", b"")
             )
         return pd.Series(out)
@@ -1077,15 +1141,18 @@ def decode_png(media: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k.name: [] for k in _PNG_STATS_SCHEMA.fields}
+            import numpy as np
+
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, raster = _parse_png(bytes(payload))
+                a = np.frombuffer(raster, dtype=np.uint8)
                 rows["media_id"].append(media_id)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["n_pixels"].append(len(raster))
-                rows["px_sum"].append(sum(raster))
-                rows["px_min"].append(min(raster))
-                rows["px_max"].append(max(raster))
+                rows["px_sum"].append(int(a.sum(dtype=np.int64)))
+                rows["px_min"].append(int(a.min()))
+                rows["px_max"].append(int(a.max()))
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, schema=_PNG_STATS_SCHEMA)
@@ -1129,6 +1196,14 @@ def synthesize_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     @F.pandas_udf(BinaryType())
     def _y4m(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        # Vectorized plane synthesis (guide §4.2): each plane is an
+        # affine-mod over a reusable arange — exact int64 arithmetic,
+        # bytes identical to the former per-sample generators.
+        yidx = 3 * np.arange(16 * 14, dtype=np.int64)
+        uidx = 5 * np.arange(8 * 7, dtype=np.int64)
+        vidx = 7 * np.arange(8 * 7, dtype=np.int64)
         out = []
         for mid in ids:
             mid = int(mid)
@@ -1140,17 +1215,20 @@ def synthesize_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
             for f in range(nf):
                 buf += b"FRAME\n"
-                buf += bytes(
-                    (mid * 7 + f * 101 + i * 3) % 256
-                    for i in range(w * h)
+                buf += (
+                    ((mid * 7 + f * 101 + yidx[: w * h]) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
                 )
-                buf += bytes(
-                    (mid * 11 + f * 13 + j * 5) % 256
-                    for j in range(cw * ch)
+                buf += (
+                    ((mid * 11 + f * 13 + uidx[: cw * ch]) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
                 )
-                buf += bytes(
-                    (mid * 17 + f * 19 + j * 7) % 256
-                    for j in range(cw * ch)
+                buf += (
+                    ((mid * 17 + f * 19 + vidx[: cw * ch]) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
                 )
             out.append(bytes(buf))
         return pd.Series(out)
@@ -1221,23 +1299,26 @@ def decode_y4m(media: DataFrame, frame_stride: int = 2) -> DataFrame:
         raise ValueError(f"frame_stride must be >= 1, got {frame_stride}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = {k.name: [] for k in _Y4M_FRAME_SCHEMA.fields}
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, frames = _parse_y4m(bytes(payload))
                 ysz = w * h
                 for f in range(0, len(frames), frame_stride):
-                    yp = frames[f][:ysz]
-                    uv = frames[f][ysz:]
+                    fa = np.frombuffer(frames[f], dtype=np.uint8)
+                    yp = fa[:ysz]
+                    uv = fa[ysz:]
                     rows["media_id"].append(media_id)
                     rows["frame_idx"].append(f)
                     rows["width"].append(w)
                     rows["height"].append(h)
                     rows["n_frames"].append(len(frames))
-                    rows["y_sum"].append(sum(yp))
-                    rows["y_min"].append(min(yp))
-                    rows["y_max"].append(max(yp))
-                    rows["uv_sum"].append(sum(uv))
+                    rows["y_sum"].append(int(yp.sum(dtype=np.int64)))
+                    rows["y_min"].append(int(yp.min()))
+                    rows["y_max"].append(int(yp.max()))
+                    rows["uv_sum"].append(int(uv.sum(dtype=np.int64)))
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, schema=_Y4M_FRAME_SCHEMA)
@@ -1402,13 +1483,21 @@ def synthesize_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def _gif(ids: pd.Series) -> pd.Series:
         import struct
 
+        import numpy as np
+
         palette = bytes(v for i in range(256) for v in (i, i, i))
+        # Vectorized index-raster synthesis (guide §4.2); the LZW
+        # entropy coder below stays sequential — a dictionary coder's
+        # state is inherently serial per stream.
+        idx13 = 13 * np.arange(14 * 10, dtype=np.int64)
         out = []
         for mid in ids:
             mid = int(mid)
             w, h = 6 + mid % 9, 6 + mid % 5
-            pixels = bytes(
-                (mid * 37 + i * 13) % 256 for i in range(w * h)
+            pixels = (
+                ((mid * 37 + idx13[: w * h]) % 256)
+                .astype(np.uint8)
+                .tobytes()
             )
             lzw = _lzw_encode(pixels)
             blocks = bytearray()
@@ -1498,15 +1587,18 @@ def decode_gif(media: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k.name: [] for k in _GIF_STATS_SCHEMA.fields}
+            import numpy as np
+
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, raster = _parse_gif(bytes(payload))
+                a = np.frombuffer(raster, dtype=np.uint8)
                 rows["media_id"].append(media_id)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["n_pixels"].append(len(raster))
-                rows["px_sum"].append(sum(raster))
-                rows["px_min"].append(min(raster))
-                rows["px_max"].append(max(raster))
+                rows["px_sum"].append(int(a.sum(dtype=np.int64)))
+                rows["px_min"].append(int(a.min()))
+                rows["px_max"].append(int(a.max()))
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, schema=_GIF_STATS_SCHEMA)
@@ -2281,8 +2373,9 @@ def wav_frame_features(media: DataFrame, frame_len: int = 160) -> DataFrame:
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
-        import struct
         import wave
+
+        import numpy as np
 
         for pdf in batches:
             rows = {k.name: [] for k in _WAV_FRAME_SCHEMA.fields}
@@ -2298,22 +2391,32 @@ def wav_frame_features(media: DataFrame, frame_len: int = 160) -> DataFrame:
                             f"wav_frame_features: media {media_id} is "
                             f"{ch}ch/{8 * width}-bit; only mono PCM16"
                         )
-                    samples = struct.unpack(f"<{n}h", w.readframes(n))
+                    frames_b = w.readframes(n)
                 nf = n // frame_len
-                for f in range(nf):
-                    fr = samples[f * frame_len : (f + 1) * frame_len]
-                    rows["media_id"].append(media_id)
-                    rows["frame_idx"].append(f)
-                    rows["n_frames"].append(nf)
-                    rows["energy"].append(sum(s * s for s in fr))
-                    rows["zcr"].append(
-                        sum(
-                            1
-                            for a, b in zip(fr, fr[1:])
-                            if (a < 0) != (b < 0)
-                        )
-                    )
-                    rows["peak"].append(max(abs(s) for s in fr))
+                if not nf:
+                    continue
+                # Vectorized per-frame features (guide §4.2): one
+                # (nf, frame_len) int64 view computes Σs², the
+                # within-frame sign-alternation count, and max |s| for
+                # EVERY frame at once — exact integers, identical to
+                # the former per-sample generator expressions.
+                a = (
+                    np.frombuffer(frames_b, dtype="<i2")[
+                        : nf * frame_len
+                    ]
+                    .astype(np.int64)
+                    .reshape(nf, frame_len)
+                )
+                neg = a < 0
+                energy = (a * a).sum(axis=1)
+                zcr = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+                peak = np.abs(a).max(axis=1)
+                rows["media_id"].extend([media_id] * nf)
+                rows["frame_idx"].extend(range(nf))
+                rows["n_frames"].extend([nf] * nf)
+                rows["energy"].extend(int(v) for v in energy)
+                rows["zcr"].extend(int(v) for v in zcr)
+                rows["peak"].extend(int(v) for v in peak)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(feats, schema=_WAV_FRAME_SCHEMA)
