@@ -743,7 +743,14 @@ def embedding_near_dup_pairs(
         )
         .select(id_col, "table_id", "bucket", "extra")
     )
-    refined = light.unionByName(heavy_rows)
+    # Pinned (r11, guide §5 / §2.3): the candidate self-join reads
+    # `refined` from BOTH sides, and each side evaluates both union
+    # branches — without materialization the expensive interpreted
+    # refine-plane folds (and the light/heavy branch joins) ran SIX
+    # times (4 branch evaluations + 2 join-side shuffles; measured
+    # ~250 CPU-s of the ~290 CPU-s total at sf0.1).  One
+    # materialization, every consumer reads the cache.
+    refined = _persist(light.unionByName(heavy_rows))
     a = refined.select(
         F.col(id_col).alias("id_a"), "table_id", "bucket", "extra"
     )

@@ -939,9 +939,11 @@ def pq_topk(
     encode = one map-side-combined shuffle; scoring = codes ⋈
     broadcast(LUT) then a (query, cand) partial agg — the shuffled
     rows carry (ids, one double), never vectors.  The per-pair sum
-    folds in subspace order (collect → sort → fold) so scores are
-    bit-reproducible; production would use plain SUM (≤1 ulp drift)
-    — same plan, cheaper agg.
+    pivots the m LUT hits into fixed columns (one first(when(s=i))
+    per subspace — a codegen'd HashAggregate) and adds them in a
+    left-nested chain, the identical IEEE order of a subspace-sorted
+    fold, so scores are bit-reproducible; production would use plain
+    SUM (≤1 ulp drift) — same plan, cheaper agg.
 
     Scale note: the encode is a vectorized Arrow ``mapInPandas``
     stage since round 9 — numpy argmin over the closure-shipped
@@ -1005,15 +1007,32 @@ def pq_topk(
             "query_id", "s", "code", F.expr(_dot_fold("qs", "cw")).alias("pdot")
         )
     )
+    # Fixed-width pivot instead of collect_list + array_sort +
+    # interpreted fold (r11, guide §2.3): every (query, cand) group
+    # holds EXACTLY one LUT hit per subspace s ∈ [0, m), so m
+    # first(when(s = i)) aggregates pivot the group into m columns —
+    # a codegen'd HashAggregate with no per-group array allocation —
+    # and the left-nested addition chain ((0.0 + p0) + p1) + … is the
+    # identical IEEE fold order the sorted-fold spelling evaluated.
+    # Scoring is the stage that rides the full candidate volume at
+    # scale; the ObjectHashAggregate this replaces was the one
+    # codegen break in the pipeline.
+    pivot = [
+        F.first(
+            F.when(F.col("s") == i, F.col("pdot")), ignorenulls=True
+        ).alias(f"__p{i}")
+        for i in range(m)
+    ]
+    chain = "cast(0.0 as double)"
+    for i in range(m):
+        chain = f"({chain} + __p{i})"
     scored = (
         codes.join(F.broadcast(lut), ["s", "code"])
         .where(F.col("__id") != F.col("query_id"))
         .groupBy("query_id", F.col("__id").alias("cand_id"))
-        .agg(
-            F.expr(
-                "aggregate(array_sort(collect_list(struct(s, pdot))), "
-                "cast(0.0 as double), (acc, x) -> acc + x.pdot)"
-            ).alias("approx_cos")
+        .agg(*pivot)
+        .select(
+            "query_id", "cand_id", F.expr(chain).alias("approx_cos")
         )
     )
     return topk_per_group(

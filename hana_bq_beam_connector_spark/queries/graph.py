@@ -190,29 +190,34 @@ def graph_reachability_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Co-purchase pair mining (bipartite projection of the "
     "order-part graph): parts bought together in the same order, "
     "top-20 pairs by order count — the co-occurrence feature build "
-    "behind 'frequently bought together'.  The self-join is an "
-    "equi-join on the order key, so the pair fan-out per order is "
-    "bounded by basket size squared (baskets are small; a pathological "
-    "mega-basket would be capped or salted) — never a cross join; "
+    "behind 'frequently bought together'.  Baskets materialize as "
+    "per-order sorted item arrays (one exchange) and pairs expand "
+    "in-partition, so the fan-out per order is bounded by basket "
+    "size squared (baskets are small; a pathological mega-basket "
+    "would be capped or salted) — never a cross join; "
     "pair counts partial-aggregate map-side; the final top-k is "
     "TakeOrdered over already-reduced pair counts, no global sort.",
 )
 def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    op = (
+    from hana_bq_beam_connector_spark.queries.rec import _PAIR_ARR
+
+    # Basket-array reshape (r11, guide §2.4 — same move as the rec
+    # family): ONE exchange by l_orderkey with in-agg dedup, then
+    # in-partition pair expansion from the sorted item array, instead
+    # of a distinct shuffle plus BOTH self-join sides re-shuffling by
+    # l_orderkey.  Identical pair multiset (sorted set ⇒ p1 < p2).
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
     )
-    a = op.alias("a")
-    b = op.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    pairs = (
+        baskets.select(F.explode_outer(F.expr(_PAIR_ARR)).alias("pr"))
+        .where(F.col("pr").isNotNull())
+        .select("pr.p1", "pr.p2")
     )
     counted = pairs.groupBy("p1", "p2").agg(
         F.count(F.lit(1)).alias("n_orders")

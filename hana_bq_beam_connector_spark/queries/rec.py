@@ -16,11 +16,12 @@ integer products are bounded by N² (N = distinct baskets): past
 N ~ 3e9 a raise_error guard fires in every session mode rather than
 letting int64 wrap.
 
-Scale shapes: the basket self-join is an EQUI-join on the order key
-(pair fan-out bounded by basket size squared — baskets are small;
-a pathological mega-basket is the salting/AQE case), pair counts
-partial-aggregate map-side, item supports ride the same distinct
-(basket, item) frame, and user-level candidate generation joins the
+Scale shapes: baskets materialize ONCE as per-order sorted item
+arrays (one exchange by order key), pairs expand in-partition from
+each array (fan-out bounded by basket size squared — baskets are
+small; a pathological mega-basket is the salting/AQE case), pair
+counts partial-aggregate map-side, item supports explode from the
+same pinned frame, and user-level candidate generation joins the
 user's items to the BOUNDED top-k neighbor lists (3 candidate edges
 per owned item), never to the full pair table.
 """
@@ -53,41 +54,57 @@ _SQL_PAIRS = f"""
 _N_BASKET_GUARD = 3_000_000_000  # N^2 must stay inside int64
 
 
-def _op(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hana_bq_beam_connector_spark.operators._common import (
         persist_reused,
     )
 
-    # Stage-checkpointed: every query in the family reads this frame
-    # from 3–4 branches (both pair-join sides, supports, totals) —
-    # without eager materialization the broadcast threads recompute
-    # the distinct once per branch (measured 2.2x end-to-end on the
-    # neighbor-list build at sf0.1).
+    # Basket-array reshape (r11, guide §2.3/§2.4): ONE exchange by
+    # l_orderkey with an in-agg collect_set replaces the former
+    # distinct-(basket, item) frame that the pair build then
+    # re-shuffled by l_orderkey TWICE (both self-join sides; measured
+    # 93 CPU-s of the 250 CPU-s rec_item_lift_topk total at sf0.1).
+    # Pairs now expand IN-PARTITION from the sorted item array
+    # (C(b,2) ≤ C(7,2) structs per TPC-H basket — bounded by basket
+    # size, the same fan-out the self-join produced), and supports
+    # explode from the same pinned frame.  sort_array gives p1 < p2
+    # by construction.  Stage-checkpointed: every query in the family
+    # reads this frame from 2–4 branches.
     return persist_reused(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
     )
 
 
-def _supp(op: DataFrame) -> DataFrame:
-    return op.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_item")
-    )
-
-
-def _pairs(op: DataFrame) -> DataFrame:
-    a, b = op.alias("a"), op.alias("b")
+def _supp(baskets: DataFrame) -> DataFrame:
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-        )
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    )
+
+
+# All unordered in-basket pairs (p1 < p2) from the sorted item array.
+# explode_outer + IS NOT NULL instead of a plain explode: the outer
+# generator is exempt from InferFiltersFromGenerate, so the pair
+# array is built once per basket instead of twice (see
+# operators/_common.explode_nonempty), and single-item baskets (empty
+# pair array) drop via the null filter.
+_PAIR_ARR = (
+    "flatten(transform(items, (x, i) -> "
+    "transform(slice(items, i + 2, size(items)), "
+    "y -> named_struct('p1', x, 'p2', y))))"
+)
+
+
+def _pairs(baskets: DataFrame) -> DataFrame:
+    return (
+        baskets.select(F.explode_outer(F.expr(_PAIR_ARR)).alias("pr"))
+        .where(F.col("pr").isNotNull())
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
     )
 
@@ -127,12 +144,12 @@ def _pairs(op: DataFrame) -> DataFrame:
     "pairs; the 1-row basket total broadcasts.",
 )
 def rec_item_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    op = _op(spark, sf_dir)
-    supp = _supp(op)
-    pairs = _pairs(op).where(F.col("n_ab") >= 3)
-    tot = op.agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("n")
-    )
+    b = _baskets(spark, sf_dir)
+    supp = _supp(b)
+    pairs = _pairs(b).where(F.col("n_ab") >= 3)
+    # one row per distinct l_orderkey by construction, so the basket
+    # count IS COUNT(DISTINCT l_orderkey)
+    tot = b.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     sa = supp.alias("sa")
     sb = supp.alias("sb")
     scored = (
@@ -196,9 +213,9 @@ def _neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         persist_reused,
     )
 
-    op = _op(spark, sf_dir)
-    supp = persist_reused(_supp(op))  # read twice (both join sides)
-    p = _pairs(op)
+    b = _baskets(spark, sf_dir)
+    supp = persist_reused(_supp(b))  # read twice (both join sides)
+    p = _pairs(b)
     sym = p.select(
         F.col("p1").alias("anchor"),
         F.col("p2").alias("neighbor"),
@@ -306,15 +323,15 @@ def rec_item_jaccard_neighbors(
 def rec_also_bought_confidence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    op = _op(spark, sf_dir)
-    supp = _supp(op)
+    b = _baskets(spark, sf_dir)
+    supp = _supp(b)
     wp = Window.orderBy(F.col("n_item").desc(), "item")
     anchors = (
         supp.withColumn("prnk", F.row_number().over(wp))
         .where(F.col("prnk") <= 10)
         .select("item", "n_item")
     )
-    p = _pairs(op)
+    p = _pairs(b)
     sym = p.select(
         F.col("p1").alias("anchor"), F.col("p2").alias("other"), "n_ab"
     ).unionAll(
@@ -388,10 +405,18 @@ def rec_also_bought_confidence(
 )
 def rec_user_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    # owned rides the pinned basket frame (r11): join orders to the
+    # per-order item array and explode, instead of re-scanning
+    # lineitem and shuffling the full (custkey, item) log into a
+    # second distinct from scratch — lineitem is read once per query
+    # family, and the join carries one array row per order.
     owned = (
-        o.join(li, li["l_orderkey"] == o["o_orderkey"])
-        .select("o_custkey", F.col("l_partkey").alias("item"))
+        _baskets(spark, sf_dir)
+        .join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", F.explode("items").alias("item"))
         .distinct()
     )
     nb = _neighbors(spark, sf_dir)
@@ -458,8 +483,8 @@ def rec_user_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rec_coverage_popularity_bias(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    op = _op(spark, sf_dir)
-    supp = _supp(op)
+    b = _baskets(spark, sf_dir)
+    supp = _supp(b)
     wd = Window.orderBy("n_item", "item")
     deciles = supp.select(
         "item", "n_item", F.ntile(10).over(wd).alias("pop_decile")
