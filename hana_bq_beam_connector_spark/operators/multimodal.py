@@ -90,6 +90,36 @@ def documents_as_media(df: DataFrame) -> DataFrame:
     )
 
 
+def _payload_stats(media: DataFrame, schema, per_payload) -> DataFrame:
+    """1:1 payload→stats decode spelled as a scalar (series→series)
+    pandas UDF over ONLY the payload column (r11, guide §4).
+
+    Every fixed-arity decoder in the suite is a pure function of the
+    payload bytes; emitting the stats as ONE struct column lets
+    ExtractPythonUDFs *chain* the decoder with an upstream
+    synthesizer UDF into a single ArrowEvalPython node — one Python
+    worker per task instead of two, and the payload bytes never
+    round-trip through the JVM between synth and decode.  ``schema``
+    is the op's public output schema (media_id first); ``per_payload``
+    returns the stat values in that field order.  Rows 1:1, values
+    identical to the former mapInPandas spelling."""
+    fields = [f for f in schema.fields if f.name != "media_id"]
+    names = [f.name for f in fields]
+
+    @F.pandas_udf(StructType(fields))
+    def st(payloads: pd.Series) -> pd.DataFrame:
+        rows = {n: [] for n in names}
+        for payload in payloads:
+            for n, v in zip(names, per_payload(bytes(payload))):
+                rows[n].append(v)
+        return pd.DataFrame(rows)
+
+    return media.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        st(F.col("payload")).alias("__st"),
+    ).select("media_id", "__st.*")
+
+
 _PGM_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -202,38 +232,27 @@ def _parse_ppm(data: bytes) -> tuple[int, int, bytes]:
 def decode_pgm(media: DataFrame) -> DataFrame:
     """REAL image decode: binary PGM payload → per-image pixel stats.
 
-    Same mapInPandas stage shape as every decoder in the suite —
-    swapping one parser body for another (or for a PIL call) changes
-    no schema, partitioning, or caller.  Stats are exact integers
-    (sum/min/max over raster bytes) so the oracle comparison is
-    bit-strict."""
+    Same chainable stats-UDF stage shape as every decoder in the
+    suite (see ``_payload_stats``) — swapping one parser body for
+    another (or for a PIL call) changes no schema, partitioning, or
+    caller.  Stats are exact integers (sum/min/max over raster
+    bytes) so the oracle comparison is bit-strict."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode(payload: bytes):
         import numpy as np
 
-        for pdf in batches:
-            rows = {
-                "media_id": [],
-                "width": [],
-                "height": [],
-                "n_pixels": [],
-                "px_sum": [],
-                "px_min": [],
-                "px_max": [],
-            }
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, raster = _parse_pgm(bytes(payload))
-                a = np.frombuffer(raster, dtype=np.uint8)
-                rows["media_id"].append(media_id)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["n_pixels"].append(len(raster))
-                rows["px_sum"].append(int(a.sum(dtype=np.int64)))
-                rows["px_min"].append(int(a.min()))
-                rows["px_max"].append(int(a.max()))
-            yield pd.DataFrame(rows)
+        w, h, raster = _parse_pgm(payload)
+        a = np.frombuffer(raster, dtype=np.uint8)
+        return (
+            w,
+            h,
+            len(raster),
+            int(a.sum(dtype=np.int64)),
+            int(a.min()),
+            int(a.max()),
+        )
 
-    return media.mapInPandas(decode, schema=_PGM_STATS_SCHEMA)
+    return _payload_stats(media, _PGM_STATS_SCHEMA, decode)
 
 
 _WAV_STATS_SCHEMA = StructType(
@@ -304,47 +323,35 @@ def decode_wav(media: DataFrame) -> DataFrame:
     not silent garbage, for anything else.  Exact integer stats
     (Σ|s|, peak) keep the oracle comparison bit-strict."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode(payload: bytes):
         import io
         import wave
 
         import numpy as np
 
-        for pdf in batches:
-            rows = {k.name: [] for k in _WAV_STATS_SCHEMA.fields}
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                    ch, width, rate, n = (
-                        w.getnchannels(),
-                        w.getsampwidth(),
-                        w.getframerate(),
-                        w.getnframes(),
-                    )
-                    if ch != 1 or width != 2:
-                        raise ValueError(
-                            f"decode_wav: media {media_id} is "
-                            f"{ch}ch/{8 * width}-bit; only mono PCM16 "
-                            "is supported"
-                        )
-                    frames = w.readframes(n)
-                # Vectorized |s| stats (guide §4.2; the former
-                # per-sample generator expressions were ~75% of this
-                # stage's task time).  Widen to int64 BEFORE abs so
-                # -32768 cannot wrap.
-                a = np.abs(
-                    np.frombuffer(frames, dtype="<i2").astype(np.int64)
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            ch, width, rate, n = (
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getframerate(),
+                w.getnframes(),
+            )
+            if ch != 1 or width != 2:
+                raise ValueError(
+                    f"decode_wav: media is "
+                    f"{ch}ch/{8 * width}-bit; only mono PCM16 "
+                    "is supported"
                 )
-                rows["media_id"].append(media_id)
-                rows["sample_rate"].append(rate)
-                rows["n_channels"].append(ch)
-                rows["n_samples"].append(n)
-                rows["abs_sum"].append(int(a.sum()))
-                # A zero-frame WAV is legal; peak of silence is 0,
-                # not a bare max()-of-empty ValueError.
-                rows["peak"].append(int(a.max()) if a.size else 0)
-            yield pd.DataFrame(rows)
+            frames = w.readframes(n)
+        # Vectorized |s| stats (guide §4.2; the former per-sample
+        # generator expressions were ~75% of this stage's task
+        # time).  Widen to int64 BEFORE abs so -32768 cannot wrap.
+        a = np.abs(np.frombuffer(frames, dtype="<i2").astype(np.int64))
+        # A zero-frame WAV is legal; peak of silence is 0, not a
+        # bare max()-of-empty ValueError.
+        return (rate, ch, n, int(a.sum()), int(a.max()) if a.size else 0)
 
-    return media.mapInPandas(decode, schema=_WAV_STATS_SCHEMA)
+    return _payload_stats(media, _WAV_STATS_SCHEMA, decode)
 
 
 def _sniff_image_header(data: bytes) -> tuple[str, int, int, int]:
@@ -572,34 +579,31 @@ def resize_box(
     if factor < 1:
         raise ValueError(f"resize factor must be >= 1, got {factor}")
 
-    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {k.name: [] for k in _RESIZE_STATS_SCHEMA.fields}
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                a = _raster_array(bytes(payload), parse)
-                h, w = a.shape
-                oh, ow = h // factor, w // factor
-                if oh == 0 or ow == 0:
-                    raise ValueError(
-                        f"image {w}x{h} smaller than box factor {factor}"
-                    )
-                q = (
-                    a[: oh * factor, : ow * factor]
-                    .reshape(oh, factor, ow, factor)
-                    .sum(axis=(1, 3))
-                    // (factor * factor)
-                )
-                rows["media_id"].append(media_id)
-                rows["in_width"].append(w)
-                rows["in_height"].append(h)
-                rows["width"].append(ow)
-                rows["height"].append(oh)
-                rows["px_sum"].append(int(q.sum()))
-                rows["px_min"].append(int(q.min()))
-                rows["px_max"].append(int(q.max()))
-            yield pd.DataFrame(rows)
+    def rs(payload: bytes):
+        a = _raster_array(payload, parse)
+        h, w = a.shape
+        oh, ow = h // factor, w // factor
+        if oh == 0 or ow == 0:
+            raise ValueError(
+                f"image {w}x{h} smaller than box factor {factor}"
+            )
+        q = (
+            a[: oh * factor, : ow * factor]
+            .reshape(oh, factor, ow, factor)
+            .sum(axis=(1, 3))
+            // (factor * factor)
+        )
+        return (
+            w,
+            h,
+            ow,
+            oh,
+            int(q.sum()),
+            int(q.min()),
+            int(q.max()),
+        )
 
-    return media.mapInPandas(rs, schema=_RESIZE_STATS_SCHEMA)
+    return _payload_stats(media, _RESIZE_STATS_SCHEMA, rs)
 
 
 def raster_hist_features(
@@ -715,44 +719,39 @@ def wav_decimate_box(media: DataFrame, factor: int = 2) -> DataFrame:
     if factor < 1:
         raise ValueError(f"decimation factor must be >= 1, got {factor}")
 
-    def dc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def dc(payload: bytes):
         import io
         import wave
 
         import numpy as np
 
-        for pdf in batches:
-            rows = {k.name: [] for k in _WAV_DECIMATE_SCHEMA.fields}
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                    ch, width, rate, n = (
-                        w.getnchannels(),
-                        w.getsampwidth(),
-                        w.getframerate(),
-                        w.getnframes(),
-                    )
-                    if ch != 1 or width != 2:
-                        raise ValueError(
-                            f"wav_decimate_box: media {media_id} is "
-                            f"{ch}ch/{8 * width}-bit; only mono PCM16 "
-                            "is supported"
-                        )
-                    frames_b = w.readframes(n)
-                a = np.frombuffer(frames_b, dtype="<i2").astype(np.int64)
-                n_out = n // factor
-                q = a[: n_out * factor].reshape(n_out, factor).sum(axis=1)
-                rows["media_id"].append(media_id)
-                rows["sample_rate_in"].append(rate)
-                rows["sample_rate_out"].append(rate // factor)
-                rows["n_in"].append(n)
-                rows["n_out"].append(n_out)
-                rows["abs_sum"].append(int(np.abs(q).sum()))
-                rows["peak"].append(
-                    int(np.abs(q).max()) if n_out else 0
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            ch, width, rate, n = (
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getframerate(),
+                w.getnframes(),
+            )
+            if ch != 1 or width != 2:
+                raise ValueError(
+                    f"wav_decimate_box: media is "
+                    f"{ch}ch/{8 * width}-bit; only mono PCM16 "
+                    "is supported"
                 )
-            yield pd.DataFrame(rows)
+            frames_b = w.readframes(n)
+        a = np.frombuffer(frames_b, dtype="<i2").astype(np.int64)
+        n_out = n // factor
+        q = a[: n_out * factor].reshape(n_out, factor).sum(axis=1)
+        return (
+            rate,
+            rate // factor,
+            n,
+            n_out,
+            int(np.abs(q).sum()),
+            int(np.abs(q).max()) if n_out else 0,
+        )
 
-    return media.mapInPandas(dc, schema=_WAV_DECIMATE_SCHEMA)
+    return _payload_stats(media, _WAV_DECIMATE_SCHEMA, dc)
 
 
 def raster_moments(media: DataFrame, parse=_parse_pgm) -> DataFrame:
@@ -862,34 +861,22 @@ def decode_ppm(media: DataFrame) -> DataFrame:
     exercises; stats are exact integers so the oracle comparison is
     bit-strict."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {
-                "media_id": [],
-                "width": [],
-                "height": [],
-                "n_pixels": [],
-                "r_sum": [],
-                "g_sum": [],
-                "b_sum": [],
-                "px_max": [],
-            }
-            import numpy as np
+    def decode(payload: bytes):
+        import numpy as np
 
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, raster = _parse_ppm(bytes(payload))
-                a = np.frombuffer(raster, dtype=np.uint8)
-                rows["media_id"].append(media_id)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["n_pixels"].append(w * h)
-                rows["r_sum"].append(int(a[0::3].sum(dtype=np.int64)))
-                rows["g_sum"].append(int(a[1::3].sum(dtype=np.int64)))
-                rows["b_sum"].append(int(a[2::3].sum(dtype=np.int64)))
-                rows["px_max"].append(int(a.max()))
-            yield pd.DataFrame(rows)
+        w, h, raster = _parse_ppm(payload)
+        a = np.frombuffer(raster, dtype=np.uint8)
+        return (
+            w,
+            h,
+            w * h,
+            int(a[0::3].sum(dtype=np.int64)),
+            int(a[1::3].sum(dtype=np.int64)),
+            int(a[2::3].sum(dtype=np.int64)),
+            int(a.max()),
+        )
 
-    return media.mapInPandas(decode, schema=_PPM_STATS_SCHEMA)
+    return _payload_stats(media, _PPM_STATS_SCHEMA, decode)
 
 
 # --------------------------------------------------------------------
@@ -1138,24 +1125,21 @@ def decode_png(media: DataFrame) -> DataFrame:
     SAME mapInPandas stage shape as every other decoder.  Exact
     integer stats keep the oracle comparison bit-strict."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {k.name: [] for k in _PNG_STATS_SCHEMA.fields}
-            import numpy as np
+    def decode(payload: bytes):
+        import numpy as np
 
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, raster = _parse_png(bytes(payload))
-                a = np.frombuffer(raster, dtype=np.uint8)
-                rows["media_id"].append(media_id)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["n_pixels"].append(len(raster))
-                rows["px_sum"].append(int(a.sum(dtype=np.int64)))
-                rows["px_min"].append(int(a.min()))
-                rows["px_max"].append(int(a.max()))
-            yield pd.DataFrame(rows)
+        w, h, raster = _parse_png(payload)
+        a = np.frombuffer(raster, dtype=np.uint8)
+        return (
+            w,
+            h,
+            len(raster),
+            int(a.sum(dtype=np.int64)),
+            int(a.min()),
+            int(a.max()),
+        )
 
-    return media.mapInPandas(decode, schema=_PNG_STATS_SCHEMA)
+    return _payload_stats(media, _PNG_STATS_SCHEMA, decode)
 
 
 # --------------------------------------------------------------------
@@ -1584,24 +1568,21 @@ def decode_gif(media: DataFrame) -> DataFrame:
     resets, the cScSc case) — a different entropy-coding family from
     PNG's DEFLATE.  Same mapInPandas stage shape as every decoder."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {k.name: [] for k in _GIF_STATS_SCHEMA.fields}
-            import numpy as np
+    def decode(payload: bytes):
+        import numpy as np
 
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, raster = _parse_gif(bytes(payload))
-                a = np.frombuffer(raster, dtype=np.uint8)
-                rows["media_id"].append(media_id)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["n_pixels"].append(len(raster))
-                rows["px_sum"].append(int(a.sum(dtype=np.int64)))
-                rows["px_min"].append(int(a.min()))
-                rows["px_max"].append(int(a.max()))
-            yield pd.DataFrame(rows)
+        w, h, raster = _parse_gif(payload)
+        a = np.frombuffer(raster, dtype=np.uint8)
+        return (
+            w,
+            h,
+            len(raster),
+            int(a.sum(dtype=np.int64)),
+            int(a.min()),
+            int(a.max()),
+        )
 
-    return media.mapInPandas(decode, schema=_GIF_STATS_SCHEMA)
+    return _payload_stats(media, _GIF_STATS_SCHEMA, decode)
 
 
 # --------------------------------------------------------------------
