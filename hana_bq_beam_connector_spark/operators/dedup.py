@@ -292,10 +292,52 @@ def lsh_candidate_pairs(
 
 
 def jaccard(col_a: str, col_b: str) -> Column:
-    """Exact Jaccard over two BIGINT-array columns (distinct sets)."""
-    inter = F.expr(f"size(array_intersect({col_a}, {col_b}))")
-    union = F.expr(f"size(array_union({col_a}, {col_b}))")
-    return inter.cast("double") / union.cast("double")
+    """Exact Jaccard over two distinct-element array columns.
+
+    ``|A ∪ B|`` is computed arithmetically as ``|A| + |B| - |A ∩ B|``
+    (exact integers for distinct arrays), so each pair pays ONE
+    hash-set pass (``array_intersect``) instead of two (guide §1.2:
+    cheapen the per-task work).  The division is over the same two
+    exact integers as the ``array_union`` spelling — bit-identical
+    result.  The intersection size is bound once via the
+    single-element-transform let idiom so the optimizer cannot
+    duplicate the expensive subtree."""
+    return F.expr(
+        f"element_at(transform("
+        f"array(size(array_intersect({col_a}, {col_b}))), "
+        f"i -> cast(i as double) / "
+        f"cast(size({col_a}) + size({col_b}) - i as double)), 1)"
+    )
+
+
+def jaccard_ge(col_a: str, col_b: str, threshold: float) -> Column:
+    """Boolean ``jaccard(col_a, col_b) >= threshold``, cheaper.
+
+    Two-step short-circuit (guide §1.2/§2.3 — run the O(1) test
+    first, skip the expensive one):
+
+    1. size-ratio prefilter: J = i/u with i = |A∩B| ≤ min(|A|,|B|)
+       and u = |A∪B| ≥ max(|A|,|B|), so J ≤ min/max in the reals.
+       Both J and min/max are correctly-rounded IEEE quotients of
+       exact integers and rounding is monotone, so
+       fl(J) ≥ t ⟹ fl(min/max) ≥ t: the prefilter can NEVER reject
+       a pair the plain predicate accepts, at any threshold.  Pairs
+       failing it (most random pairs at t = 0.8 — measured 77% of
+       the recall-audit truth pairs at sf0.1) skip the
+       ``array_intersect`` hash-set pass entirely.
+    2. survivors evaluate :func:`jaccard` (one intersect pass, union
+       arithmetic) against the same literal.
+
+    Edge cases follow the plain spelling bit-for-bit: 0/0 = NaN
+    compares greater than any threshold in both engines; NULL arrays
+    yield NULL and the row is dropped either way."""
+    sa = F.expr(f"size({col_a})")
+    sb = F.expr(f"size({col_b})")
+    pre = (
+        F.least(sa, sb).cast("double") / F.greatest(sa, sb).cast("double")
+        >= F.lit(threshold)
+    )
+    return pre & (jaccard(col_a, col_b) >= F.lit(threshold))
 
 
 def minhash_near_dup_pairs(
@@ -323,11 +365,14 @@ def minhash_near_dup_pairs(
     sets_b = hashed.select(
         F.col(id_col).alias("id_b"), F.col("shingle_hashes").alias("sh_b")
     )
+    # jaccard_ge's size-ratio prefilter gates the expensive intersect;
+    # survivors (few) recompute it once more for the output value —
+    # cheaper than running the full fold on every candidate.
     return (
         cands.join(sets_a, "id_a")
         .join(sets_b, "id_b")
+        .where(jaccard_ge("sh_a", "sh_b", threshold))
         .withColumn("jaccard", jaccard("sh_a", "sh_b"))
-        .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -407,7 +452,7 @@ def incremental_near_dup_filter(
             ),
             "corpus_id",
         )
-        .where(jaccard("sh_a", "sh_b") >= threshold)
+        .where(jaccard_ge("sh_a", "sh_b", threshold))
         .select("new_id")
         .distinct()
     )

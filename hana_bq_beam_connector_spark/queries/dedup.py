@@ -22,6 +22,7 @@ from hana_bq_beam_connector_spark.functions.hashing import (
 from hana_bq_beam_connector_spark.operators.dedup import (
     hamming,
     jaccard,
+    jaccard_ge,
     keep_first_by_key,
     minhash_near_dup_pairs,
     near_dup_clusters,
@@ -280,9 +281,10 @@ def dedup_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").alias("rn_b"),
         F.col("bkt").alias("bkt_b"),
     )
-    jac = F.expr("size(array_intersect(ws_a, ws_b))").cast(
-        "double"
-    ) / F.expr("size(array_union(ws_a, ws_b))").cast("double")
+    # jaccard_ge's size-ratio prefilter gates the intersect pass; the
+    # survivors recompute the identical value (union size is
+    # |A|+|B|-|A∩B| — same exact integers as the array_union
+    # spelling, so the emitted double is bit-identical).
     return (
         a.join(
             b,
@@ -290,8 +292,8 @@ def dedup_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("pbkt") == F.col("bkt_b")),
         )
         .where((F.col("rn_b") - F.col("rn_a")).between(1, W))
-        .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= 0.6)
+        .where(jaccard_ge("ws_a", "ws_b", 0.6))
+        .withColumn("jaccard", jaccard("ws_a", "ws_b"))
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -1100,7 +1102,7 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("salt_a") == F.col("salt_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .where(jaccard("sh_a", "sh_b") >= 0.8)
+        .where(jaccard_ge("sh_a", "sh_b", 0.8))
         .select("id_a", "id_b")
     )
 
@@ -1144,7 +1146,7 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sets_b, "id_b")
         .where(
             (F.col("la") == F.col("lb"))
-            & (jaccard("sh_a", "sh_b") >= 0.8)
+            & jaccard_ge("sh_a", "sh_b", 0.8)
         )
         .select("id_a", "id_b")
     )

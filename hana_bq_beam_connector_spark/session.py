@@ -22,6 +22,22 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-plan (coalesce) stages that READ cached frames.  The
+    # upstream default (false) preserves a cached plan's output
+    # partitioning for consumers that rely on it — none here do — at
+    # the cost of pinning every persisted frame's stage count to the
+    # static shuffle.partitions even when the frame is a few hundred
+    # rows.  The iterative operators (label propagation, capacity
+    # refinement, PQ/rec pinned stages) re-read small cached frames
+    # dozens of times per query; with the default each read schedules
+    # 32 near-empty tasks per stage (measured: 230-task jobs by round
+    # 5 of dedup_cluster_canonical).  Scale-neutral: AQE sizes
+    # post-shuffle partitions from runtime BYTES, so big cached
+    # frames keep their parallelism on a cluster.  Measured r11
+    # medians (alternating A/B, same session): dedup_cluster_canonical
+    # 15.2→9.9 s, dedup_cluster_survivor_policy 7.3→5.4,
+    # sim_pq_topk 7.0→5.7, dedup_embedding_cosine neutral.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.session.timeZone": "UTC",
     # Current testdata events.ts is TIMESTAMP(MICROS) NTZ, which this
     # conf does not touch.  It is kept ONLY for the legacy layout the
