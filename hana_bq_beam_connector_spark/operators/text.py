@@ -117,14 +117,30 @@ def tf_idf_scores(
     The classical log() is not correctly-rounded across engines, so the
     raw rational N/df keeps ranking semantics and bit-exact oracles.
     Two shuffles: (doc, term) counts, then term document frequencies.
+
+    df(term) is a COUNT window over the tf frame, not a groupBy +
+    self-join: the join spelling consumed tf from two branches with
+    different required distributions, so each branch re-ran the whole
+    tokenize/explode scan (measured: two ~2 s stages at sf0.1, the
+    query's dominant cost) and then paid a third exchange for the
+    join.  The window reuses the single term-partitioned exchange the
+    doc-frequency needs anyway — one tokenize pass, two exchanges
+    total, identical integers out (guide §2.4).
     """
+    from pyspark.sql.window import Window
+
     n_docs = df.count()  # driver-side scalar; one job
     terms = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return tf.join(dfreq, "term").select(
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    return tf.select(
+        id_col,
+        "term",
+        "tf",
+        dfreq.alias("df"),
+    ).select(
         id_col,
         "term",
         "tf",
