@@ -369,33 +369,63 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    sim_col: str | None = None,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by dot
     product (== cosine when both sides are L2-normalized via
-    :func:`unit`; ties broken on centroid id).
+    :func:`unit`; ties broken on centroid id).  ``sim_col`` optionally
+    keeps the winning dot product as a column.
 
-    Centroids broadcast (there are only dozens-to-thousands even at
-    10^10 vectors), so assignment is one scan of the corpus with no
-    shuffle of the vectors; the window that picks the top-``n_probe``
-    centroids partitions by vector id — tiny per-group state."""
-    c = F.broadcast(
+    Centroids broadcast as ONE aggregated row holding the sorted
+    (centroid_id, cvec) struct array, and the top-``n_probe`` pick is
+    an in-expression sort over that array (guide §2.4): the previous
+    crossJoin + ROW_NUMBER window spelling fanned every vector into
+    n_centroids rows and shuffled ALL of them — vectors included —
+    through an Exchange just to rank per vector id.  At 10^10 vectors
+    that is n_centroids × corpus bytes through the wire for a
+    decision that is purely row-local.  Now assignment is a narrow
+    projection over the corpus scan: zero Exchange, zero Window, same
+    rows out.  Ordering parity with the window spelling: the
+    comparator ranks sim DESC then centroid_id ASC with strict
+    ``>``/``<`` double compares — dot folds of finite unit vectors
+    never produce NaN, and a left fold seeded with +0.0 can never
+    return -0.0, so the comparator agrees with the SortOrder total
+    order on every reachable value."""
+    cents_row = F.broadcast(
         centroids.select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
         )
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("centroid_id", "cvec"))
+            ).alias("__cents")
+        )
     )
-    scored = df.crossJoin(c).select(
-        *df.columns,
-        "centroid_id",
-        dot(vec_col, "cvec").alias("__csim"),
+    scored_arr = (
+        "transform(__cents, c -> "
+        f"struct({_dot_fold(vec_col, 'c.cvec')} AS sim, "
+        "c.centroid_id AS cid))"
     )
-    ranked = topk_per_group(
-        scored,
-        partition_by=[id_col],
-        order=[F.col("__csim").desc(), F.col("centroid_id").asc()],
-        k=n_probe,
-        rank_col="__crank",
+    cmp = (
+        "(l, r) -> CASE WHEN l.sim > r.sim THEN -1 "
+        "WHEN l.sim < r.sim THEN 1 "
+        "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 "
+        "ELSE 0 END"
     )
-    return ranked.drop("__csim", "__crank")
+    picked = f"slice(array_sort({scored_arr}, {cmp}), 1, {n_probe})"
+    extra = (
+        [F.col("__pick.sim").alias(sim_col)] if sim_col is not None else []
+    )
+    return (
+        df.crossJoin(cents_row)
+        .select(*df.columns, F.explode(F.expr(picked)).alias("__pick"))
+        .select(
+            *df.columns,
+            F.col("__pick.cid").alias("centroid_id"),
+            *extra,
+        )
+    )
 
 
 def kmeans_centroids(
@@ -730,32 +760,6 @@ def pq_encode_codebook(
     (8×) but another order cheaper, with scoring still
     lookup-table-exact per subspace.
     """
-    seed_cb = (
-        corpus_u.where(F.col(id_col) < ks)
-        .select(
-            F.col(id_col).alias("code"),
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-            F.col(vec_col).alias("__v"),
-        )
-        .select(
-            "s", "code", F.expr(_sub_slice("__v", "s", sub_dim)).alias("cw")
-        )
-    )
-
-    def _collect_cb(cb_df: DataFrame) -> tuple:
-        """Materialize a codebook frame to sorted plain rows — the
-        ONE driver-side collect of the PQ chain (m·ks rows, KBs).
-        Rows are IMMUTABLE tuples: the memo hands the same object to
-        every later build, so a caller mutating a returned row must
-        not be able to corrupt subsequent memoized builds (review
-        r10)."""
-        return tuple(
-            sorted(
-                (int(r["s"]), int(r["code"]), tuple(r["cw"]))
-                for r in cb_df.select("s", "code", "cw").collect()
-            )
-        )
-
     def _assign(cb_rows: list, frame: DataFrame) -> DataFrame:
         # Vectorized Arrow encode (round 9).  History: the original
         # join-then-min spelling materialized n·m·ks rows (204.8M at
@@ -876,41 +880,97 @@ def pq_encode_codebook(
         codes = _assign(cb_rows, corpus_u).select("__id", "s", "code")
         return cb_rows, codes
 
+    # Lloyd refinement runs ENTIRELY driver-side on the bounded
+    # training sample (r11, guide §1.2/§2.4): the sample is ≤ 50k
+    # vectors BY CONSTRUCTION (train_div above), i.e. ≤ ~26 MB — the
+    # same bounded-collect class as the codebook itself — so the
+    # previous distributed spelling (seed-collect job + an Arrow
+    # encode stage + two collect_list shuffles + a second collect,
+    # PER ROUND) bought distribution for work that fits in one
+    # driver array.  One collect of the sample replaces the whole
+    # chain; the numpy/pure-float replay below reproduces the
+    # distributed fold BIT-FOR-BIT: assignment accumulates distances
+    # component-major with first-min argmin over ascending codes
+    # (exactly ``_assign``), and each codeword mean is a strict
+    # left fold over its members' components in ascending __id order
+    # (exactly the ``aggregate(array_sort(vals), 0.0, acc + x.val) /
+    # size(vals)`` spelling — Python float adds are the same IEEE
+    # doubles in the same order).  The full-corpus encode below stays
+    # a distributed Arrow map — that is the part that scales with n.
+    import numpy as np
+
     train = (
         corpus_u
         if train_div <= 1
         else corpus_u.where(F.col(id_col) % train_div == 0)
     )
-    cb_rows = _collect_cb(seed_cb)
+    train_rows = sorted(
+        (r[id_col], r[vec_col])
+        for r in train.select(id_col, vec_col).collect()
+    )
+    t_ids = [r[0] for r in train_rows]
+    t_vecs = np.array([r[1] for r in train_rows], dtype=np.float64)
+    # seeds: first-ks corpus vectors — at train_div == 1 they are the
+    # first ks sample rows (ids 0..ks-1); a thinned sample may lack
+    # some, so fall back to one tiny bounded collect for the rest
+    seed_vecs: dict[int, list] = {
+        i: t_vecs[pos].tolist()
+        for pos, i in enumerate(t_ids)
+        if i < ks
+    }
+    missing = [i for i in range(ks) if i not in seed_vecs]
+    if missing:
+        for r in (
+            corpus_u.where(F.col(id_col) < ks)
+            .select(id_col, vec_col)
+            .collect()
+        ):
+            seed_vecs[r[id_col]] = list(r[vec_col])
+    cb_rows = tuple(
+        sorted(
+            (s, code, tuple(vec[s * sub_dim : (s + 1) * sub_dim]))
+            for code, vec in seed_vecs.items()
+            if code < ks
+            for s in range(m)
+        )
+    )
+
+    def _argmin_codes(cb: tuple, sub: "np.ndarray", s_key: int):
+        """First-min nearest codeword per row — the identical
+        component-major accumulation ``_assign`` runs on executors."""
+        items = sorted(
+            (code, cw) for s_val, code, cw in cb if s_val == s_key
+        )
+        codes_arr = np.array([c for c, _ in items], dtype=np.int64)
+        cw = np.array([w for _, w in items], dtype=np.float64)
+        d = np.zeros((len(sub), len(codes_arr)))
+        for i in range(sub_dim):
+            diff = sub[:, i : i + 1] - cw[None, :, i]
+            d += diff * diff
+        return codes_arr[np.argmin(d, axis=1)]
+
     for _ in range(rounds):
-        assigned = _assign(cb_rows, train)
-        comp = assigned.select(
-            "s", "code", "__id", F.posexplode("sv").alias("pos", "val")
-        )
-        means = (
-            comp.groupBy("s", "code", "pos")
-            .agg(F.collect_list(F.struct("__id", "val")).alias("vals"))
-            .select(
-                "s",
-                "code",
-                "pos",
-                F.expr(
-                    "aggregate(array_sort(vals), cast(0.0 as double), "
-                    "(acc, x) -> acc + x.val) / size(vals)"
-                ).alias("mval"),
-            )
-        )
-        cb_rows = _collect_cb(
-            means.groupBy("s", "code")
-            .agg(F.collect_list(F.struct("pos", "mval")).alias("pm"))
-            .select(
-                "s",
-                "code",
-                F.expr("transform(array_sort(pm), x -> x.mval)").alias("cw"),
-            )
-        )
+        new_rows = []
+        for s_key in range(m):
+            sub = t_vecs[:, s_key * sub_dim : (s_key + 1) * sub_dim]
+            best = _argmin_codes(cb_rows, sub, s_key)
+            for code in np.unique(best):
+                members = sub[best == code]  # rows stay in id order
+                acc = [0.0] * sub_dim
+                for row in members.tolist():
+                    for j in range(sub_dim):
+                        acc[j] += row[j]
+                n_mem = len(members)
+                new_rows.append(
+                    (
+                        s_key,
+                        int(code),
+                        tuple(v / n_mem for v in acc),
+                    )
+                )
         # Empty cells keep no codeword — codes simply never map there
         # (the min over the surviving codebook is still total).
+        cb_rows = tuple(sorted(new_rows))
 
     if plan_key is not None:
         _memo_put(memo, memo_key, cb_rows)

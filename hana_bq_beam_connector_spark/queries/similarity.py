@@ -346,11 +346,8 @@ def sim_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from hana_bq_beam_connector_spark.operators._common import spread
-    from hana_bq_beam_connector_spark.operators.relational import (
-        topk_per_group,
-    )
     from hana_bq_beam_connector_spark.operators.similarity import (
-        dot,
+        ivf_assign,
         kmeans_centroids,
         unit,
     )
@@ -362,17 +359,21 @@ def sim_kmeans_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_centroids(
         corpus_u, vec_col="embedding", dim=DIM, rounds=1
     )
-    scored = corpus_u.crossJoin(F.broadcast(cents)).select(
+    # In-expression argmax over the broadcast centroid array (r11,
+    # guide §2.4): the crossJoin + ROW_NUMBER spelling fanned the
+    # corpus 16× and shuffled it — vectors included — to rank rows
+    # that never leave their vector.  Same (sim DESC, centroid ASC)
+    # order, zero Exchange, zero Window.
+    return ivf_assign(
+        corpus_u,
+        cents.select(
+            F.col("centroid_id").alias("vec_id"),
+            F.col("cvec").alias("embedding"),
+        ),
         "vec_id",
-        "centroid_id",
-        dot("embedding", "cvec").alias("assign_sim"),
-    )
-    return topk_per_group(
-        scored,
-        partition_by=["vec_id"],
-        order=[F.col("assign_sim").desc(), F.col("centroid_id").asc()],
-        k=1,
-        rank_col="__rn",
+        "embedding",
+        n_probe=1,
+        sim_col="assign_sim",
     ).select("vec_id", "centroid_id", "assign_sim")
 
 

@@ -1105,3 +1105,144 @@ def test_lzw_codec_roundtrips_and_rejects():
         _parse_gif(b"JIF89a" + bytes(100))
     with pytest.raises(ValueError, match="descriptor"):
         _parse_gif(b"GIF89a" + bytes(4))
+
+
+def test_ivf_assign_is_narrow_and_matches_window_order(spark):
+    """r11: ivf_assign picks nearest centroids with an in-expression
+    argmax over one broadcast struct-array row — the plan must carry
+    NO Exchange (beyond the broadcast build) and NO Window on the
+    corpus side, and the pick must equal the old crossJoin +
+    ROW_NUMBER(sim DESC, centroid ASC) spelling."""
+    from pyspark.sql.window import Window
+
+    from hana_bq_beam_connector_spark.operators.similarity import (
+        dot,
+        ivf_assign,
+        unit,
+    )
+
+    e = unit(
+        load_table(spark, SF, "embeddings").select("vec_id", "embedding"),
+        "embedding",
+        "uv",
+    ).select("vec_id", F.col("uv").alias("embedding"))
+    cents = e.where(F.col("vec_id") < 16)
+
+    assigned = ivf_assign(e, cents, n_probe=2, sim_col="sim")
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # the only exchange allowed is the BroadcastExchange of the
+    # one-row centroid array (plus its tiny single-partition agg)
+    assert "Exchange hashpartitioning(vec_id" not in plan, plan
+
+    # reference: the pre-r11 window spelling
+    c = F.broadcast(
+        cents.select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__csim").desc(), F.col("centroid_id").asc()
+    )
+    ref = (
+        e.crossJoin(c)
+        .select("vec_id", "centroid_id", dot("embedding", "cvec").alias("__csim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 2)
+    )
+    got = {
+        (r["vec_id"], r["centroid_id"], r["sim"])
+        for r in assigned.select("vec_id", "centroid_id", "sim").collect()
+    }
+    want = {
+        (r["vec_id"], r["centroid_id"], r["__csim"]) for r in ref.collect()
+    }
+    assert got == want
+
+
+def test_pq_driver_lloyd_matches_distributed_spelling(spark):
+    """r11: the Lloyd refinement runs driver-side on the bounded
+    training sample.  Assert the trained codebook is BIT-IDENTICAL to
+    an independent replay of the contract the old distributed
+    spelling implemented (first-min assignment against ascending seed
+    codes, then per-codeword strict left-fold means in ascending id
+    order), including the thinned-sample path (train_div > 1, which
+    exercises the seed fallback for ids missing from the sample).
+    End-to-end parity with the DuckDB SQL fold is separately locked
+    by the sim_pq_topk oracle row."""
+    import numpy as np
+
+    from hana_bq_beam_connector_spark.operators.similarity import (
+        _sub_slice,
+        pq_encode_codebook,
+        spread,
+        unit,
+    )
+
+    m, ks, dim = 8, 16, 64
+    sub_dim = dim // m
+    corpus_u = unit(
+        spread(load_table(spark, SF, "embeddings").select("vec_id", "embedding")),
+        "embedding",
+        "uv",
+    ).select("vec_id", F.col("uv").alias("embedding"))
+
+    def distributed_reference(train_div: int) -> tuple:
+        seed_cb = (
+            corpus_u.where(F.col("vec_id") < ks)
+            .select(
+                F.col("vec_id").alias("code"),
+                F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+                F.col("embedding").alias("__v"),
+            )
+            .select(
+                "s", "code",
+                F.expr(_sub_slice("__v", "s", sub_dim)).alias("cw"),
+            )
+        )
+        cb = tuple(
+            sorted(
+                (int(r["s"]), int(r["code"]), tuple(r["cw"]))
+                for r in seed_cb.collect()
+            )
+        )
+        train = (
+            corpus_u
+            if train_div <= 1
+            else corpus_u.where(F.col("vec_id") % train_div == 0)
+        )
+        rows = sorted(
+            (r["vec_id"], r["embedding"])
+            for r in train.select("vec_id", "embedding").collect()
+        )
+        vecs = np.array([v for _, v in rows], dtype=np.float64)
+        out = []
+        for s_key in range(m):
+            items = sorted((c, w) for sv, c, w in cb if sv == s_key)
+            codes = np.array([c for c, _ in items], dtype=np.int64)
+            cw = np.array([w for _, w in items], dtype=np.float64)
+            sub = vecs[:, s_key * sub_dim : (s_key + 1) * sub_dim]
+            d = np.zeros((len(sub), len(codes)))
+            for i in range(sub_dim):
+                diff = sub[:, i : i + 1] - cw[None, :, i]
+                d += diff * diff
+            best = codes[np.argmin(d, axis=1)]
+            for code in np.unique(best):
+                members = sub[best == code]
+                acc = [0.0] * sub_dim
+                for row in members.tolist():
+                    for j in range(sub_dim):
+                        acc[j] += row[j]
+                out.append(
+                    (s_key, int(code),
+                     tuple(v / len(members) for v in acc))
+                )
+        return tuple(sorted(out))
+
+    for train_div in (1, 3):
+        cb_rows, _codes = pq_encode_codebook(
+            corpus_u, "vec_id", "embedding",
+            m=m, ks=ks, sub_dim=sub_dim, rounds=1, train_div=train_div,
+        )
+        assert cb_rows == distributed_reference(train_div), train_div
