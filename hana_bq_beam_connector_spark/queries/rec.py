@@ -109,6 +109,40 @@ def _pairs(baskets: DataFrame) -> DataFrame:
     )
 
 
+def _sym(pairs: DataFrame, anchor: str, other: str) -> DataFrame:
+    """Symmetrize the aggregated pair frame IN-PARTITION: each (p1,
+    p2, n_ab) row explodes into both directions from a 2-element
+    struct array — one narrow generator over ONE evaluation of the
+    pair aggregation.  The former UNION ALL spelling evaluated the
+    whole pairs subtree (baskets-cache scan + pair explode + count
+    shuffle) once PER BRANCH: broadcast threads kicked both branches
+    off concurrently, and the r11 stage profile showed the two
+    duplicate exchanges side by side (~5.4 CPU-s each at sf0.1).
+    Row multiset is identical (same two rows per pair, order
+    immaterial to the joins/windows downstream); the oracle keeps
+    the UNION ALL spelling.  explode (not _outer): the array is a
+    literal 2-struct constructor over three plain columns, so the
+    InferFiltersFromGenerate re-evaluation trap explode_nonempty
+    documents does not bite — there is no bound intermediate to
+    re-inline, and the inferred filter folds to true."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p1").alias(anchor),
+                    F.col("p2").alias(other),
+                    F.col("n_ab"),
+                ),
+                F.struct(
+                    F.col("p2").alias(anchor),
+                    F.col("p1").alias(other),
+                    F.col("n_ab"),
+                ),
+            )
+        ).alias("e")
+    ).select(f"e.{anchor}", f"e.{other}", "e.n_ab")
+
+
 @register(
     "rec_item_lift_topk",
     f"""
@@ -215,18 +249,7 @@ def _neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     b = _baskets(spark, sf_dir)
     supp = persist_reused(_supp(b))  # read twice (both join sides)
-    p = _pairs(b)
-    sym = p.select(
-        F.col("p1").alias("anchor"),
-        F.col("p2").alias("neighbor"),
-        "n_ab",
-    ).unionAll(
-        p.select(
-            F.col("p2").alias("anchor"),
-            F.col("p1").alias("neighbor"),
-            "n_ab",
-        )
-    )
+    sym = _sym(_pairs(b), "anchor", "neighbor")
     sa = supp.alias("sa")
     sb = supp.alias("sb")
     scored = (
@@ -331,16 +354,7 @@ def rec_also_bought_confidence(
         .where(F.col("prnk") <= 10)
         .select("item", "n_item")
     )
-    p = _pairs(b)
-    sym = p.select(
-        F.col("p1").alias("anchor"), F.col("p2").alias("other"), "n_ab"
-    ).unionAll(
-        p.select(
-            F.col("p2").alias("anchor"),
-            F.col("p1").alias("other"),
-            "n_ab",
-        )
-    )
+    sym = _sym(_pairs(b), "anchor", "other")
     joined = sym.join(
         F.broadcast(anchors), F.col("item") == F.col("anchor")
     )
@@ -404,13 +418,24 @@ def rec_also_bought_confidence(
     "log, independent of catalog size.",
 )
 def rec_user_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hana_bq_beam_connector_spark.operators._common import (
+        persist_reused,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     # owned rides the pinned basket frame (r11): join orders to the
     # per-order item array and explode, instead of re-scanning
     # lineitem and shuffling the full (custkey, item) log into a
     # second distinct from scratch — lineitem is read once per query
     # family, and the join carries one array row per order.
-    owned = (
+    # Pinned (r11 session 3): TWO branches consume it — the candidate
+    # join below and the left-anti novelty filter — and broadcast
+    # threads start both concurrently, so without the pin the
+    # baskets-join + explode + distinct subtree evaluated twice (the
+    # stage profile showed the duplicate 12.3 MB distinct exchanges
+    # side by side, ~13.5 CPU-s each at sf0.1).  The pinned frame is
+    # (custkey, item) ids only — linear in the purchase log.
+    owned = persist_reused(
         _baskets(spark, sf_dir)
         .join(
             o.select("o_orderkey", "o_custkey"),
