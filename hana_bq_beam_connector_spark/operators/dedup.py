@@ -224,15 +224,31 @@ def minhash_signature(
     df: DataFrame, hashes_col: str = "shingle_hashes", n: int = 16
 ) -> DataFrame:
     """Append ``n`` MinHash columns mh0..mh{n-1} (affine permutations
-    of the shingle hashes, functions/hashing.MINHASH_COEFFS)."""
+    of the shingle hashes, functions/hashing.MINHASH_COEFFS).
+
+    Spelled as ONE ``aggregate`` pass folding ``least`` per
+    permutation (r11): the former ``array_min(transform(...))`` made
+    two interpreted passes per permutation — one materializing the
+    permuted array, one scanning it for the min — so each document
+    paid 2·n·|shingles| lambda steps plus n throwaway array
+    allocations.  The fold keeps the identical values (min over the
+    same permuted hashes; shingle hashes are < PRIME ≈ 1e9 and
+    a < PRIME, so a·x + b < 1.1e18 never wraps int64) and the size
+    guard reproduces ``array_min``'s NULL on an empty array exactly
+    (callers feed shingle_hashes output, which is non-empty by its
+    size >= k filter — the guard is one cheap per-row check, not a
+    per-element one).  Microbench at 100 hashes/doc: 1.3×,
+    ``exceptAll`` both ways empty."""
     out = df
+    imax = (1 << 63) - 1
     for i in range(n):
         a, b = MINHASH_COEFFS[i]
         out = out.withColumn(
             f"mh{i}",
             F.expr(
-                f"array_min(transform({hashes_col}, "
-                f"x -> ({a} * x + {b}) % {PRIME}))"
+                f"IF(size({hashes_col}) = 0, cast(null as bigint), "
+                f"aggregate({hashes_col}, cast({imax} as bigint), "
+                f"(acc, x) -> least(acc, ({a} * x + {b}) % {PRIME})))"
             ),
         )
     return out
@@ -479,10 +495,13 @@ def simhash(df: DataFrame, text_col: str, out: str = "simhash") -> DataFrame:
     """
     words = f"array_distinct(split({text_col}, ' '))"
     hashes = f"transform({words}, w -> {spark_polyhash('w')})"
+    # shiftright(x, b) ≡ x div 2^b for the non-negative polyhash
+    # values (∈ [0, PRIME)) — one interpreted op per fold step
+    # instead of shiftleft + div (r11; fingerprints byte-identical).
     vote = (
         "aggregate(xs, cast(0 as bigint), "
         "(vacc, x) -> vacc + CASE WHEN "
-        "(x div shiftleft(cast(1 as bigint), b)) % 2 = 1 "
+        "shiftright(x, b) % 2 = 1 "
         "THEN 1 ELSE -1 END)"
     )
     fingerprint = (
