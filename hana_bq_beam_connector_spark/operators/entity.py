@@ -22,6 +22,73 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def _within_edit(a: str, b: str, k: int) -> bool:
+    """Exact decision ``levenshtein(a, b) <= k`` without the full DP.
+
+    Same unit-cost edit distance as :func:`_levenshtein` (and Spark's
+    / DuckDB's ``levenshtein``), restricted to the only question the
+    union-find verify asks — is the distance within ``k``?  Three
+    exact reductions (r11, guide §1.2 per-task work):
+
+    * length prefilter: ``|len(a) - len(b)| > k`` forces > k indels;
+    * common prefix/suffix strip: edits never touch shared ends, so
+      the distance of the stripped cores is identical;
+    * banded DP: a cell (i, j) with ``|i - j| > k`` costs > k on any
+      path through it (each diagonal offset needs one indel), so only
+      the 2k+1-wide band is computed, with an early exit when a whole
+      band row exceeds k.
+
+    Equivalence with ``_levenshtein(a, b) <= k`` is property-tested
+    (tests/test_entity.py) — the scalar full-DP stays the reference.
+    """
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if k <= 0:
+        return False  # a != b already established
+    # strip common prefix and suffix — distance is unchanged
+    lo = 0
+    while lo < la and lo < lb and a[lo] == b[lo]:
+        lo += 1
+    hi_a, hi_b = la, lb
+    while hi_a > lo and hi_b > lo and a[hi_a - 1] == b[hi_b - 1]:
+        hi_a -= 1
+        hi_b -= 1
+    a2 = a[lo:hi_a]
+    b2 = b[lo:hi_b]
+    la, lb = len(a2), len(b2)
+    if la == 0 or lb == 0:
+        return max(la, lb) <= k
+    inf = k + 1
+    prev = [j if j <= k else inf for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        cur = [inf] * (lb + 1)
+        if i <= k:
+            cur[0] = i
+        jlo = i - k if i - k > 1 else 1
+        jhi = i + k if i + k < lb else lb
+        best = inf
+        ca = a2[i - 1]
+        for j in range(jlo, jhi + 1):
+            cost = 0 if ca == b2[j - 1] else 1
+            v = prev[j - 1] + cost
+            w = prev[j] + 1
+            if w < v:
+                v = w
+            w = cur[j - 1] + 1
+            if w < v:
+                v = w
+            cur[j] = v
+            if v < best:
+                best = v
+        if best > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
 def _levenshtein(a: str, b: str) -> int:
     """Exact edit distance — same definition as Spark's and DuckDB's
     ``levenshtein`` (unit-cost insert/delete/substitute), so the
@@ -97,7 +164,7 @@ def blocked_fuzzy_components(
         has_edge = [False] * n
         for i in range(n):
             for j in range(i + 1, n):
-                if _levenshtein(names[i], names[j]) <= max_edit:
+                if _within_edit(names[i], names[j], max_edit):
                     has_edge[i] = has_edge[j] = True
                     ri, rj = find(i), find(j)
                     if ri != rj:
@@ -122,4 +189,14 @@ def blocked_fuzzy_components(
             return pd.DataFrame({"node": [], "label": []}).astype("int64")
         return frames[0]
 
+    # No explicit repartition here (r11, measured): the callers'
+    # block structure is vocabulary-bounded — the frame stays KB-sized
+    # at ANY corpus scale, and with the banded verify the whole pass
+    # is sub-second on one task, so forcing defaultParallelism tasks
+    # only buys 32 Python-worker round-trips (interleaved A/B: the
+    # repartitioned spelling measured ~1.5-2x SLOWER end-to-end).
+    # AQE's byte-coalesced 1-2 tasks are the right plan for this
+    # operator; CPU-dense grouped maps whose input GROWS with the
+    # corpus (udf_grouped_map_demean) do the opposite — see
+    # queries/udfs.py.
     return nodes.groupBy(*block_cols).applyInPandas(wrapped, out_schema)

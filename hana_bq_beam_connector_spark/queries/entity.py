@@ -27,6 +27,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hana_bq_beam_connector_spark.operators._common import (
+    pin_until_release,
+)
 from hana_bq_beam_connector_spark.operators.entity import (
     blocked_fuzzy_components,
 )
@@ -155,16 +158,29 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Name-level nodes: one row per distinct (brand, name); node id =
     # min partkey carrying that name (ids stay partkeys, so component
     # labels remain "min member id" exactly as in the row-level graph).
-    names = p.groupBy("p_brand", "noun", "p_name").agg(
-        F.min("p_partkey").alias("node_id"),
-        F.count(F.lit(1)).alias("n_parts"),
+    # names feeds three branches (the union-find input, the singles
+    # anti-join probe, and the name→label map) and linked feeds two
+    # (anti-join build + the map union) — without a pin the whole
+    # applyInPandas union-find lineage re-evaluates once per
+    # consumer (stage profile r11 s4: the two heaviest stages of the
+    # query were both the Python verify, run twice).  Both frames are
+    # vocabulary-sized — thousands of rows — so the pin is a few KB;
+    # pin_until_release because the consumers are lazy until the
+    # caller materializes the returned frame (guide §5).
+    names = pin_until_release(
+        p.groupBy("p_brand", "noun", "p_name").agg(
+            F.min("p_partkey").alias("node_id"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
     )
-    linked = blocked_fuzzy_components(
-        names,
-        block_cols=["p_brand", "noun"],
-        id_col="node_id",
-        name_col="p_name",
-        max_edit=_MAX_EDIT,
+    linked = pin_until_release(
+        blocked_fuzzy_components(
+            names,
+            block_cols=["p_brand", "noun"],
+            id_col="node_id",
+            name_col="p_name",
+            max_edit=_MAX_EDIT,
+        )
     )
     # Row-level pair membership = name-level edge OR ≥2 rows sharing
     # the name (their lev-0 self-edges).  Edge-less multi-row names

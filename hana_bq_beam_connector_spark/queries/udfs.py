@@ -104,7 +104,25 @@ def udf_grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ev = events_us(spark, sf_dir).select("user_id", "event_id", "value")
-    return ev.groupBy("user_id").applyInPandas(demean, _DEMEAN_SCHEMA)
+    # Hash-repartition on the group key with an EXPLICIT partition
+    # count before the grouped map (guide §2.3 stragglers / §4).  The
+    # per-group pandas work is CPU-dense per byte, which AQE's
+    # byte-based coalescing cannot see: at bench SF the grouped-map
+    # exchange (~1.7 MB) coalesces to ONE task carrying ~4 CPU-s of
+    # Python — the whole query becomes that straggler (stage profile,
+    # r11 s4).  An explicit numPartitions makes THIS the exchange the
+    # grouped map needs (HashPartitioning on the same key satisfies
+    # the required distribution — no second exchange) and AQE never
+    # coalesces user-specified repartitions.  defaultParallelism
+    # derives from the session's core count, so the value is
+    # scale-adaptive, and it matches the pre-AQE static
+    # shuffle.partitions contract for grouped-map parallelism.
+    par = spark.sparkContext.defaultParallelism
+    return (
+        ev.repartition(par, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(demean, _DEMEAN_SCHEMA)
+    )
 
 
 @register(

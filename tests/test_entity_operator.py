@@ -14,8 +14,40 @@ from pyspark.sql import functions as F
 from hana_bq_beam_connector_spark.operators.dedup import near_dup_clusters
 from hana_bq_beam_connector_spark.operators.entity import (
     _levenshtein,
+    _within_edit,
     blocked_fuzzy_components,
 )
+
+
+def test_within_edit_matches_full_dp():
+    """The banded <=k decision (r11: the union-find verify's fast
+    path) must agree with the full-DP reference on every (pair, k) —
+    random strings over a small alphabet maximize edit-path
+    collisions, plus the adjective-noun shapes the ER queries block
+    on (shared suffixes exercise the prefix/suffix strip)."""
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcd "
+    for _ in range(20000):
+        a = "".join(
+            rng.choice(alpha) for _ in range(rng.randint(0, 12))
+        )
+        b = "".join(
+            rng.choice(alpha) for _ in range(rng.randint(0, 12))
+        )
+        k = rng.randint(0, 5)
+        assert _within_edit(a, b, k) == (_levenshtein(a, b) <= k), (
+            a, b, k,
+        )
+    words = ["golden", "lavender", "spring", "lace", "hot", "gear"]
+    for _ in range(4000):
+        a = " ".join(rng.choice(words) for _ in range(rng.randint(1, 4)))
+        b = " ".join(rng.choice(words) for _ in range(rng.randint(1, 4)))
+        for k in (0, 1, 4):
+            assert _within_edit(a, b, k) == (
+                _levenshtein(a, b) <= k
+            ), (a, b, k)
 
 
 def _nodes(spark, rows):
