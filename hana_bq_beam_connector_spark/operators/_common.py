@@ -115,18 +115,74 @@ def posexplode_nonempty(col):
 # spread()'s partition probe (df.rdd.getNumPartitions) runs the full
 # analyze→optimize→physical-plan pipeline per call; dedup/similarity
 # pipelines call spread() on the SAME fresh table scans dozens of times
-# per session, so the count is memoized by the analyzed plan's
-# semanticHash.  Assumption (fine for a batch engine, documented): the
-# files behind a semantically-identical scan don't change partition
-# count mid-session.  Bounded so a pathological workload can't leak.
-_SPREAD_MEMO: dict[int, int] = {}
+# per session, so the (count, width) pair is memoized by the analyzed
+# plan's semanticHash.  Assumption (fine for a batch engine,
+# documented): the files behind a semantically-identical scan don't
+# change partition count mid-session.  Bounded so a pathological
+# workload can't leak.
+_SPREAD_MEMO: dict[tuple[int, int | None], tuple[int, int]] = {}
 _SPREAD_MEMO_MAX = 1024
 
+# Floor on estimated input bytes per task when spread() widens a
+# narrow frame ahead of a PYTHON stage (r12, guide §2.5/§4): every
+# Python-boundary task pays a fixed ~15-40 ms (worker handshake, UDF
+# deserialize, Arrow stream setup), so fanning a few-hundred-KB frame
+# out to 32 tasks buys ~1 s of pure overhead to parallelize
+# milliseconds of compute (measured: a trivial chained pandas UDF
+# over 5 000 rows runs 0.60 s at 32 partitions vs 0.24 s at 4; the
+# unfused two-Python-node JPEG row ran 0.73 s on 8 cores vs 2.12 s on
+# 32 in the r11 driver bench).  The floor derives the width from the
+# frame's own optimizer size estimate, so it is scale-adaptive: at
+# sf0.1 the pruned 5 000-row media-id frame (~110 KB) gets ~7 tasks,
+# while at sf10 (and any real corpus) the estimate exceeds
+# parallelism × floor and the stage keeps every core.  Callers whose
+# per-row work runs in the JVM (codegen'd hash folds) do NOT pass a
+# floor — a JVM task's fixed cost is ~1 ms, so full width stays free
+# for them.  Conf-overridable (spark.graft.spread.minBytesPerTask) —
+# a real cluster with slower task dispatch would raise it.
+_SPREAD_PY_MIN_BYTES_PER_TASK = 16 * 1024
 
-def spread(df: DataFrame, n_input_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition to full cluster parallelism before
-    CPU-heavy per-row work (hashing, vector folds) — but ONLY when the
-    input is actually narrow.
+
+def _spread_width(
+    df: DataFrame, parallelism: int, min_bytes_per_task: int | None
+) -> int:
+    """Target partition count for a narrow frame: full parallelism,
+    unless the caller declared a per-task byte floor (Python stage
+    downstream) — then just enough tasks that each carries >= the
+    floor of estimated input bytes.  Falls back to full parallelism
+    when the optimizer has no usable size estimate."""
+    if min_bytes_per_task is None:
+        return parallelism
+    try:
+        min_bytes = int(
+            df.sparkSession.conf.get(
+                "spark.graft.spread.minBytesPerTask",
+                str(min_bytes_per_task),
+            )
+        )
+        raw = (
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        # py4j maps scala.math.BigInt to a Python int when it fits;
+        # str() covers a passthrough java object on the odd path.
+        size = raw if isinstance(raw, int) else int(str(raw))
+    except Exception:
+        return parallelism
+    if size <= 0 or min_bytes <= 0:
+        return parallelism
+    return max(1, min(parallelism, -(-size // min_bytes)))
+
+
+def spread(
+    df: DataFrame,
+    n_input_partitions: int | None = None,
+    min_bytes_per_task: int | None = None,
+) -> DataFrame:
+    """Round-robin repartition to cluster parallelism before CPU-heavy
+    per-row work (hashing, vector folds) — but ONLY when the input is
+    actually narrow, and (for Python stages that declare
+    ``min_bytes_per_task``) never wider than the per-task byte floor
+    justifies (see ``_SPREAD_PY_MIN_BYTES_PER_TASK``).
 
     A small input — e.g. one parquet file under maxPartitionBytes —
     scans as ONE task, serializing compute on a single core while the
@@ -135,7 +191,7 @@ def spread(df: DataFrame, n_input_partitions: int | None = None) -> DataFrame:
     scan already yields thousands of splits, and an unconditional
     ``repartition`` would shuffle every byte of text/vectors to fix a
     problem that no longer exists — so a frame already at (or past)
-    cluster parallelism passes through untouched, keeping the dedup /
+    the target width passes through untouched, keeping the dedup /
     similarity plans free of the round-robin Exchange (asserted in
     tests/test_plan_audit.py).
 
@@ -146,18 +202,33 @@ def spread(df: DataFrame, n_input_partitions: int | None = None) -> DataFrame:
     sc = df.sparkSession.sparkContext
     parallelism = sc.defaultParallelism
     n = n_input_partitions
-    if n is None:
-        try:
-            key = df._jdf.queryExecution().analyzed().semanticHash()
-        except Exception:
-            key = None
-        n = _SPREAD_MEMO.get(key) if key is not None else None
-        if n is None:
-            n = df.rdd.getNumPartitions()
-            if key is not None:
-                if len(_SPREAD_MEMO) >= _SPREAD_MEMO_MAX:
-                    _SPREAD_MEMO.clear()
-                _SPREAD_MEMO[key] = n
-    if n >= parallelism:
-        return df
-    return df.repartition(parallelism)
+    if n is not None:
+        if n >= parallelism:
+            return df
+        width = _spread_width(df, parallelism, min_bytes_per_task)
+        return df if n >= width else df.repartition(width)
+    try:
+        # Keyed on (plan, floor): the same pruned scan may be spread
+        # by a Python-stage caller (floored width) and a JVM caller
+        # (full width) in one session.
+        key = (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            min_bytes_per_task,
+        )
+    except Exception:
+        key = None
+    memo = _SPREAD_MEMO.get(key) if key is not None else None
+    if memo is None:
+        n = df.rdd.getNumPartitions()
+        width = (
+            _spread_width(df, parallelism, min_bytes_per_task)
+            if n < parallelism
+            else parallelism
+        )
+        if key is not None:
+            if len(_SPREAD_MEMO) >= _SPREAD_MEMO_MAX:
+                _SPREAD_MEMO.clear()
+            _SPREAD_MEMO[key] = (n, width)
+    else:
+        n, width = memo
+    return df if n >= width else df.repartition(width)

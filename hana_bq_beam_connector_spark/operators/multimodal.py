@@ -32,7 +32,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hana_bq_beam_connector_spark.operators._common import spread
+from hana_bq_beam_connector_spark.operators._common import (
+    _SPREAD_PY_MIN_BYTES_PER_TASK,
+    spread,
+)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -120,6 +123,33 @@ def _payload_stats(media: DataFrame, schema, per_payload) -> DataFrame:
     ).select("media_id", "__st.*")
 
 
+def _payload_stats_batch(media: DataFrame, schema, per_batch) -> DataFrame:
+    """Batch-aware twin of :func:`_payload_stats` (r12, guide §4) for
+    decoders whose data-parallel tail is cheapest run over the WHOLE
+    Arrow batch at once (JPEG's one-GEMM-per-batch IDCT).
+
+    ``per_batch`` receives the batch's payloads as a list of ``bytes``
+    and returns one column list per non-id output field, in ``schema``
+    field order, value ``i`` belonging to payload ``i`` (strictly
+    1:1).  Same chaining property as the scalar twin: the decode
+    fuses with an upstream synthesizer UDF into a single
+    ArrowEvalPython node — the unfused JPEG/Y4M rows were the r11
+    bench's only real regression (2 Python nodes × 32 near-empty
+    tasks cost ~1.3 s of pure boundary overhead at sf0.1)."""
+    fields = [f for f in schema.fields if f.name != "media_id"]
+    names = [f.name for f in fields]
+
+    @F.pandas_udf(StructType(fields))
+    def st(payloads: pd.Series) -> pd.DataFrame:
+        cols = per_batch([bytes(p) for p in payloads])
+        return pd.DataFrame(dict(zip(names, cols)))
+
+    return media.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        st(F.col("payload")).alias("__st"),
+    ).select("media_id", "__st.*")
+
+
 _PGM_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -166,7 +196,10 @@ def synthesize_pgm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(b"P5\n%d %d\n255\n" % (w, h) + raster)
         return pd.Series(out)
 
-    return spread(df).select(
+    return spread(
+        df.select(id_col),
+        min_bytes_per_task=_SPREAD_PY_MIN_BYTES_PER_TASK,
+    ).select(
         F.col(id_col).cast("long").alias("media_id"),
         _pgm(F.col(id_col)).alias("payload"),
         F.lit("image/x-portable-graymap").alias("media_type"),
@@ -308,7 +341,10 @@ def synthesize_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(buf.getvalue())
         return pd.Series(out)
 
-    return spread(df).select(
+    return spread(
+        df.select(id_col),
+        min_bytes_per_task=_SPREAD_PY_MIN_BYTES_PER_TASK,
+    ).select(
         F.col(id_col).cast("long").alias("media_id"),
         _wav(F.col(id_col)).alias("payload"),
         F.lit("audio/wav").alias("media_type"),
@@ -451,25 +487,29 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
     (:func:`_sniff_image_header` dispatches on magic — PGM/PPM/PNG/
     GIF/JPEG), and ``media_type`` is the DETECTED mime, trusting
     bytes over caller labels.  Header-only parse: O(header bytes)
-    per payload regardless of raster size.  Batch shape, schema, and
-    partitioning are unchanged from the former MD5 stand-in this
-    replaces — the promised "swap the body, change no caller"."""
+    per payload regardless of raster size.  Spelled as the shared
+    chainable batch-stats UDF (r12): the sniff is 1:1 per payload, so
+    it fuses with an upstream synthesizer UDF into ONE
+    ArrowEvalPython node and ships ONLY the payload column across the
+    boundary (the mapInPandas spelling also round-tripped the
+    caller's media_type/byte_len columns)."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {k.name: [] for k in _DECODED_SCHEMA.fields}
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                data = bytes(payload)
-                mime, w, h, ch = _sniff_image_header(data)
-                rows["media_id"].append(media_id)
-                rows["media_type"].append(mime)
-                rows["byte_len"].append(len(data))
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["channels"].append(ch)
-            yield pd.DataFrame(rows)
+    def batch(payloads: list[bytes]) -> list[list]:
+        mimes: list[str] = []
+        byte_lens: list[int] = []
+        widths: list[int] = []
+        heights: list[int] = []
+        channels: list[int] = []
+        for data in payloads:
+            mime, w, h, ch = _sniff_image_header(data)
+            mimes.append(mime)
+            byte_lens.append(len(data))
+            widths.append(w)
+            heights.append(h)
+            channels.append(ch)
+        return [mimes, byte_lens, widths, heights, channels]
 
-    return media.mapInPandas(decode, schema=_DECODED_SCHEMA)
+    return _payload_stats_batch(media, _DECODED_SCHEMA, batch)
 
 
 def frame_sample(media: DataFrame, stride: int = 2) -> DataFrame:
@@ -760,46 +800,44 @@ def raster_moments(media: DataFrame, parse=_parse_pgm) -> DataFrame:
     variance) and four 64-intensity-wide bin counts — the per-image
     summary a curation filter needs (flag near-black / blown-out /
     low-contrast images) without ever shipping a raster off the
-    scanning task.  Exact integers end to end; oracle-replayable."""
+    scanning task.  Exact integers end to end; oracle-replayable.
+    Spelled as the shared chainable batch-stats UDF (r12): moments
+    are 1:1 per payload, so the decode fuses with the synthesizer
+    into ONE ArrowEvalPython node (the mapInPandas spelling kept a
+    second Python boundary round-tripping every payload)."""
 
-    def mo(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def batch(payloads: list[bytes]) -> list[list]:
         import numpy as np
 
-        for pdf in batches:
-            rows = {k.name: [] for k in _MOMENTS_SCHEMA.fields}
-            # JPEG decodes share one batched numpy IDCT pass (round
-            # 11) — same rasters, one einsum per Arrow batch instead
-            # of one per image; other codecs stay per-image (their
-            # decode has no heavy data-parallel tail to batch).
-            if parse is _parse_jpeg:
-                # Keep the decoded rasters uint8 here; the int64 view
-                # (needed only so px_sum_sq can't overflow) is taken
-                # one image at a time in the loop below — converting
-                # the whole batch up front would hold 8 bytes/pixel
-                # for every image in the Arrow batch simultaneously.
-                rasters = _jpeg_rasters_batch(
-                    [bytes(p) for p in pdf["payload"]]
-                )
-            else:
-                rasters = None
-            for idx, (media_id, payload) in enumerate(
-                zip(pdf["media_id"], pdf["payload"])
-            ):
-                a = (
-                    rasters[idx].astype(np.int64)
-                    if rasters is not None
-                    else _raster_array(bytes(payload), parse)
-                ).ravel()
-                counts = np.bincount(a >> 6, minlength=4)
-                rows["media_id"].append(media_id)
-                rows["n_pixels"].append(int(a.size))
-                rows["px_sum"].append(int(a.sum()))
-                rows["px_sum_sq"].append(int((a * a).sum()))
-                for j in range(4):
-                    rows[f"b{j}"].append(int(counts[j]))
-            yield pd.DataFrame(rows)
+        cols: list[list[int]] = [[] for _ in range(7)]
+        # JPEG decodes share one batched numpy IDCT pass (round
+        # 11) — same rasters, one GEMM pair per Arrow batch instead
+        # of one per image; other codecs stay per-image (their
+        # decode has no heavy data-parallel tail to batch).
+        if parse is _parse_jpeg:
+            # Keep the decoded rasters uint8 here; the int64 view
+            # (needed only so px_sum_sq can't overflow) is taken
+            # one image at a time in the loop below — converting
+            # the whole batch up front would hold 8 bytes/pixel
+            # for every image in the Arrow batch simultaneously.
+            rasters = _jpeg_rasters_batch(payloads)
+        else:
+            rasters = None
+        for idx, payload in enumerate(payloads):
+            a = (
+                rasters[idx].astype(np.int64)
+                if rasters is not None
+                else _raster_array(payload, parse)
+            ).ravel()
+            counts = np.bincount(a >> 6, minlength=4)
+            cols[0].append(int(a.size))
+            cols[1].append(int(a.sum()))
+            cols[2].append(int((a * a).sum()))
+            for j in range(4):
+                cols[3 + j].append(int(counts[j]))
+        return cols
 
-    return media.mapInPandas(mo, schema=_MOMENTS_SCHEMA)
+    return _payload_stats_batch(media, _MOMENTS_SCHEMA, batch)
 
 
 _PPM_STATS_SCHEMA = StructType(
@@ -847,7 +885,10 @@ def synthesize_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(b"P6\n%d %d\n255\n" % (w, h) + raster)
         return pd.Series(out)
 
-    return spread(df).select(
+    return spread(
+        df.select(id_col),
+        min_bytes_per_task=_SPREAD_PY_MIN_BYTES_PER_TASK,
+    ).select(
         F.col(id_col).cast("long").alias("media_id"),
         _ppm(F.col(id_col)).alias("payload"),
         F.lit("image/x-portable-pixmap").alias("media_type"),
@@ -1046,7 +1087,10 @@ def synthesize_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
         return pd.Series(out)
 
-    return spread(df).select(
+    return spread(
+        df.select(id_col),
+        min_bytes_per_task=_SPREAD_PY_MIN_BYTES_PER_TASK,
+    ).select(
         F.col(id_col).cast("long").alias("media_id"),
         _png(F.col(id_col)).alias("payload"),
         F.lit("image/png").alias("media_type"),
@@ -1217,7 +1261,10 @@ def synthesize_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(bytes(buf))
         return pd.Series(out)
 
-    return spread(df).select(
+    return spread(
+        df.select(id_col),
+        min_bytes_per_task=_SPREAD_PY_MIN_BYTES_PER_TASK,
+    ).select(
         F.col(id_col).cast("long").alias("media_id"),
         _y4m(F.col(id_col)).alias("payload"),
         F.lit("video/x-yuv4mpeg").alias("media_type"),
@@ -1503,7 +1550,10 @@ def synthesize_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(buf)
         return pd.Series(out)
 
-    return spread(df).select(
+    return spread(
+        df.select(id_col),
+        min_bytes_per_task=_SPREAD_PY_MIN_BYTES_PER_TASK,
+    ).select(
         F.col(id_col).cast("long").alias("media_id"),
         _gif(F.col(id_col)).alias("payload"),
         F.lit("image/gif").alias("media_type"),
@@ -1910,7 +1960,10 @@ def synthesize_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(_jpeg_encode_raster(w, h, bytes(raster)))
         return pd.Series(out)
 
-    return spread(df).select(
+    return spread(
+        df.select(id_col),
+        min_bytes_per_task=_SPREAD_PY_MIN_BYTES_PER_TASK,
+    ).select(
         F.col(id_col).cast("long").alias("media_id"),
         _jpeg(F.col(id_col)).alias("payload"),
         F.lit("image/jpeg").alias("media_type"),
@@ -2292,35 +2345,38 @@ def decode_jpeg(media: DataFrame) -> DataFrame:
     entropy decode, dequantization and a genuine float IDCT — the
     third entropy-coding family in the suite and the first lossy
     pipeline (exactly invertible on the block-constant fixture
-    corpus, boundedly lossy on arbitrary input).  Same mapInPandas
-    stage shape as every other decoder."""
+    corpus, boundedly lossy on arbitrary input).  Spelled as the
+    shared chainable batch-stats UDF (r12): JPEG stats are 1:1 per
+    payload, so the decode fuses with the synthesizer into ONE
+    ArrowEvalPython node — the r11 mapInPandas spelling kept a second
+    Python boundary that round-tripped every payload through the JVM
+    and was the bench's only real regression.  The per-batch body is
+    unchanged: sequential halves per image, then ONE numpy IDCT pass
+    for the whole Arrow batch; the stats are block-order-independent,
+    so no raster assembly at all."""
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {k.name: [] for k in _JPEG_STATS_SCHEMA.fields}
-            # Sequential halves per image, then ONE numpy IDCT pass
-            # for the whole Arrow batch (round 11); the stats are
-            # block-order-independent, so no raster assembly at all.
-            parsed = [
-                _jpeg_header_and_blocks(bytes(p)) for p in pdf["payload"]
-            ]
-            if parsed:
-                blocks_u8, off = _jpeg_pixel_blocks_batch(parsed)
-                flat = blocks_u8.reshape(-1)
-                for i, (media_id, (w, h, _, _)) in enumerate(
-                    zip(pdf["media_id"], parsed)
-                ):
-                    seg = flat[off[i] * 64 : off[i + 1] * 64]
-                    rows["media_id"].append(media_id)
-                    rows["width"].append(w)
-                    rows["height"].append(h)
-                    rows["n_pixels"].append(int(seg.size))
-                    rows["px_sum"].append(int(seg.sum()))
-                    rows["px_min"].append(int(seg.min()))
-                    rows["px_max"].append(int(seg.max()))
-            yield pd.DataFrame(rows)
+    def batch(payloads: list[bytes]) -> list[list]:
+        widths: list[int] = []
+        heights: list[int] = []
+        n_pixels: list[int] = []
+        px_sum: list[int] = []
+        px_min: list[int] = []
+        px_max: list[int] = []
+        parsed = [_jpeg_header_and_blocks(p) for p in payloads]
+        if parsed:
+            blocks_u8, off = _jpeg_pixel_blocks_batch(parsed)
+            flat = blocks_u8.reshape(-1)
+            for i, (w, h, _, _) in enumerate(parsed):
+                seg = flat[off[i] * 64 : off[i + 1] * 64]
+                widths.append(w)
+                heights.append(h)
+                n_pixels.append(int(seg.size))
+                px_sum.append(int(seg.sum()))
+                px_min.append(int(seg.min()))
+                px_max.append(int(seg.max()))
+        return [widths, heights, n_pixels, px_sum, px_min, px_max]
 
-    return media.mapInPandas(decode, schema=_JPEG_STATS_SCHEMA)
+    return _payload_stats_batch(media, _JPEG_STATS_SCHEMA, batch)
 
 
 # --------------------------------------------------------------------

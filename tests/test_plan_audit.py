@@ -163,9 +163,47 @@ def test_spread_is_noop_on_wide_input(spark, sf_dir):
     sc = spark.sparkContext
     wide = spark.range(0, 1000, 1, sc.defaultParallelism * 2)
     assert spread(wide) is wide
+    # Default (JVM-stage) behavior is unchanged: a narrow frame
+    # widens to full parallelism.
     narrow = spark.range(0, 1000, 1, 1)
     assert (
         spread(narrow).rdd.getNumPartitions() == sc.defaultParallelism
+    )
+
+
+def test_spread_is_byte_floored_on_tiny_python_input(spark, sf_dir):
+    """A spread() caller that feeds a PYTHON stage must not fan a
+    few-KB frame out to one task per core: every Python-boundary task
+    costs a fixed ~15-40 ms, so when the caller passes the per-task
+    byte floor the width derives from estimated input bytes (r12 —
+    the r11 driver bench's JPEG/Y4M regression was exactly this
+    overhead: 0.73 s on 8 cores vs 2.12 s on 32 for the same row)."""
+    from hana_bq_beam_connector_spark.operators._common import (
+        _SPREAD_PY_MIN_BYTES_PER_TASK,
+        spread,
+    )
+
+    sc = spark.sparkContext
+    floor = _SPREAD_PY_MIN_BYTES_PER_TASK
+    # 5k rows * 8 B = 40 KB -> ceil(40 KB / 16 KB) = 3 tasks, not 32.
+    tiny = spark.range(0, 5_000, 1, 1)
+    expect = max(1, min(sc.defaultParallelism, -(-5_000 * 8 // floor)))
+    got = spread(
+        tiny, min_bytes_per_task=floor
+    ).rdd.getNumPartitions()
+    assert got == expect, (got, expect)
+    # When the floored width is <= the input's own partition count,
+    # the frame passes through with no Exchange at all.
+    already = spark.range(0, 5_000, 1, 4)
+    assert spread(already, min_bytes_per_task=floor) is already
+    # And a narrow frame with enough bytes to feed every core still
+    # widens to full parallelism (scale-adaptive, not a fixed cap).
+    narrow_big = spark.range(0, 4_000_000, 1, 1)
+    assert (
+        spread(
+            narrow_big, min_bytes_per_task=floor
+        ).rdd.getNumPartitions()
+        == sc.defaultParallelism
     )
 
 

@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for named queries into plans/r11/.
+"""Dump .explain("formatted") for named queries into plans/r12/.
 
 Usage: python tools/dump_plans.py before|after q1 [q2 ...]
-Writes plans/r11/<query>_<tag>.txt (the optimization-round evidence
+Writes plans/r12/<query>_<tag>.txt (the optimization-round evidence
 files; the judge checks plan claims against these).
 """
 
@@ -26,7 +26,7 @@ def main() -> None:
     names = sys.argv[2:]
     assert tag in ("before", "after") and names
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r11")
+    out_dir = os.path.join(REPO, "plans", "r12")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"plans-{tag}")
     spark.sparkContext.setLogLevel("ERROR")
