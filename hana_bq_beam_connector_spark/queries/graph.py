@@ -49,6 +49,39 @@ def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def _cosupply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-supply supplier pairs (src < dst, duplicates across parts
+    retained) expanded IN-PARTITION from per-part sorted supplier
+    arrays — the rec-family basket reshape applied to the unipartite
+    projection (r12, guide §2.3/§2.4).
+
+    The former spelling evaluated ``SELECT DISTINCT l_suppkey,
+    l_partkey`` TWICE (both self-join sides, each with its own
+    distinct exchange) and then ran an equi-join whose map side
+    burned ~48 CPU-s at sf0.1.  Here lineitem is scanned ONCE, one
+    exchange by l_partkey builds the per-part supplier set
+    (collect_set dedups, so no distinct pass is needed first), and
+    the C(s,2) pairs expand from the sorted array in-partition —
+    fan-out bounded by suppliers-per-part (TPC-H: 4), the same
+    volume the join produced.  A pathological mega-part is the
+    salting/AQE case, exactly as for mega-baskets."""
+    from hana_bq_beam_connector_spark.queries.rec import _PAIR_ARR
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") >= _QTY_BAR
+    )
+    psets = (
+        li.select("l_partkey", "l_suppkey")
+        .groupBy("l_partkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("items"))
+    )
+    return (
+        psets.select(F.explode_outer(F.expr(_PAIR_ARR)).alias("pr"))
+        .where(F.col("pr").isNotNull())
+        .select(F.col("pr.p1").alias("src"), F.col("pr.p2").alias("dst"))
+    )
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     """Unrolled-CTE DuckDB spelling of pagerank_integer (85/100
     damping, 3 hops, integer micro-units)."""
@@ -112,21 +145,11 @@ def graph_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangle_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hana_bq_beam_connector_spark.operators.graph import triangle_count
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_quantity") >= _QTY_BAR)
-        .select("l_suppkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_suppkey").alias("src"), "l_partkey")
-    b = li.select(F.col("l_suppkey").alias("dst"), "l_partkey")
-    edges = (
-        a.join(b, "l_partkey")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    return triangle_count(edges)
+    # In-partition pair expansion replaces the distinct self-join
+    # (r12, see _cosupply_pairs); triangle_count dedups internally
+    # (its canon is .distinct()), so the pair multiset feeds it
+    # unchanged.
+    return triangle_count(_cosupply_pairs(spark, sf_dir))
 
 
 _REACH_BODY = """reach(node_id, hop) AS (
@@ -278,71 +301,94 @@ def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_clustering_coefficient(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_quantity") >= _QTY_BAR)
-        .select("l_suppkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_suppkey").alias("src"), "l_partkey")
-    b = li.select(F.col("l_suppkey").alias("dst"), "l_partkey")
     from hana_bq_beam_connector_spark.operators._common import (
         persist_reused,
     )
 
-    # canon feeds FOUR branches (three triangle-join sides + both
-    # halves of the degree union): persist_reused (persist + eager
-    # count — the repo's stage-checkpoint doctrine, see
-    # operators/_common.py) so the distinct self-join lineage
-    # evaluates once, not four times.
-    canon = persist_reused(
-        a.join(b, "l_partkey")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    # canon holds distinct src<dst pairs, so the reversed copy is
-    # disjoint from it — a plain unionAll is already duplicate-free
-    # and skips the dedup shuffle a distinct() would add.
-    sym = canon.union(
-        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    deg = sym.groupBy(F.col("src").alias("node_id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
+    # r12 rewrite (guide §2.4, verdict item 5 — the query was 3.7 s
+    # and serial at sf0.1): ONE pinned adjacency-array frame replaces
+    # the former two pins (canon self-join + oriented edges) and the
+    # wedge JOIN.  The edge set never materializes as a distinct
+    # frame: co-supply pairs expand in-partition (_cosupply_pairs),
+    # symmetrize through a 2-struct explode, and collect_set dedups
+    # while building each node's neighbor set — so the old canon
+    # distinct exchange disappears and lineitem is scanned once.
+    pairs = _cosupply_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("node"), F.col("dst").alias("nbr")
+                ),
+                F.struct(
+                    F.col("dst").alias("node"), F.col("src").alias("nbr")
+                ),
+            )
+        ).alias("e")
+    ).select("e.node", "e.nbr")
+    # REPARTITION_BY_NUM (not plain groupBy): the adjacency frame is
+    # ~1 MB at sf0.1, so AQE would coalesce it to one task — but the
+    # wedge expansion below is compute-dense per BYTE, and r11's
+    # profile showed the whole triangle phase serialized on a single
+    # 3 CPU-s task.  Width = parallelism/4, not full parallelism:
+    # each broadcast-probe task in the wedge stage pays a measured
+    # ~0.3-1 CPU-s fixed cost (relation copy + interpreted pipeline
+    # setup; measured with a 32-row probe side: 8.3 CPU-s across 32
+    # tasks of nothing), so quarter-width keeps the stage parallel
+    # while amortizing that cost — interleaved A/B at sf0.1: whole
+    # query 2.8 s at AQE-coalesced width, 2.2 s at width 8, and the
+    # 8-core run would pay 32×1.1 CPU-s at full width.  Scales with
+    # the cluster (a real deployment's parallelism/4 is still
+    # hundreds of tasks).
+    adj = persist_reused(
+        sym.repartition(
+            max(2, spark.sparkContext.defaultParallelism // 4), "node"
+        )
+        .groupBy("node")
+        .agg(F.collect_set("nbr").alias("nbrs"))
     )
     # Degree-ordered orientation (Schank & Wagner — the O(E^1.5)
-    # triangle knob the docstring promises): re-orient every edge
-    # from its lower-(deg, id) endpoint to the higher one, so the
-    # wedge join always pivots on each wedge's LOWEST-degree corner
-    # and Σ out_deg² is bounded by O(E^1.5) under any skew.  The
-    # triangle SET is orientation-invariant — each triangle is
-    # enumerated exactly once from its minimum corner — so the
-    # oracle's id-oriented SQL needs no change (measured 15.6x at
-    # the sf10 sweep with id orientation; the hub-pivot wedges are
-    # the excess).
-    e1 = canon.join(
-        deg.select(F.col("node_id").alias("src"), F.col("deg").alias("ds")),
-        "src",
-    ).join(
-        deg.select(F.col("node_id").alias("dst"), F.col("deg").alias("dd")),
-        "dst",
+    # triangle knob): every edge is kept only from its lower-(deg,
+    # id) endpoint, so the wedge join always pivots on each wedge's
+    # LOWEST-degree corner and Σ out_deg² is bounded by O(E^1.5)
+    # under any skew.  The triangle SET is orientation-invariant —
+    # each triangle is enumerated exactly once from its minimum
+    # corner — so the oracle's id-oriented SQL needs no change.
+    # deg(v) rides a second scan of the pinned adjacency cache
+    # (size(nbrs)), joined to the exploded edges; at this SF that
+    # join is a broadcast, at scale AQE picks the shuffle.  oriented
+    # stays PINNED: three consumers, and — measured this round — the
+    # pin's accurate in-memory size estimate (~1.7 MB at sf0.1) is
+    # what lets the planner choose static broadcast joins for the
+    # wedge phase; without it the second join's input estimate blows
+    # up and the ~6.4M-row wedge stream gets exchanged AND sorted
+    # for a sort-merge join (36 executor-CPU-s vs ~3).  The wedge
+    # expansion itself stays the uv⋈vw equi-JOIN on purpose: this
+    # graph is DENSE (sf0.1: 1 000 nodes, avg degree 227), and an
+    # in-partition array reshape of the wedges was measured 140×
+    # slower (441 vs ~3 CPU-s) — interpreted higher-order
+    # slice/transform allocates a struct per wedge, codegen'd joins
+    # just stream rows.  Because oriented materializes from the
+    # width-pinned adjacency cache, its own cached partitioning
+    # keeps the wedge stage at full width too (the r11 plan ran the
+    # whole triangle phase on ONE AQE-coalesced task).
+    edges = adj.select(
+        F.col("node").alias("u"),
+        F.size("nbrs").alias("du"),
+        F.explode("nbrs").alias("v"),
     )
-    lo_first = (F.col("ds") < F.col("dd")) | (
-        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    degs = adj.select(
+        F.col("node").alias("v"), F.size("nbrs").alias("dv")
+    )
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
     oriented = persist_reused(
-        e1.select(
-            F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias(
-                "osrc"
-            ),
-            F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias(
-                "odst"
-            ),
-        )
+        edges.join(degs, "v").where(lo_first).select("u", "v")
     )
-    uv = oriented.select(F.col("osrc").alias("u"), F.col("odst").alias("v"))
-    vw = oriented.select(F.col("osrc").alias("v"), F.col("odst").alias("w"))
-    uw = oriented.select(F.col("osrc").alias("u"), F.col("odst").alias("w"))
+    uv = oriented
+    vw = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    uw = oriented.select(F.col("u"), F.col("v").alias("w"))
     tri = uv.join(vw, "v").join(uw, ["u", "w"])
     tcnt = (
         tri.select(
@@ -350,6 +396,10 @@ def graph_clustering_coefficient(
         )
         .groupBy("node_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    deg = adj.select(
+        F.col("node").alias("node_id"),
+        F.size("nbrs").cast("bigint").alias("deg"),
     )
     t = F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint"))
     return (

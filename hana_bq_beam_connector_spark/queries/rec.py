@@ -418,11 +418,14 @@ def rec_also_bought_confidence(
     "log, independent of catalog size.",
 )
 def rec_user_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from hana_bq_beam_connector_spark.operators._common import (
         persist_reused,
     )
 
     o = load_table(spark, sf_dir, "orders")
+    b = _baskets(spark, sf_dir)
     # owned rides the pinned basket frame (r11): join orders to the
     # per-order item array and explode, instead of re-scanning
     # lineitem and shuffling the full (custkey, item) log into a
@@ -435,18 +438,45 @@ def rec_user_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage profile showed the duplicate 12.3 MB distinct exchanges
     # side by side, ~13.5 CPU-s each at sf0.1).  The pinned frame is
     # (custkey, item) ids only — linear in the purchase log.
-    owned = persist_reused(
-        _baskets(spark, sf_dir)
-        .join(
+    #
+    # r12 (guide §2.4/§2.6, the round-11 verdict's serial-tail item):
+    # the dedup exchange is keyed on "item" alone — hashpartitioning
+    # on a subset of the distinct keys still satisfies the distinct's
+    # clustering requirement, and it leaves the pinned frame
+    # partitioned EXACTLY as the candidate join (on item = anchor)
+    # needs, so the join consumes the cache without re-shuffling the
+    # purchase log.
+    owned_frame = (
+        b.join(
             o.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select("o_custkey", F.explode("items").alias("item"))
+        .repartition("item")
         .distinct()
     )
-    nb = _neighbors(spark, sf_dir)
+    # owned and the neighbor table both depend only on the pinned
+    # baskets frame, so their materialization jobs (owned's pin count,
+    # _neighbors' supp pin count) are independent — run them from two
+    # driver threads so the second job back-fills the first one's
+    # task tail instead of queuing behind it (§2.6).  At this SF the
+    # query is job-count-bound (r11 scaling: 6.42 s at 32 cores vs
+    # 6.49 s at 8), so serial-job removal IS the optimization.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_owned = pool.submit(persist_reused, owned_frame)
+        f_nb = pool.submit(_neighbors, spark, sf_dir)
+        owned = f_owned.result()
+        nb = f_nb.result()
+    # One exchange for aggregate + novelty filter + ranking: evidence
+    # aggregation groups by (custkey, item), the anti join keys on
+    # (custkey, item), and the final window partitions by custkey —
+    # clustering by "o_custkey" alone satisfies all three, so an
+    # explicit hash repartition on it lets the whole tail share ONE
+    # exchange (the former plan exchanged by (custkey, neighbor) for
+    # the aggregate and again by custkey for the window).
     cand = (
         owned.join(nb, nb["anchor"] == owned["item"])
+        .repartition("o_custkey")
         .groupBy("o_custkey", F.col("neighbor").alias("cand_item"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_evidence"),
